@@ -1,0 +1,100 @@
+"""Shared expression helpers enforcing cross-engine numeric determinism.
+
+Double summation is not associative; Spark and DuckDB reduce partitions
+in different orders, so ``SUM(double)`` over 60k rows differs in the
+last few ulps between engines — enough to break a value-hash compare.
+The fix used across the engine: aggregate in DECIMAL (exact, order
+independent), then cast the final scalar back to double (one
+deterministic rounding). Mirrored fragments are provided for the DuckDB
+oracle SQL so both engines compute bit-identical results.
+
+Scale notes: decimal aggregation is marginally slower than double in
+Tungsten but stays inside whole-stage codegen and partial aggregation
+(map-side combine) — no extra shuffle, still exact at any row count
+(DECIMAL(18,4) sums promote to DECIMAL(28,4) giving 10^24 headroom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def dsum(col: str | Column) -> Column:
+    """Order-independent SUM over a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: str | Column) -> Column:
+    """Order-independent AVG: exact decimal sum, then one double divide."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def o_dsum(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def o_davg(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`davg`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
+
+
+MONEY = "decimal(12,2)"  # raw money-like columns are exact 2-decimal values
+RATE = "decimal(6,4)"  # discount/tax-like rates
+
+
+def money(col: str | Column) -> Column:
+    """Tie-free cast of a 2-decimal double column to exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def rate(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(RATE)
+
+
+def dsum_exact(dec_col: Column) -> Column:
+    """SUM of an already-exact decimal expression -> rounded double.
+
+    The sum is exact decimal (order independent); rounding to 4 places
+    before the double cast keeps the value within 15 significant digits
+    so the decimal->double conversion is correctly rounded everywhere.
+    """
+    return F.round(F.sum(dec_col), 4).cast("double")
+
+
+def davg_exact(dec_col: Column) -> Column:
+    return F.round(F.sum(dec_col), 4).cast("double") / F.count(dec_col)
+
+
+def o_money(expr: str) -> str:
+    return f"CAST(({expr}) AS DECIMAL(12,2))"
+
+
+def o_rate(expr: str) -> str:
+    return f"CAST(({expr}) AS DECIMAL(6,4))"
+
+
+def o_dsum_exact(dec_expr: str) -> str:
+    return f"CAST(ROUND(SUM({dec_expr}), 4) AS DOUBLE)"
+
+
+def o_davg_exact(dec_expr: str) -> str:
+    return f"CAST(ROUND(SUM({dec_expr}), 4) AS DOUBLE) / COUNT({dec_expr})"
+
+
+def fmt_ts(col: str | Column) -> Column:
+    """Format a timestamp to second precision (safe for ns-typed cols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def o_fmt_ts(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`fmt_ts`."""
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"

@@ -1,0 +1,296 @@
+"""Aggregation operators (SURVEY.md §2 M2).
+
+Scale notes: every groupBy here compiles to partial (map-side) + final
+hash aggregation — the shuffle carries only group keys and partial
+states, never raw rows. Group-by keys are low-cardinality category
+columns, so AQE coalesces the post-shuffle partitions; for high-
+cardinality keys the same plan scales by hash-spreading keys across
+executors. Decimal-cast sums (see exprs.py) keep results order
+independent, which is also what makes them safe under AQE re-planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import (
+    davg,
+    dsum,
+    dsum_exact,
+    money,
+    o_davg,
+    o_dsum,
+    o_dsum_exact,
+    o_money,
+    o_rate,
+    rate,
+)
+from pokertracker_cassandra_st_spark.registry import register
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       {o_dsum('l_quantity')} AS sum_qty,
+       {o_davg('l_quantity')} AS avg_qty,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+""",
+    tags=("agg",),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate: sum/avg/min/max/count/distinct."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+_DISC_PRICE = f"{o_money('l_extendedprice')} * (1 - {o_rate('l_discount')})"
+_CHARGE = f"{_DISC_PRICE} * (1 + {o_rate('l_tax')})"
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum('l_quantity')} AS sum_qty,
+       {o_dsum('l_extendedprice')} AS sum_base_price,
+       {o_dsum_exact(_DISC_PRICE)} AS sum_disc_price,
+       {o_dsum_exact(_CHARGE)} AS sum_charge,
+       {o_davg('l_quantity')} AS avg_qty,
+       {o_davg('l_extendedprice')} AS avg_price,
+       {o_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "bench"),
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2 keys, 8 aggregates.
+
+    Derived-product sums (disc price, charge) run entirely in decimal
+    arithmetic — exact, summation-order independent, engine agnostic.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    charge = disc_price * (F.lit(1) + rate("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_exact(disc_price).alias("sum_disc_price"),
+            dsum_exact(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None, tags=("agg",))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct next to the exact count.
+
+    Rows-only: sketch estimates are engine-specific by design. At 100 TB
+    the approx path is the default (fixed-size sketch state, mergeable
+    map-side; exact distinct must shuffle every distinct value).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       count(*) AS n_customers,
+       {o_dsum('c.c_acctbal')} AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    tags=("agg",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region, nation) with super-aggregate rows."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal")
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    tags=("agg",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (priority, status): all 4 grouping-set combinations."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("agg",),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL API (same Catalyst Expand
+    operator the DataFrame cube/rollup lower to)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+SELECT l_suppkey, count(*) AS n_lines, {o_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) > 550 AND {o_dsum('l_quantity')} > 10000
+""",
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_lines"), dsum("l_quantity").alias("sum_qty"))
+        .filter((F.col("n_lines") > 550) & (F.col("sum_qty") > 10000))
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/exact percentile.
+
+    Float-order-sensitive by nature -> rounded to 4 decimals on both
+    engines (noise is ~1e-10 relative; see exprs.py).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    )
+
+
+@register("q_agg_percentile_approx", oracle=None, tags=("agg",))
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) next to the exact one.
+
+    Rows-only (sketch is engine-specific). At 100 TB the sketch is the
+    only viable path — fixed memory, mergeable across executors.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg",),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set per group, sorted and joined to a canonical string
+    so the comparison is order-insensitive across engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,261 @@
+"""Join operators (SURVEY.md §2: inner/broadcast/sort-merge/outer/
+semi/anti/theta/as-of).
+
+Scale notes per strategy:
+  * inner equi-join on a key both sides are large on -> sort-merge with
+    a shuffle on the key; AQE converts to broadcast if one side turns
+    out small, and splits skewed partitions.
+  * bounded dims (region: 5 rows, nation: 25) are explicitly
+    ``F.broadcast`` so the fact side never shuffles.
+  * semi/anti joins ship only the key column of the filter side.
+  * the theta (non-equi) join deliberately broadcasts the small side —
+    a BroadcastNestedLoopJoin; the aggregate keeps output linear. At
+    100 TB the band-join rewrite (bucketize the range key, equi-join on
+    bucket, post-filter) keeps it out of quadratic territory; the
+    as-of join below demonstrates exactly that shape.
+  * as-of join: implemented as union + last(ignorenulls) over a
+    per-key ordered window — one shuffle on (key), no range explosion;
+    this is the scalable pattern for "latest event at or before T".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table, tables
+from pokertracker_cassandra_st_spark.exprs import (
+    dsum,
+    dsum_exact,
+    money,
+    o_dsum_exact,
+    o_fmt_ts,
+    o_money,
+    o_rate,
+    rate,
+)
+from pokertracker_cassandra_st_spark.registry import register
+
+
+@register(
+    "q_join_inner_hash",
+    oracle="""
+SELECT c.c_nationkey, count(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+    tags=("join",),
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join, aggregated per nation."""
+    t = tables(spark, sf_dir, "orders", "customer")
+    return (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey, "inner")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("join",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ bounded dims with explicit broadcast — zero fact shuffle
+    for the joins (only the final aggregation shuffles)."""
+    t = tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), F.col("n_regionkey") == t.region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@register(
+    "q_join_sortmerge",
+    oracle=f"""
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       {o_dsum_exact(f"{o_money('l.l_extendedprice')} * (1 - {o_rate('l.l_discount')})")} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderpriority
+""",
+    tags=("join",),
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders — the large-large join; Catalyst/AQE picks
+    sort-merge (or shuffled hash) from stats. The orderdate filter is
+    pushed below the join into the orders scan."""
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    o = t.orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        t.lineitem.join(o, t.lineitem.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dsum_exact(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       count(o.o_orderkey) AS n_orders,
+       coalesce(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+    tags=("join",),
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-extension: customers keep a row even
+    with zero orders (count(col) skips nulls; sum coalesced to 0)."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    return (
+        t.customer.join(t.orders, t.orders.o_custkey == t.customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (the Tier A7 tombstone
+    pattern applied to a dim/fact pair)."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, count(*) AS n_poorer_customers
+FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
+GROUP BY s.s_suppkey, s.s_name
+""",
+    tags=("join",),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join on an acctbal inequality.
+
+    Physically a BroadcastNestedLoopJoin with the supplier side (small)
+    broadcast; the aggregate keeps the output linear in suppliers. At
+    100 TB both sides large -> rewrite as band join: bucketize acctbal,
+    equi-join on bucket +/- 1, post-filter (same result, no quadratics).
+    """
+    t = tables(spark, sf_dir, "supplier", "customer")
+    return (
+        F.broadcast(t.supplier)
+        .join(t.customer, t.supplier.s_acctbal > t.customer.c_acctbal)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_poorer_customers"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       {o_fmt_ts('p.ts')} AS purchase_ts,
+       {o_fmt_ts('c.ts')} AS last_click_ts,
+       c.value            AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("join",),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user
+    at-or-before the purchase time.
+
+    Spark has no native ASOF JOIN; the scalable pattern is the
+    union-and-fill: tag both streams, union, order per key by (ts,
+    side), and carry the last click forward with last(ignorenulls) —
+    one shuffle on user_id, no range-join explosion. DuckDB's native
+    ASOF JOIN is the oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    unioned = purchases.withColumn("click_value", F.lit(None).cast("double")).withColumn(
+        "click_ts", F.lit(None).cast("timestamp")
+    ).withColumn("side", F.lit(1)).unionByName(
+        clicks.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+            "side", F.lit(0)
+        )
+    )
+    # Order clicks before purchases at identical ts so "at-or-before"
+    # includes a click with exactly the purchase timestamp.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+            "last_click_value",
+        )
+    )

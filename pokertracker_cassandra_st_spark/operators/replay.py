@@ -1,0 +1,130 @@
+"""Event replay / projection fold — the reference's core pipeline.
+
+The reference's query service materializes "current state per player"
+by folding an ordered event log (create -> update -> delete) into a
+read model; evidence: Cassandra ``EVENTS`` DDL
+(``/root/reference/src/test/resources/initial_db.sql:5-12``, PRIMARY
+KEY(ID, NAME, VERSION)) and the CRUD lifecycle the system test asserts
+(``/root/reference/src/test/java/.../PlayerResourceIT.java:109-190``):
+update replaces prior state (IT:148-161), delete tombstones the entity
+idempotently (IT:174-188).
+
+Here the driver's ``events`` table plays the event-log role
+(user_id <-> aggregate id, event_id <-> global version sequence,
+event_type <-> event name, 'error' <-> tombstone) and the fold is a
+declarative window: latest event per key, then drop tombstoned keys.
+
+Scale notes: the fold is one shuffle on the aggregate key (hash
+partition by user_id), then a per-partition sort — the same layout a
+1000-executor cluster would use; no driver-side iteration, no UDF. With
+a log bucketed/partitioned by user_id on disk, the shuffle disappears
+entirely (bucketed scan). The ``max_by`` variant below is even cheaper:
+partial max per map task, tiny final merge — optimal for "latest state"
+at any scale because it never materializes the per-key sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import fmt_ts, o_fmt_ts
+from pokertracker_cassandra_st_spark.registry import register
+
+TOMBSTONE = "error"  # plays the role of PlayerDeleted (IT:174-188)
+
+_PROJECTION_ORACLE = f"""
+WITH numbered AS (
+  SELECT user_id, event_type, value, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       value      AS last_value,
+       {o_fmt_ts('ts')} AS last_ts,
+       k          AS last_k
+FROM numbered
+WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+"""
+
+
+def projection_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state-per-user projection (Tier A4+A5+A6+A7+A10+A11)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != TOMBSTONE))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            fmt_ts("ts").alias("last_ts"),
+            F.col("k").alias("last_k"),
+        )
+    )
+
+
+@register("q_replay_projection", oracle=_PROJECTION_ORACLE, tags=("flagship", "tier-a"))
+def q_replay_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: fold the event log into the current-state read model."""
+    return projection_df(spark, sf_dir)
+
+
+@register(
+    "q_agg_maxby",
+    oracle=f"""
+SELECT user_id,
+       max_by(event_type, event_id) AS last_event_type,
+       max_by(value, event_id)      AS last_value,
+       max(event_id)                AS last_event_id
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "tier-a"),
+)
+def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest state per user via max_by — A5/A6 as one aggregate.
+
+    Unlike the window fold this needs no per-key sort: partial max_by
+    runs map-side, so it scales as a plain aggregation.
+    """
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+@register(
+    "q_replay_tombstone_anti",
+    oracle=f"""
+SELECT e.user_id, count(*) AS n_events
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events t
+  WHERE t.user_id = e.user_id AND t.event_type = '{TOMBSTONE}'
+)
+GROUP BY e.user_id
+""",
+    tags=("join", "tier-a"),
+)
+def q_replay_tombstone_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone semantics as an anti-join (Tier A7): drop every user
+    that ever emitted a tombstone, count surviving events per user.
+
+    Idempotency of DELETE (IT:174-179) is free in this declarative
+    form: deleting an absent key changes nothing.
+    """
+    events = table(spark, sf_dir, "events")
+    tombstoned = events.filter(F.col("event_type") == TOMBSTONE).select("user_id")
+    return (
+        events.join(tombstoned, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )

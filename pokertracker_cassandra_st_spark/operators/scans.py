@@ -1,0 +1,87 @@
+"""Scans, projection pushdown, and sink round-trip (SURVEY.md §2).
+
+Generalizes Tier A4/A9 (partitioned scan, findAll) to parquet scans
+with Catalyst column pruning and predicate pushdown.
+
+Scale notes: both queries compile to a single ``FileSourceScanExec``
+whose ReadSchema contains only the projected columns and whose
+PushedFilters carry the predicates into the parquet reader (verified in
+tests/test_plans.py). At 100 TB this is the difference between reading
+3 columns' pages vs the whole table; with a date-partitioned layout the
+shipdate filter additionally prunes entire partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@register(
+    "q_scan_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+FROM lineitem
+""",
+    tags=("scan",),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan + column projection (Tier A9/A10 generalized)."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+
+
+@register(
+    "q_scan_pushdown",
+    oracle="""
+SELECT l_orderkey, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_quantity > 45
+""",
+    tags=("scan",),
+)
+def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan exercising parquet predicate pushdown."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_quantity", "l_shipdate")
+
+
+@register("q_sink_roundtrip", oracle=None, tags=("sink",))
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a projection to parquet, read it back (Tier A1 sink).
+
+    Rows-only check: the observable is that the round-trip preserves
+    rows and schema. Written under the repo scratch dir (the only
+    writable location per the task rules).
+
+    Scale notes: the write is partitioned by the natural query key
+    (l_returnflag) — at scale this gives partition pruning to every
+    downstream reader; writer tasks stream to the sink without any
+    driver collection.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = tempfile.mkdtemp(prefix="sink_roundtrip_", dir=SCRATCH)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )

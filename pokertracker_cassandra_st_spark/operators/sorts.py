@@ -1,0 +1,98 @@
+"""Sort / limit / top-k operators (SURVEY.md §2 M4).
+
+Scale notes: a global ORDER BY + LIMIT k compiles to
+TakeOrderedAndProject — each task keeps a k-row heap, the driver merges
+ntasks*k rows; no global sort, no single-task funnel, which is the only
+acceptable shape for top-k at 100 TB. A full global sort (q_sort_
+multikey without limit) uses range partitioning from a sampled
+distribution — valid at scale, but reserved for when total order is
+actually required. Per-group top-k is a partitioned window (shuffle on
+the group key only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+
+
+@register(
+    "q_sort_multikey",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       NULLIF(c_mktsegment, 'MACHINERY') AS seg_nullable
+FROM customer
+ORDER BY seg_nullable ASC NULLS LAST, c_acctbal DESC, c_custkey
+""",
+    tags=("sort",),
+)
+def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort: asc NULLS LAST, then desc, then unique key.
+
+    (The driver's compare is order-insensitive; the sort itself is the
+    operator under test and is asserted ordered in tests/test_plans.)
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_nullable"),
+    ).orderBy(
+        F.col("seg_nullable").asc_nulls_last(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey"),
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("sort", "bench"),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 orders by totalprice (TakeOrderedAndProject);
+    o_orderkey tie-break makes the cutoff deterministic."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_topk_pergroup",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    tags=("sort",),
+)
+def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ranked window."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,175 @@
+"""Window-function operators (SURVEY.md §2 M4).
+
+Scale notes: a window = one shuffle on partitionBy keys + an in-
+partition sort. Partition keys here (customer, user) are high-
+cardinality, so partitions stay small and spread evenly at any scale;
+none of these windows is unpartitioned (a global window would funnel
+100 TB through one task — the sorts/topk module handles global order
+with TakeOrdered instead). Running sums go through DECIMAL so frame
+accumulation order can't produce engine-specific float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import o_fmt_ts
+from pokertracker_cassandra_st_spark.registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per customer.
+
+    The ORDER BY carries o_orderkey as a unique tie-break so every
+    ranking function is deterministic.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_win_laglead",
+    oracle=f"""
+SELECT event_id, user_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       lag(value, 2, -1.0) OVER w AS prev2_value,
+       {o_fmt_ts('ts')} AS ts_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("window",),
+)
+def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user ordered by event time (event_id tie-break)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_orders
+FROM orders
+""",
+    tags=("window",),
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer in order-date order."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.count("*").over(w).alias("running_orders"),
+    )
+
+
+@register(
+    "q_win_moving",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         AS moving_avg
+FROM events
+""",
+    tags=("window",),
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the preceding 3 rows + current, per user.
+
+    Expressed as decimal-sum / count so the frame arithmetic is order
+    independent (a plain avg() over a frame accumulates doubles).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "q_win_pct",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist within each order priority."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory and runtime tuning.
+
+Scale notes (100 TB design): every knob here is chosen so the same code
+runs on local[32] for tests and on a 1000-executor cluster unchanged —
+AQE picks shuffle parallelism and join strategies at runtime from real
+statistics, so we do not hard-code anything that only works at test
+scale. ``tune()`` only sets *runtime-settable* SQL confs so it is safe
+to call on a session we did not create (the driver passes us one).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session (ours or the driver's).
+_RUNTIME_CONF = {
+    # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: coalesce shuffle partitions, skew-join splitting, runtime
+    # join-strategy switch. This is the main lever that makes one plan
+    # valid at sf0.001 and at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (toPandas, pandas UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: we want NULL-on-bad-cast + wrapping semantics that match
+    # the permissive behavior the oracles are written against.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent, cheap)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down — keep going, not fatal
+            pass
+    try:
+        ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(ncpu, 8)))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "pokertracker-spark") -> SparkSession:
+    """Build (or reuse) a local session sized from the environment.
+
+    local[N] = one JVM, N executor threads; ``spark.driver.memory`` is
+    the only memory knob in local mode. On a real cluster the same app
+    would be submitted with executor settings instead — nothing in the
+    query code depends on local mode.
+    """
+    ncpu = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{ncpu}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(max(int(ncpu), 8)))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,73 @@
+"""Differential comparison harness: Spark result vs DuckDB oracle.
+
+Mirrors the driver's t2 gate (row-count + schema + order-insensitive
+value compare) so every oracle is validated locally before the driver
+runs it. Comparison is EXACT (no float tolerance) — queries are written
+to be bit-deterministic across engines (see exprs.py); if a query can't
+be, it must be registered rows-only.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pandas as pd
+
+from pokertracker_cassandra_st_spark.catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    """Canonical string form of one cell (engine-agnostic)."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            return "0"  # collapse -0.0 / 0.0
+        return repr(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_canon(x) for x in seq) + "]"
+    return repr(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(_canon(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort()
+    return rows
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
+        f"oracle={sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    s_rows = canonical_rows(spark_pdf)
+    o_rows = canonical_rows(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+        ][:5]
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs (row_idx, spark, oracle):\n"
+            + "\n".join(repr(d) for d in diffs)
+        )
