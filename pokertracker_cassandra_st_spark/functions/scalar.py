@@ -1,1 +1,292 @@
-"""Placeholder — filled in by a later milestone."""
+"""Scalar function families (SURVEY.md §2 M5).
+
+Generalizes the reference's JSON encode/decode surface (Tier A11,
+``PlayerResourceIT.java:116-120,131-139``; javax.json deps at
+``pom.xml:34-43``) to the full built-in function surface an analytics
+engine needs. Every expression is a Catalyst built-in — JVM-side,
+whole-stage-codegen'd, no Python in the hot path.
+
+Scale notes: scalar functions are embarrassingly parallel; the only
+scale concerns are (a) staying inside codegen (all built-ins do) and
+(b) not forcing a regex engine over 100 TB when a cheaper predicate
+would prune first — filters are ordered cheap-first where it matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle=r"""
+SELECT p_partkey,
+       upper(p_name) AS name_up,
+       lower(p_brand) AS brand_lo,
+       substring(p_name, 2, 5) AS name_sub,
+       concat(p_brand, ':', p_type) AS brand_type,
+       trim(concat('  ', p_name, '  ')) AS name_trim,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+       regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+       string_split(p_name, ' ')[1] AS first_word,
+       length(p_name) AS name_len,
+       levenshtein(p_type, 'STANDARD') AS type_dist
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.substring("p_name", 2, 5).alias("name_sub"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devowel"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_type", F.lit("STANDARD")).alias("type_dist"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)  AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate)   AS d,
+       dayofweek(o_orderdate) + 1 AS dow,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS month_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+FROM orders
+""",
+    tags=("fn",),
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over orders.
+
+    Dialect notes: DuckDB dayofweek is 0-based Sunday, Spark is
+    1-based Sunday (oracle adds 1); date arithmetic returns dates,
+    stringified in both engines to dodge date-vs-timestamp typing.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.date_trunc("month", "o_orderdate").cast("string").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+SELECT p_partkey,
+       abs(p_size - 25) AS size_dev,
+       CAST(ceil(p_retailprice) AS BIGINT)  AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(pow(p_size, 2) AS DOUBLE) AS size_sq,
+       sqrt(p_size) AS size_sqrt,
+       round(ln(p_size + 1), 6) AS size_ln,
+       round(exp(p_size / 100.0), 6) AS size_exp,
+       ((p_partkey % 7) + 7) % 7 AS key_mod7,
+       CAST(sign(p_retailprice - 1000) AS DOUBLE) AS price_sign
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family over part.
+
+    sqrt is IEEE-correctly-rounded everywhere; ln/exp are not, so they
+    are rounded to 6 decimals on both engines.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.pow("p_size", F.lit(2)).alias("size_sq"),
+        F.sqrt("p_size").alias("size_sqrt"),
+        F.round(F.log(F.col("p_size") + 1), 6).alias("size_ln"),
+        F.round(F.exp(F.col("p_size") / 100.0), 6).alias("size_exp"),
+        F.pmod("p_partkey", F.lit(7)).alias("key_mod7"),
+        F.signum(F.col("p_retailprice") - 1000).alias("price_sign"),
+    )
+
+
+@register(
+    "q_fn_cond",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END AS bal_band,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 1000.0) AS bal_cap1k,
+       (c_acctbal > 0 AND c_mktsegment = 'MACHINERY') AS rich_machinist,
+       if(c_acctbal >= 9000, 1, 0) AS vip
+FROM customer
+""",
+    tags=("fn",),
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE/when, coalesce, nullif, greatest/least."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("bal_cap1k"),
+        ((F.col("c_acctbal") > 0) & (F.col("c_mktsegment") == "MACHINERY")).alias(
+            "rich_machinist"
+        ),
+        F.when(F.col("c_acctbal") >= 9000, 1).otherwise(0).alias("vip"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_tok,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       array_to_string(list_slice(string_split(text, ' '), 1, 5), ',') AS head5,
+       array_to_string(list_sort(string_split(text, ' ')), ',') AS sorted_toks,
+       array_to_string(list_transform(string_split(text, ' '), t -> upper(t)), ',') AS up_toks,
+       len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS tok_chars
+FROM documents
+""",
+    tags=("fn",),
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions (transform / filter /
+    aggregate), canonicalized to strings/scalars for cross-engine
+    comparison."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_tok"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 5), ",").alias("head5"),
+        F.array_join(F.sort_array(toks), ",").alias("sorted_toks"),
+        F.array_join(F.transform(toks, lambda t: F.upper(t)), ",").alias("up_toks"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("tok_chars"),
+    )
+
+
+@register("q_fn_map", oracle=None, tags=("fn",))
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: parse the JSON payload to MapType, then keys/values/
+    element_at. Rows-only: DuckDB has no MAP-from-JSON equivalent with
+    matching canonical form."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.array_join(F.map_values(m), ",").alias("vals"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+        F.size(F.map_entries(m)).alias("n_entries"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+       json_valid(props) AS is_json,
+       concat('{"k":', json_extract_string(props, '$.k'), '}') AS rebuilt
+FROM events
+""",
+    tags=("fn", "tier-a"),
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (Tier A11 generalized): extract, typed cast, missing
+    path -> NULL, validity, re-encode."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "struct<k:bigint>")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("k_missing"),
+        F.get_json_object("props", "$.k").isNotNull().alias("is_json"),
+        F.to_json(parsed).alias("rebuilt"),
+    )
+
+
+@register(
+    "q_fn_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+       CAST(concat(CAST(year(o_orderdate) AS VARCHAR), '-01-01') AS DATE) IS NOT NULL AS year_parses,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+       CAST('42' AS BIGINT) AS lit_int,
+       CAST(TRY_CAST('not_a_number' AS BIGINT) AS BIGINT) AS bad_cast,
+       CAST(o_orderstatus = 'O' AS INTEGER) AS is_open
+FROM orders
+""",
+    tags=("fn",),
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family: double->decimal(12,2) rounding, int<->double,
+    string<->date, failed cast -> NULL (non-ANSI mode), bool->int."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.concat(F.year("o_orderdate").cast("string"), F.lit("-01-01"))
+        .cast("date")
+        .isNotNull()
+        .alias("year_parses"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.lit("42").cast("bigint").alias("lit_int"),
+        F.lit("not_a_number").cast("bigint").alias("bad_cast"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("is_open"),
+    )

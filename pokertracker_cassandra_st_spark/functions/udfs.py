@@ -1,1 +1,137 @@
-"""Placeholder — filled in by a later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 M7).
+
+The reference's only "custom logic" is Java-side event folding; here
+the UDF tier exists to prove the extension points, with oracles where
+the logic is SQL-expressible.
+
+Scale notes: the Python-UDF tier is the engine's slow path by design —
+row-at-a-time pickling for q_udf_python (kept as the counter-example),
+Arrow-vectorized batches for the pandas variants (~10-100x faster).
+Anything hot must first try built-ins (functions/scalar.py); these
+exist for semantics Spark can't express natively.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+SELECT event_id, value,
+       CASE WHEN value < 10 THEN 'micro'
+            WHEN value < 100 THEN 'small'
+            WHEN value < 300 THEN 'mid'
+            ELSE 'large' END AS bucket
+FROM events
+""",
+    tags=("udf",),
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the deliberately-slow tier)."""
+
+    @F.udf(returnType=T.StringType())
+    def bucket(v: float) -> str:
+        if v < 10:
+            return "micro"
+        if v < 100:
+            return "small"
+        if v < 300:
+            return "mid"
+        return "large"
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", "value", bucket("value").alias("bucket"))
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+SELECT event_id, value,
+       round(ln(1 + value) * 2.5, 6) AS scaled_log
+FROM events
+""",
+    tags=("udf",),
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (the fast Python tier).
+
+    numpy log1p and DuckDB ln agree to well under 1e-6 — rounded on
+    both sides.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def scaled_log(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.round(np.log1p(v) * 2.5, 6))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", "value", scaled_log("value").alias("scaled_log"))
+
+
+@register(
+    "q_udaf_pandas",
+    oracle="""
+SELECT event_type,
+       round(exp(avg(ln(value))), 4) AS geo_mean,
+       count(*) AS n
+FROM events
+WHERE value > 0
+GROUP BY event_type
+""",
+    tags=("udf",),
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate via applyInPandas: geometric mean per group —
+    a UDAF Spark has no built-in for.
+
+    Each group's rows arrive as one pandas DataFrame (shuffle on the
+    group key); output is one row per group. Float-order sensitivity
+    handled by rounding to 4 decimals.
+    """
+    import numpy as np
+
+    def geo(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "geo_mean": [round(float(np.exp(np.mean(np.log(v)))), 4)],
+                "n": [len(v)],
+            }
+        )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").applyInPandas(
+        geo, schema="event_type string, geo_mean double, n long"
+    )
+
+
+@register(
+    "q_udtf_explode",
+    oracle="""
+SELECT tok AS word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+""",
+    tags=("udf",),
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function: one row per token (explode), then a
+    word count — the native analog of a UDTF."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
