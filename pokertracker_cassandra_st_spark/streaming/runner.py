@@ -1,0 +1,97 @@
+"""Streaming harness: file-source micro-batch -> memory sink, run to
+completion synchronously.
+
+Mirrors the reference topology (Kafka topic -> query-service consumer,
+``start_container.sh:56,95``): the parquet event file plays the topic,
+the memory sink plays the read model. In production the same pipeline
+binds ``readStream.format("kafka")`` and a real sink — only the
+source/sink lines change, the transformations are identical.
+
+Scale notes: state (dedup keys, session windows, fold state) lives in
+the executor state store partitioned by key — the same shuffle-on-key
+layout as batch; watermarks bound state size so a 100 TB/day stream
+doesn't accumulate unbounded keys. ``availableNow`` in tests = bounded
+backfill, the same code path a catch-up replay uses in production.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCRATCH = "/root/repo/.scratch"
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, n_files: int = 1) -> DataFrame:
+    """events as a file-source stream (ts rebuilt to µs timestamp).
+
+    ``n_files > 1`` splits the log into that many time-ordered chunks
+    and feeds them one per micro-batch (maxFilesPerTrigger=1) — this is
+    how the late-data/watermark semantics are exercised
+    deterministically.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file streaming source requires a directory; materialize the
+    # event log as n time-ordered files under scratch (cached per sf/n).
+    src = _split_events(spark, sf_dir, n_files)
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+    )
+    df = reader.load(src)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _split_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Materialize events as n time-ordered files (cached per sf/n)."""
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_files}"
+    out = f"{SCRATCH}/events_split_{key}"
+    marker = f"{out}/_SUCCESS"
+    if not os.path.exists(marker):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # deterministic chunks: event_id order ~ arrival order
+        (
+            ev.repartitionByRange(n_files, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        # The file stream source feeds files in modification-time order;
+        # parallel writer tasks finish in arbitrary order, so restamp
+        # mtimes to match chunk (= time) order for deterministic replay.
+        parts = sorted(
+            f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        t0 = os.path.getmtime(marker)
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(out, f), (t0 + i + 1, t0 + i + 1))
+    return out
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the sink table as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    os.makedirs(SCRATCH, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=SCRATCH)
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

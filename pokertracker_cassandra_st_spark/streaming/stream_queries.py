@@ -1,1 +1,268 @@
-"""Placeholder — filled in by a later milestone."""
+"""Structured Streaming queries (SURVEY.md §2 M6).
+
+``q_stream_replay`` is the reference's core pipeline (Tier A3→A5→A6→A7:
+Kafka consume → fold → last-write-wins → tombstone), re-expressed as a
+stateful streaming job; the rest cover windowed aggregation, late data,
+exactly-once dedup, and stream-static enrichment.
+
+Every query here RUNS a real streaming job (file micro-batches → memory
+sink) inside the callable, then returns the sink as a DataFrame — so
+the driver's compare exercises actual streaming execution, with DuckDB
+batch SQL as the oracle wherever the semantics are batch-equivalent
+(streaming output == batch recomputation over the full log; the
+invariant the reference's test asserts via read-your-writes,
+``PlayerResourceIT.java:126-171``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import o_fmt_ts
+from pokertracker_cassandra_st_spark.operators.replay import TOMBSTONE
+from pokertracker_cassandra_st_spark.registry import register
+from pokertracker_cassandra_st_spark.streaming.runner import run_to_table, stream_events
+
+_FOLD_OUT_SCHEMA = (
+    "user_id long, last_event_id long, last_event_type string, last_value double"
+)
+_FOLD_STATE_SCHEMA = "last_event_id long, last_event_type string, last_value double"
+
+
+def _fold(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-key fold: keep the event with the highest event_id (the
+    global version sequence — Tier A13 ordering guarantee)."""
+    (user_id,) = key
+    if state.exists:
+        best_id, best_type, best_value = state.get
+    else:
+        best_id, best_type, best_value = -1, "", 0.0
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        idx = pdf["event_id"].idxmax()
+        if int(pdf["event_id"][idx]) > best_id:
+            best_id = int(pdf["event_id"][idx])
+            best_type = str(pdf["event_type"][idx])
+            best_value = float(pdf["value"][idx])
+    state.update((best_id, best_type, best_value))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_event_id": [best_id],
+            "last_event_type": [best_type],
+            "last_value": [best_value],
+        }
+    )
+
+
+@register(
+    "q_stream_replay",
+    oracle=f"""
+SELECT user_id,
+       max(event_id) AS last_event_id,
+       max_by(event_type, event_id) AS last_event_type,
+       max_by(value, event_id) AS last_value
+FROM events
+GROUP BY user_id
+HAVING max_by(event_type, event_id) <> '{TOMBSTONE}'
+""",
+    tags=("stream", "tier-a"),
+)
+def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline as arbitrary stateful streaming:
+    event stream → per-key applyInPandasWithState fold → projection,
+    tombstoned keys dropped. Runs over 4 micro-batches so state
+    genuinely carries across batches; oracle = batch recomputation.
+    """
+    ev = stream_events(spark, sf_dir, n_files=4)
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _fold,
+        outputStructType=_FOLD_OUT_SCHEMA,
+        stateStructType=_FOLD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(folded, "update")
+    # update-mode sink holds one row per (key, batch); latest wins.
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("last_event_id").alias("last_event_id"),
+            F.max_by("last_event_type", "last_event_id").alias("last_event_type"),
+            F.max_by("last_value", "last_event_id").alias("last_value"),
+        )
+        .filter(F.col("last_event_type") != TOMBSTONE)
+    )
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       {o_fmt_ts('min(ts)')} AS first_ts
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("stream",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts in 1-hour tumbling windows (complete mode)."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.min("ts").alias("first_ts_raw")
+    )
+    sink = run_to_table(agg, "complete")
+    return sink.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        F.date_format("first_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+                ((CAST(floor(epoch(ts)) AS BIGINT) // 900 - k.k) * 900),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n
+FROM events CROSS JOIN range(0, 4) AS k(k)
+GROUP BY 1
+""",
+    tags=("stream",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event lands in exactly
+    4 windows (oracle enumerates them arithmetically)."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(F.count("*").alias("n"))
+    sink = run_to_table(agg, "complete")
+    return sink.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id,
+       {o_fmt_ts('min(ts)')} AS session_start,
+       {o_fmt_ts("max(ts) + INTERVAL 30 MINUTE")} AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_no
+""",
+    tags=("stream",),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user. Oracle is the
+    batch sessionization (lag + gap-flag + running sum) — the two
+    formulations must agree exactly."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    sink = run_to_table(agg, "complete")
+    return sink.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+@register("q_stream_latedata", oracle=None, tags=("stream",))
+def q_stream_latedata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics: 10-minute watermark over 8 time-ordered
+    micro-batches; events arriving behind the watermark are dropped
+    from the windowed aggregate.
+
+    Rows-only for the driver (arrival order isn't SQL-expressible);
+    tests/test_streaming.py checks the batch-equivalence invariant:
+    with in-order arrival nothing is late, so append-mode output ==
+    batch recomputation of closed windows.
+    """
+    ev = stream_events(spark, sf_dir, n_files=8)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = run_to_table(agg, "append")
+    return sink.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle=f"""
+SELECT event_type, count(*) AS n, max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+    tags=("stream", "tier-a"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id under at-least-once delivery (Tier
+    A13): the stream is unioned with itself (every event delivered
+    twice), dropDuplicates within the watermark restores exactly-once;
+    oracle = the clean log."""
+    a = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    b = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    sink = run_to_table(deduped, "append")
+    return sink.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("event_id").alias("max_id")
+    )
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+    tags=("stream",),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: purchase stream ⋈ broadcast customer
+    dim — the streaming face of the read-model denormalization the
+    reference bakes into its projection."""
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+    return run_to_table(joined, "append")

