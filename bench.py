@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full execution, no
+driver collection) on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q_replay_projection",  # the reference's core pipeline
+    "q_agg_groupby",        # TPC-H Q1 shape
+    "q_join_sortmerge",     # large-large join
+    "q_join_broadcast",     # dim enrichment
+    "q_win_running",        # windowed cumulative
+    "q_topk",               # TakeOrderedAndProject
+    "q_udtf_explode",       # token fan-out + count
+    "q_dedup_exact",        # content-hash dedup
+    "q_text_tfidf",         # tokenize + join + window
+    "q_sim_topk",           # brute-force vector top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+
+    from pokertracker_cassandra_st_spark.registry import REGISTRY, get_queries
+    from pokertracker_cassandra_st_spark.session import get_spark
+
+    get_queries()
+    spark = get_spark("pokertracker-bench")
+    # warm the JVM + file listing so query timings measure execution
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

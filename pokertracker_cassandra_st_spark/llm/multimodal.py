@@ -1,1 +1,133 @@
-"""Placeholder — filled in by a later milestone."""
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked stub (deterministic fake features behind an import-try
+for the real libraries) — but the Spark-side plumbing is real and
+tested: binary column handling, schema, Arrow batch shape through
+mapInPandas, and partition-parallel feature extraction.
+
+Scale notes: binary payloads ride in parquet BYTE_ARRAY pages; decode
+is a mapInPandas pass — embarrassingly parallel, no shuffle, Arrow
+batches bound peak memory (spark.sql.execution.arrow.maxRecordsPerBatch
+caps rows per batch so a 4K-frame video row can't OOM an executor).
+Metadata (dims, duration, hash) lives in ordinary columns so filters
+prune files BEFORE any payload is read — at 100 TB the decode only ever
+touches the selected slice.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded as an opaque binary payload column —
+    playing the role of image/audio bytes."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("fake/blob").alias("mime"),
+    )
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS payload_sha,
+       octet_length(encode(text)) > 256 AS is_large
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads (JVM-side: length, content
+    hash, size gate) — the filter columns a multimodal table prunes on
+    before any decode."""
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("payload_sha"),
+        (F.length("payload") > 256).alias("is_large"),
+    )
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder: real codecs are absent from this container.
+
+    The real implementation would be e.g.::
+
+        from PIL import Image           # or soundfile / av
+        img = Image.open(io.BytesIO(b)) # decode
+        w, h = img.size
+
+    Here: deterministic fake features from the raw bytes (so tests are
+    stable), same schema and batch shape as the real thing.
+    """
+    try:  # pragma: no cover - codec not in container
+        import PIL.Image  # noqa: F401
+
+        have_codec = True
+    except ImportError:
+        have_codec = False
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        if have_codec:  # pragma: no cover
+            raise NotImplementedError("real decode path requires codec fixtures")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len),
+                # fake "width"/"height": first/last byte (deterministic)
+                "width": payloads.map(lambda b: (b[0] if len(b) else 0) + 1),
+                "height": payloads.map(lambda b: (b[-1] if len(b) else 0) + 1),
+                "n_frames": payloads.map(lambda b: max(1, len(b) // 64)),
+            }
+        )
+
+
+@register("q_multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract via mapInPandas (Arrow batches of
+    binary payloads -> typed feature rows). Decode itself is stubbed
+    (no codecs in the container); the distributed plumbing is real."""
+    p = _payloads(spark, sf_dir)
+    return p.mapInPandas(
+        _decode_batch,
+        schema="doc_id long, byte_len long, width long, height long, n_frames long",
+    )
+
+
+@register("q_multimodal_framesample", oracle=None, tags=("llm", "multimodal"))
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling shape: explode each payload into every-64th-byte
+    'frames' (stand-in for video frame extraction), keeping (doc_id,
+    frame_no, frame_bytes) rows — the fan-out pattern a video pipeline
+    uses, bounded per row."""
+    p = _payloads(spark, sf_dir)
+    frames = p.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor(F.length("payload") / 64) - 1),
+                lambda i: F.substring(
+                    F.col("payload").cast("string"), (i * 64 + 1).cast("int"), 64
+                ),
+            )
+        ).alias("frame_no", "frame_chunk"),
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.min(F.length("frame_chunk")).alias("min_chunk"),
+    )

@@ -1,1 +1,159 @@
-"""Placeholder — filled in by a later milestone."""
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Two paths, as a vector index would tier them:
+  * brute-force exact top-k (the baseline / recall oracle);
+  * IVF-style cell-restricted top-k (the scale path: probe only the
+    coarse cell, here the ``label`` column as cluster assignment).
+
+Dot products run in double via higher-order functions (zip_with +
+aggregate) — JVM-side, no Python, no shuffle until the final top-k.
+
+Scale notes: brute force is O(n_query · n_corpus · dim) — fine for a
+re-rank stage, never for the full corpus. The IVF variant cuts the
+candidate set by the cell selectivity (20 labels => ~5%); at 100 TB the
+cells become partition keys so a probe reads only its cell's files.
+The per-query top-k is a window row_number over a key with bounded
+cardinality (n_query), so the heap never exceeds k per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _cosine_topk(emb: DataFrame, same_cell_only: bool) -> DataFrame:
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    cond = F.col("qid") != F.col("cid")
+    joined = F.broadcast(q).join(c, cond)
+    if same_cell_only:
+        joined = joined.filter(F.col("q_label") == F.col("c_label"))
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        joined.select("qid", "cid", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rk")
+    )
+
+
+_ORACLE_TMPL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {nq}
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb, label AS c_label
+  FROM embeddings
+), scored AS (
+  SELECT qid, cid,
+         round(list_dot_product(q_emb, c_emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))),
+               6) AS cosine
+  FROM q JOIN c ON qid <> cid {cell_pred}
+), ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {k}
+"""
+
+
+@register(
+    "q_sim_topk",
+    oracle=_ORACLE_TMPL.format(nq=N_QUERIES, k=TOP_K, cell_pred=""),
+    tags=("llm", "similarity", "bench"),
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors."""
+    return _cosine_topk(table(spark, sf_dir, "embeddings"), same_cell_only=False)
+
+
+@register(
+    "q_sim_ivf",
+    oracle=_ORACLE_TMPL.format(
+        nq=N_QUERIES, k=TOP_K, cell_pred="AND q_label = c_label"
+    ),
+    tags=("llm", "similarity"),
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (label) —
+    ~20x fewer candidates; exactness within the probed cell."""
+    return _cosine_topk(table(spark, sf_dir, "embeddings"), same_cell_only=True)
+
+
+@register("q_sim_lsh_hyperplane", oracle=None, tags=("llm", "similarity"))
+def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (sign-of-projection signatures).
+
+    16 deterministic pseudo-hyperplanes (elementwise ±1 patterns from
+    xxhash64(dim, plane)); vectors sharing a signature bucket are
+    candidate neighbors. Rows-only (bucket contents are hash-specific).
+
+    Scale notes: signatures are one narrow map pass; the bucket join
+    replaces the all-pairs cross join — the standard cosine-ANN shape
+    when no trained index is available.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    planes = 16
+    sig_bit = [
+        F.when(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x.cast("double")
+                    * F.when(F.xxhash64(i, F.lit(p)) % 2 == 0, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"p{p}")
+        for p in range(planes)
+    ]
+    sig_expr = None
+    for p in range(planes):
+        term = F.shiftleft(F.col(f"p{p}"), p)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
+    sigs = emb.select("vec_id", "label", *sig_bit).select(
+        "vec_id", "label", sig_expr.alias("bucket")
+    )
+    return sigs.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

@@ -1,1 +1,232 @@
-"""Placeholder — filled in by a later milestone."""
+"""Text-analysis operators: stats, TF-IDF, language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+All pure Catalyst expressions (regex, HOFs, windows) — no Python in the
+hot path, every one oracle-checked.
+
+Scale notes: each query is scan -> narrow transforms -> one bounded
+shuffle (groupBy/window on doc or term keys). TF-IDF's term join
+shuffles (term, doc, tf) triples, never document text; at 100 TB the
+document-frequency side is tiny relative to the corpus and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import davg, o_davg
+from pokertracker_cassandra_st_spark.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "['" + "','".join(STOPWORDS) + "']"
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       {o_davg('n_chars')} AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       {o_davg("len(string_split(text, ' '))")} AS avg_tokens
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        davg(F.size(F.split("text", " "))).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+""",
+    tags=("llm", "text", "bench"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, computed with DataFrame ops
+    (tokenize -> tf -> df -> idf join -> windowed top-k)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    tfidf = F.round(
+        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+    ).alias("tfidf")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", tfidf)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> list_contains({_SW_SQL}, t))) >= 3 THEN 'en-like'
+            WHEN length(text) > 300 THEN 'long-unk'
+            ELSE 'unk' END AS guessed_lang,
+       len(list_filter(string_split(text, ' '),
+                       t -> list_contains({_SW_SQL}, t))) AS n_stopwords
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit count as the n-gram-profile
+    stand-in (the corpus is synthetic; the operator shape — token
+    profile -> argmax class — is what scales)."""
+    d = table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_sw = F.size(F.filter(F.split("text", " "), lambda t: F.array_contains(sw, t)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(n_sw >= 3, "en-like")
+        .when(F.length("text") > 300, "long-unk")
+        .otherwise("unk")
+        .alias("guessed_lang"),
+        n_sw.alias("n_stopwords"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           / length(text) AS space_ratio,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+           / length(text) AS nonalpha_ratio
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       round(space_ratio, 6) AS space_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(nonalpha_ratio, 6) AS nonalpha_ratio,
+       (n_tokens >= 20 AND nonalpha_ratio < 0.1 AND stopword_ratio >= 0.01)
+         AS keep
+FROM feats
+""",
+    tags=("llm", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio features
+    and a keep/drop gate — the standard pre-training filter shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    space_ratio = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ).cast("double") / F.length("text")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        / n_tokens
+    )
+    nonalpha_ratio = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    keep = (n_tokens >= 20) & (nonalpha_ratio < 0.1) & (stop_ratio >= 0.01)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(nonalpha_ratio, 6).alias("nonalpha_ratio"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_est
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish regex tokenizer
+    count, and the chars/4 heuristic estimate."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("byte_len_est"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS bag_fp
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text
+    (near-exact dedup key) and of the sorted distinct-word bag
+    (order-insensitive dedup key)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )
