@@ -12,4 +12,5 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     windows,
     sorts,
     setops,
+    reshape,
 )

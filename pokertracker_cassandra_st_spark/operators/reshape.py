@@ -1,0 +1,135 @@
+"""Reshaping operators: pivot / unpivot / deterministic sampling.
+
+Scale notes: pivot with an explicit value list is a single groupBy with
+conditional aggregates — one shuffle, no second pass to discover pivot
+values (never let Spark infer them from data at 100 TB). Unpivot
+(stack) is a zero-shuffle narrow fan-out. The train/val split uses a
+deterministic key function, not rand() — reproducible across runs,
+engines, and retries (the same property Tier A12 needs: no
+monotonically_increasing_id in anything hash-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import dsum, o_dsum
+from pokertracker_cassandra_st_spark.registry import register
+
+_STATUSES = ["O", "F", "P"]
+
+
+@register(
+    "q_agg_pivot",
+    oracle=f"""
+SELECT o_orderpriority,
+       {o_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS total_O,
+       {o_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_F,
+       {o_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_P,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order totals by status with an explicit value list
+    (single-pass conditional aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [
+        dsum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice"))).alias(
+            f"total_{s}"
+        )
+        for s in _STATUSES
+    ]
+    return o.groupBy("o_orderpriority").agg(*aggs, F.count("*").alias("n"))
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT c_custkey, metric, val
+FROM (
+  SELECT c_custkey,
+         unnest(['acctbal', 'nationkey']) AS metric,
+         unnest([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS val
+  FROM customer
+)
+""",
+    tags=("agg",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) customer metrics to long form via stack —
+    a narrow, shuffle-free fan-out."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', cast(c_nationkey as double))"
+        ).alias("metric", "val"),
+    )
+
+
+@register(
+    "q_win_firstlast",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice)  OVER w AS latest_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window",),
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a running frame."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "q_sample_split",
+    oracle="""
+SELECT CASE WHEN ((doc_id % 10) + 10) % 10 < 8 THEN 'train'
+            WHEN ((doc_id % 10) + 10) % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+GROUP BY 1
+""",
+    tags=("llm",),
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by key modulus —
+    reproducible across engines/retries, unlike rand()-based sampling.
+    (For unbiased splits on non-uniform keys, hash the key first; the
+    modulus form is the oracle-checkable shape.)"""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(10))
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+These lock in the plan shapes that matter at 100 TB — column pruning,
+parquet predicate pushdown, broadcast joins for bounded dims, top-k via
+TakeOrderedAndProject, partial aggregation — so a refactor that
+silently regresses one of them fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from io import StringIO
+
+from pokertracker_cassandra_st_spark.registry import REGISTRY, get_queries
+
+get_queries()
+
+
+def plan_of(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, "q_scan_project", sf_dir)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 4 projected columns reach the parquet reader
+    for col in ["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"]:
+        assert col in read_schema
+    for col in ["l_partkey", "l_quantity", "l_shipdate", "l_discount"]:
+        assert col not in read_schema
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_of(spark, "q_scan_pushdown", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_quantity" in pushed and "l_shipdate" in pushed
+    assert "GreaterThan" in pushed
+
+
+def test_bounded_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_join_broadcast", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "q_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node — the heap-based operator replaces it
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, "q_agg_groupby", sf_dir)
+    # partial + final hash aggregation (map-side combine before shuffle):
+    # the shuffle carries per-key partial states, not raw rows
+    assert plan.count("HashAggregate") >= 2
+    simple = plan_of(spark, "q_agg_groupby", sf_dir, mode="simple")
+    assert "partial_sum" in simple
+    # and only one shuffle total
+    assert simple.count("Exchange") == 1
+
+
+def test_filter_pushed_below_join(spark, sf_dir):
+    plan = plan_of(spark, "q_join_sortmerge", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed)
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    for name in ["q_join_semi", "q_join_anti"]:
+        plan = plan_of(spark, name, sf_dir)
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_replay_single_shuffle_with_partial_limit(spark, sf_dir):
+    # the projection fold: exactly one exchange (hash on user_id), and
+    # the rank-limit pushed map-side (partial WindowGroupLimit) so only
+    # one candidate row per key per task reaches the shuffle
+    plan = plan_of(spark, "q_replay_projection", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
