@@ -44,6 +44,25 @@ def o_davg(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
 
 
+def slong(col: str | Column, scale: int) -> Column:
+    """Exact scaled-long of a fixed-decimal double column.
+
+    The fast exact-sum path: a k-decimal value times 10^k is an exact
+    integer, so SUM runs in codegen-friendly longs (~2x faster than the
+    object-backed wide-decimal accumulator) and stays order
+    independent. Use when the value domain bounds the sum well inside
+    int64 (document the bound at the call site); the DECIMAL helpers
+    below are the unbounded fallback.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**scale)).cast("long")
+
+
+def o_slong(expr: str, scale: int) -> str:
+    """DuckDB fragment mirroring :func:`slong`."""
+    return f"CAST(round(({expr}) * {10**scale}) AS BIGINT)"
+
+
 MONEY = "decimal(12,2)"  # raw money-like columns are exact 2-decimal values
 RATE = "decimal(6,4)"  # discount/tax-like rates
 

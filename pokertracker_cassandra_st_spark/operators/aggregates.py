@@ -15,18 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
-from pokertracker_cassandra_st_spark.exprs import (
-    davg,
-    dsum,
-    dsum_exact,
-    money,
-    o_davg,
-    o_dsum,
-    o_dsum_exact,
-    o_money,
-    o_rate,
-    rate,
-)
+from pokertracker_cassandra_st_spark.exprs import davg, dsum, o_davg, o_dsum, slong
 from pokertracker_cassandra_st_spark.registry import register
 
 
@@ -56,21 +45,28 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DISC_PRICE = f"{o_money('l_extendedprice')} * (1 - {o_rate('l_discount')})"
-_CHARGE = f"{_DISC_PRICE} * (1 + {o_rate('l_tax')})"
+# Scaled-long fragments (exact integer arithmetic, see exprs.slong).
+# Domain bounds: extprice<=1.1e5 (scale 2 -> 1.1e7/row), discount/tax
+# <=0.10 (scale 4); disc_price long sum bounded by rows*1.1e11 — inside
+# int64 through sf~100; the charge sum is widened to decimal/hugeint.
+_O_PRICE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_O_DISC = "CAST(round(l_discount * 10000) AS BIGINT)"
+_O_TAX = "CAST(round(l_tax * 10000) AS BIGINT)"
+_O_QTY = "CAST(round(l_quantity * 100) AS BIGINT)"
+_O_DISC_PRICE = f"({_O_PRICE} * (10000 - {_O_DISC}))"
 
 
 @register(
     "q_agg_groupby",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {o_dsum('l_quantity')} AS sum_qty,
-       {o_dsum('l_extendedprice')} AS sum_base_price,
-       {o_dsum_exact(_DISC_PRICE)} AS sum_disc_price,
-       {o_dsum_exact(_CHARGE)} AS sum_charge,
-       {o_davg('l_quantity')} AS avg_qty,
-       {o_davg('l_extendedprice')} AS avg_price,
-       {o_davg('l_discount')} AS avg_disc,
+       CAST(SUM({_O_QTY}) AS DOUBLE) / 100 AS sum_qty,
+       CAST(SUM({_O_PRICE}) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) / 1000000 AS sum_disc_price,
+       CAST(SUM({_O_DISC_PRICE} * (10000 + {_O_TAX})) AS DOUBLE) / 10000000000 AS sum_charge,
+       CAST(SUM({_O_QTY}) AS DOUBLE) / 100 / count(l_quantity) AS avg_qty,
+       CAST(SUM({_O_PRICE}) AS DOUBLE) / 100 / count(l_extendedprice) AS avg_price,
+       CAST(SUM({_O_DISC}) AS DOUBLE) / 10000 / count(l_discount) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -81,23 +77,34 @@ GROUP BY l_returnflag, l_linestatus
 def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: 2 keys, 8 aggregates.
 
-    Derived-product sums (disc price, charge) run entirely in decimal
-    arithmetic — exact, summation-order independent, engine agnostic.
+    All sums run in exact scaled-integer arithmetic (exprs.slong):
+    order independent and engine agnostic like the decimal path, but
+    long-backed so the whole aggregation stays in codegen (~2x faster).
+    The charge product needs ~3 extra digits, so only its SUM widens to
+    decimal (Spark) / hugeint (DuckDB).
     """
     li = table(spark, sf_dir, "lineitem")
-    disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
-    charge = disc_price * (F.lit(1) + rate("l_tax"))
+    qty = slong("l_quantity", 2)
+    price = slong("l_extendedprice", 2)
+    disc = slong("l_discount", 4)
+    tax = slong("l_tax", 4)
+    disc_price = price * (10000 - disc)  # scale 1e6
+    charge = disc_price.cast("decimal(20,0)") * (10000 + tax)  # scale 1e10
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum_exact(disc_price).alias("sum_disc_price"),
-            dsum_exact(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            (F.sum(qty).cast("double") / 100).alias("sum_qty"),
+            (F.sum(price).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(disc_price).cast("double") / 1_000_000).alias("sum_disc_price"),
+            (F.sum(charge).cast("double") / 10_000_000_000).alias("sum_charge"),
+            (F.sum(qty).cast("double") / 100 / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(price).cast("double") / 100 / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (F.sum(disc).cast("double") / 10000 / F.count("l_discount")).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
     )

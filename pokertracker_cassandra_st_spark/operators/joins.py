@@ -24,16 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table, tables
-from pokertracker_cassandra_st_spark.exprs import (
-    dsum,
-    dsum_exact,
-    money,
-    o_dsum_exact,
-    o_fmt_ts,
-    o_money,
-    o_rate,
-    rate,
-)
+from pokertracker_cassandra_st_spark.exprs import dsum, o_fmt_ts, slong
 from pokertracker_cassandra_st_spark.registry import register
 
 
@@ -83,9 +74,11 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_sortmerge",
-    oracle=f"""
+    oracle="""
 SELECT o.o_orderpriority, count(*) AS n_lines,
-       {o_dsum_exact(f"{o_money('l.l_extendedprice')} * (1 - {o_rate('l.l_discount')})")} AS revenue
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))) AS DOUBLE)
+         / 1000000 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o.o_orderpriority
@@ -98,11 +91,15 @@ def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed below the join into the orders scan."""
     t = tables(spark, sf_dir, "lineitem", "orders")
     o = t.orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    # exact scaled-long revenue (see exprs.slong): price(1e2) * (1-disc)(1e4)
+    rev = slong("l_extendedprice", 2) * (10000 - slong("l_discount", 4))
     return (
         t.lineitem.join(o, t.lineitem.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_lines"), dsum_exact(rev).alias("revenue"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum(rev).cast("double") / 1_000_000).alias("revenue"),
+        )
     )
 
 

@@ -67,6 +67,7 @@ def _load_all() -> None:
     import pokertracker_cassandra_st_spark.functions  # noqa: F401
     import pokertracker_cassandra_st_spark.streaming  # noqa: F401
     import pokertracker_cassandra_st_spark.llm  # noqa: F401
+    import pokertracker_cassandra_st_spark.sources  # noqa: F401
 
 
 def get_queries() -> dict[str, QueryFn]:

