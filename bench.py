@@ -31,6 +31,8 @@ HEADLINE = [
     "q_dedup_exact",        # content-hash dedup
     "q_text_tfidf",         # tokenize + join + window
     "q_sim_topk",           # brute-force vector top-k
+    "q_tpch_q3_shape",      # 3-way join + top-k
+    "q_tpch_q5_shape",      # 6-way star join
 ]
 
 

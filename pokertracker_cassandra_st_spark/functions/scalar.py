@@ -139,6 +139,78 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_bitwise_hash",
+    oracle="""
+SELECT p_partkey,
+       p_partkey & 255 AS band,
+       p_partkey | 4096 AS orred,
+       xor(p_partkey, 21845) AS xored,
+       p_partkey << 2 AS shl,
+       p_partkey >> 3 AS shr,
+       bit_count(CAST(p_partkey AS BIGINT)) AS popcount,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_bitwise_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (&, |, xor, shifts, popcount) + cryptographic
+    hashes (md5/sha256 — engine-portable, unlike xxhash64/crc32)."""
+    p = table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("orred"),
+        k.bitwiseXOR(F.lit(0x5555)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+    )
+
+
+@register(
+    "q_fn_string2",
+    oracle="""
+SELECT c_custkey,
+       concat(upper(substring(lower(c_mktsegment), 1, 1)),
+              substring(lower(c_mktsegment), 2)) AS seg_title,
+       reverse(c_name) AS name_rev,
+       repeat('ab', 3) AS repeated,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+       strpos(c_name, '#') AS hash_pos,
+       left(c_name, 8) AS name_left,
+       right(c_name, 4) AS name_right,
+       contains(c_name, '0000') AS has_zeros,
+       starts_with(c_name, 'Customer') AS is_customer,
+       ends_with(c_name, '7') AS ends_7
+FROM customer
+""",
+    tags=("fn",),
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: initcap/reverse/repeat/translate/
+    position/left/right/contains/startswith/endswith."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.reverse("c_name").alias("name_rev"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.substring("c_name", 1, 8).alias("name_left"),
+        F.substring(F.col("c_name"), -4, 4).alias("name_right"),
+        F.contains("c_name", F.lit("0000")).alias("has_zeros"),
+        F.startswith("c_name", F.lit("Customer")).alias("is_customer"),
+        F.endswith("c_name", F.lit("7")).alias("ends_7"),
+    )
+
+
+@register(
     "q_fn_cond",
     oracle="""
 SELECT c_custkey,

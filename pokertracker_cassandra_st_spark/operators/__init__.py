@@ -13,4 +13,6 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     sorts,
     setops,
     reshape,
+    subqueries,
+    analytics,
 )

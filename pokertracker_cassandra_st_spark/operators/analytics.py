@@ -1,0 +1,149 @@
+"""Composite analytics: TPC-H-shaped multi-join queries + skew-safe
+aggregation patterns.
+
+Scale notes: Q3/Q5 shapes are where Catalyst's join reordering, filter
+pushdown through joins, and AQE broadcast conversion earn their keep —
+the engine declares the joins and lets the optimizer order them from
+stats (CBO at 100 TB would use table/column statistics; AQE corrects at
+runtime either way). The salted aggregate is the documented recipe for
+hot keys: pre-aggregate on (key, salt) so no single reducer sees a hot
+key's full row set, then merge — results provably identical to the
+direct groupBy (same oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table, tables
+from pokertracker_cassandra_st_spark.registry import register
+
+_REV = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))"
+)
+
+
+@register(
+    "q_tpch_q3_shape",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(SUM({_REV}) AS DOUBLE) / 1000000 AS revenue,
+       CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    tags=("analytics", "bench"),
+)
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter -> 3-way join -> grouped revenue
+    -> top-10. Filters push into all three scans; AQE picks the join
+    order/strategies."""
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = F.expr(_REV)
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 1_000_000).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5_shape",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(SUM({_REV}) AS DOUBLE) / 1000000 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    tags=("analytics", "bench"),
+)
+def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the full star, bounded dims
+    broadcast, local-supplier equality constraint."""
+    t = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    rev = F.expr(_REV)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 1_000_000).alias("revenue"))
+    )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+SELECT l_suppkey,
+       count(*) AS n,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_suppkey
+""",
+    tags=("analytics",),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: identical result to the direct
+    groupBy (same oracle), but no reducer ever sees one key's full row
+    set — the manual recipe for hot keys beyond what AQE's skew-join
+    handling covers (e.g. a null-heavy join key or a celebrity user).
+
+    Stage 1 aggregates on (key, salt=pmod(hash,16)); stage 2 merges the
+    16 partials per key. Both stages are partial-aggregation-friendly.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+    stage1 = salted.groupBy("l_suppkey", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("pqty"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    return stage1.groupBy("l_suppkey").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pqty").cast("double") / 100).alias("sum_qty"),
+        F.max("pmax").alias("max_price"),
+    )
