@@ -248,6 +248,64 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle=f"""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       {o_fmt_ts('p.ts')} AS purchase_ts,
+       {o_fmt_ts('c.ts')} AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+""",
+    tags=("stream",),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ clicks of the same user
+    within the preceding 30 minutes, both sides watermarked (join state
+    is bounded by watermark + the time-range condition). With in-order
+    arrival no qualifying pair is evicted early, so the streaming
+    output equals the batch interval join (the oracle).
+
+    Scale notes: state per side is (watermark + range)-bounded; the
+    join co-partitions both streams on user_id — the same shuffle
+    budget as a batch equi-join, held incrementally.
+    """
+    ev = stream_events(spark, sf_dir, n_files=4)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    sink = run_to_table(joined, "append")
+    return sink.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+@register(
     "q_stream_static_join",
     oracle=f"""
 SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value

@@ -8,20 +8,16 @@ silently regresses one of them fails CI, not the cluster.
 
 from __future__ import annotations
 
-import contextlib
-from io import StringIO
+from pyspark.sql import functions as F
 
+from pokertracker_cassandra_st_spark.plans.inspect import explain_str
 from pokertracker_cassandra_st_spark.registry import REGISTRY, get_queries
 
 get_queries()
 
 
 def plan_of(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    buf = StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    return explain_str(REGISTRY[name].fn(spark, sf_dir), mode)
 
 
 def test_scan_project_prunes_columns(spark, sf_dir):
@@ -76,6 +72,52 @@ def test_semi_anti_join_shapes(spark, sf_dir):
     for name in ["q_join_semi", "q_join_anti"]:
         plan = plan_of(spark, name, sf_dir)
         assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    # the documented 100TB upgrade path for large-large joins: bucket
+    # both sides on the join key at write time -> the join needs no
+    # Exchange at all (co-located bucketed scans feed SortMergeJoin)
+    import os
+
+    base = "/root/repo/.scratch/bucketed"
+    os.makedirs(base, exist_ok=True)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    from pokertracker_cassandra_st_spark.catalog import table as load
+
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/li_b")
+        .saveAsTable("li_b")
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/o_b")
+        .saveAsTable("o_b")
+    )
+    # disable broadcast so the planner faces the large-large decision
+    # (at 100 TB neither side broadcasts; that's the case bucketing wins)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = explain_str(joined, "simple")
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # sanity: it still computes the right thing
+        assert joined.count() == spark.table("li_b").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_replay_single_shuffle_with_partial_limit(spark, sf_dir):
