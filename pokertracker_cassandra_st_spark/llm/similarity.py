@@ -41,23 +41,27 @@ def _norm(a: Column) -> Column:
 
 
 def _cosine_topk(emb: DataFrame, same_cell_only: bool) -> DataFrame:
+    # Precompute each side's norm ONCE per vector before the join —
+    # same double values as recomputing per pair (norms are per-row
+    # deterministic), but 3x less HOF work inside the O(q*n) join.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("c_label"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     cond = F.col("qid") != F.col("cid")
     joined = F.broadcast(q).join(c, cond)
     if same_cell_only:
         joined = joined.filter(F.col("q_label") == F.col("c_label"))
     cos = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
-        6,
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (

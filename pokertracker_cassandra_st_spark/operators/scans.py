@@ -14,7 +14,7 @@ shipdate filter additionally prunes entire partitions.
 from __future__ import annotations
 
 import os
-import tempfile
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,7 +75,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collection.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    out = tempfile.mkdtemp(prefix="sink_roundtrip_", dir=SCRATCH)
+    out = f"{SCRATCH}/sink_roundtrip"  # overwrite mode reclaims it
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )

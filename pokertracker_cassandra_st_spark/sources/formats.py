@@ -15,7 +15,6 @@ downstream readers get partition pruning.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,7 +40,8 @@ _READ_SCHEMA = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalpr
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     os.makedirs(SCRATCH, exist_ok=True)
-    out = tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_", dir=SCRATCH)
+    # fixed per-format dir: overwrite mode reclaims it every run
+    out = f"{SCRATCH}/roundtrip_{fmt}"
     src = table(spark, sf_dir, "orders").select(*_PROJ_COLS)
     writer = src.write.mode("overwrite")
     if fmt == "csv":
