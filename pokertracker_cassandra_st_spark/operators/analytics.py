@@ -17,12 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table, tables
+from pokertracker_cassandra_st_spark.exprs import slong
 from pokertracker_cassandra_st_spark.registry import register
 
+# oracle-side fragment; the Spark side uses exprs.slong (same values)
 _REV = (
     "CAST(round(l_extendedprice * 100) AS BIGINT)"
     " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))"
 )
+
+
+def _rev_col():
+    return slong("l_extendedprice", 2) * (10000 - slong("l_discount", 4))
 
 
 @register(
@@ -49,7 +55,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> top-10. Filters push into all three scans; AQE picks the join
     order/strategies."""
     t = tables(spark, sf_dir, "customer", "orders", "lineitem")
-    rev = F.expr(_REV)
+    rev = _rev_col()
     return (
         t.customer.filter(F.col("c_mktsegment") == "BUILDING")
         .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -93,7 +99,7 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
-    rev = F.expr(_REV)
+    rev = _rev_col()
     return (
         t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
@@ -139,7 +145,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
     stage1 = salted.groupBy("l_suppkey", "salt").agg(
         F.count("*").alias("pn"),
-        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("pqty"),
+        F.sum(slong("l_quantity", 2)).alias("pqty"),
         F.max("l_extendedprice").alias("pmax"),
     )
     return stage1.groupBy("l_suppkey").agg(

@@ -236,11 +236,14 @@ GROUP BY event_type
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once by event_id under at-least-once delivery (Tier
     A13): the stream is unioned with itself (every event delivered
-    twice), dropDuplicates within the watermark restores exactly-once;
-    oracle = the clean log."""
+    twice); dropDuplicatesWithinWatermark restores exactly-once with
+    BOUNDED state — seen-keys expire once the watermark passes them,
+    which is what makes dedup viable on an unbounded 100 TB/day stream
+    (plain dropDuplicates would accumulate every key forever).
+    Oracle = the clean log."""
     a = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     b = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    deduped = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
     sink = run_to_table(deduped, "append")
     return sink.groupBy("event_type").agg(
         F.count("*").alias("n"), F.max("event_id").alias("max_id")
