@@ -80,18 +80,36 @@ def _split_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
 
 def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
-    return the sink table as a batch DataFrame."""
+    return the sink table as a batch DataFrame.
+
+    The stateful-partition count is pinned while the query starts:
+    every state partition pays per-batch checkpoint/commit overhead, so
+    it must be sized to STATE VOLUME, not to cores (32 partitions for
+    1.5k keys costs 5x the wall time of 8). A streaming query's state
+    partitioning is fixed at its first checkpoint anyway — choosing it
+    explicitly per deployment is the production posture; override with
+    SPARK_GRAFT_STREAM_PARTITIONS (e.g. hundreds on a real cluster
+    holding millions of keys).
+    """
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     os.makedirs(SCRATCH, exist_ok=True)
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=SCRATCH)
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
