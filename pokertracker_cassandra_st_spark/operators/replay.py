@@ -102,6 +102,45 @@ def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_history",
+    oracle=f"""
+SELECT user_id,
+       event_type,
+       event_id AS valid_from_seq,
+       {o_fmt_ts('ts')} AS valid_from,
+       coalesce({o_fmt_ts('lead(ts) OVER w')}, '9999-12-31 00:00:00') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""",
+    tags=("replay", "tier-a"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the event log: every event becomes a
+    versioned row with [valid_from, valid_to) and an is_current flag —
+    the event store already IS the type-2 history (the projection is
+    just its is_current slice), which is the CQRS/event-sourcing take
+    on slowly-changing dimensions.
+
+    Scale notes: one shuffle on the entity key + lead() — same budget
+    as the projection fold; no MERGE needed because the log is append
+    only.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return events.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("valid_from_seq"),
+        fmt_ts("ts").alias("valid_from"),
+        F.coalesce(
+            fmt_ts(F.lead("ts").over(w)), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
     "q_replay_tombstone_anti",
     oracle=f"""
 SELECT e.user_id, count(*) AS n_events
