@@ -54,8 +54,8 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devowel"),
         F.split("p_name", " ").getItem(0).alias("first_word"),
-        F.length("p_name").alias("name_len"),
-        F.levenshtein("p_type", F.lit("STANDARD")).alias("type_dist"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_type", F.lit("STANDARD")).cast("long").alias("type_dist"),
     )
 
 
@@ -86,12 +86,12 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        F.dayofweek("o_orderdate").alias("dow"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("plus30"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).cast("long").alias(
             "days_to_2002"
         ),
         F.date_trunc("month", "o_orderdate").cast("string").alias("month_start"),
@@ -147,7 +147,7 @@ SELECT p_partkey,
        xor(p_partkey, 21845) AS xored,
        p_partkey << 2 AS shl,
        p_partkey >> 3 AS shr,
-       bit_count(CAST(p_partkey AS BIGINT)) AS popcount,
+       CAST(bit_count(CAST(p_partkey AS BIGINT)) AS BIGINT) AS popcount,
        md5(p_name) AS name_md5,
        sha256(p_name) AS name_sha256
 FROM part
@@ -166,7 +166,7 @@ def q_fn_bitwise_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(0x5555)).alias("xored"),
         F.shiftleft(k, 2).alias("shl"),
         F.shiftright(k, 3).alias("shr"),
-        F.bit_count(k).alias("popcount"),
+        F.bit_count(k).cast("long").alias("popcount"),
         F.md5("p_name").alias("name_md5"),
         F.sha2("p_name", 256).alias("name_sha256"),
     )
@@ -201,7 +201,7 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("c_name").alias("name_rev"),
         F.repeat(F.lit("ab"), 3).alias("repeated"),
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
-        F.instr("c_name", "#").alias("hash_pos"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
         F.substring("c_name", 1, 8).alias("name_left"),
         F.substring(F.col("c_name"), -4, 4).alias("name_right"),
         F.contains("c_name", F.lit("0000")).alias("has_zeros"),
@@ -271,18 +271,18 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         toks.getItem(0).alias("first_tok"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_join(F.slice(toks, 1, 5), ",").alias("head5"),
         F.array_join(F.sort_array(toks), ",").alias("sorted_toks"),
         F.array_join(F.transform(toks, lambda t: F.upper(t)), ",").alias("up_toks"),
-        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t)),
             F.lit(0),
             lambda acc, x: acc + x,
-        ).alias("tok_chars"),
+        ).cast("long").alias("tok_chars"),
     )
 
 

@@ -56,7 +56,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir)
     return p.select(
         "doc_id",
-        F.length("payload").alias("byte_len"),
+        F.length("payload").cast("long").alias("byte_len"),
         F.sha2("payload", 256).alias("payload_sha"),
         (F.length("payload") > 256).alias("is_large"),
     )

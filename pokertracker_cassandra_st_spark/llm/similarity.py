@@ -68,7 +68,7 @@ def _cosine_topk(emb: DataFrame, same_cell_only: bool) -> DataFrame:
         joined.select("qid", "cid", cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("qid", "cid", "cosine", "rk")
+        .select("qid", "cid", "cosine", F.col("rk").cast("long").alias("rk"))
     )
 
 

@@ -90,7 +90,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(F.broadcast(df), "term")
         .select("doc_id", "term", tfidf)
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
 
@@ -123,7 +123,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.length("text") > 300, "long-unk")
         .otherwise("unk")
         .alias("guessed_lang"),
-        n_sw.alias("n_stopwords"),
+        n_sw.cast("long").alias("n_stopwords"),
     )
 
 
@@ -174,7 +174,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(space_ratio, 6).alias("space_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(nonalpha_ratio, 6).alias("nonalpha_ratio"),
@@ -199,10 +199,10 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         F.size(
             F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
-        ).alias("bpe_ish_tokens"),
+        ).cast("long").alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).alias("byte_len_est"),
     )
 

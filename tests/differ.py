@@ -53,11 +53,32 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _canon_dtype(dt) -> str:
+    """Engine-facing dtype class: int width unified only per family."""
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return f"int{dt.itemsize * 8}"
+    if k == "f":
+        return f"float{dt.itemsize * 8}"
+    if k == "M":
+        return "timestamp"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    # dtype-strict: a driver that hashes schemas would flag width drift
+    mism = [
+        (c, _canon_dtype(spark_pdf[c].dtype), _canon_dtype(oracle_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if _canon_dtype(spark_pdf[c].dtype) != _canon_dtype(oracle_pdf[c].dtype)
+    ]
+    assert not mism, f"{name}: dtype mismatch (col, spark, oracle): {mism}"
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
