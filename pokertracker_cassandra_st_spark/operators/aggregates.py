@@ -281,6 +281,41 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_mode",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS top_priority, n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rk
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+) WHERE rk = 1
+""",
+    tags=("agg",),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a deterministic
+    tie-break — count-then-rank, the exact form of the heavy-hitters
+    query (at 100 TB the first stage is the same groupBy; only the
+    per-group rank layer is new)."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("top_priority"), "n")
+    )
+
+
+@register(
     "q_agg_collect",
     oracle="""
 SELECT o_orderstatus,

@@ -192,6 +192,69 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_band",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, count(*) AS n_poorer_customers
+FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
+GROUP BY s.s_suppkey, s.s_name
+""",
+    tags=("join",),
+)
+def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable rewrite of q_join_theta (SAME oracle — provably the
+    same result): count customers poorer than each supplier WITHOUT the
+    quadratic nested-loop join.
+
+    Bucketize acctbal (width 500); then for each supplier
+      * customers in strictly-lower buckets all qualify -> one
+        broadcast lookup into per-bucket prefix counts;
+      * only the supplier's OWN bucket needs a real comparison ->
+        equi-join on bucket + filter.
+    Cost: O(n) + a same-bucket join whose fan-out is one bucket wide —
+    at 100 TB this is the difference between a band join finishing and
+    a BroadcastNestedLoopJoin never finishing.
+    """
+    t = tables(spark, sf_dir, "supplier", "customer")
+    width = 500
+    cust = t.customer.select(
+        F.floor(F.col("c_acctbal") / width).cast("long").alias("bkt"), "c_acctbal"
+    )
+    per_bucket = cust.groupBy("bkt").agg(F.count("*").alias("n_in_bkt"))
+    supp = t.supplier.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.floor(F.col("s_acctbal") / width).cast("long").alias("bkt"),
+    )
+    # full lower buckets: range-join against the BUCKET-COUNT table —
+    # O(#buckets) rows broadcast, so the "theta" part is trivial
+    lower = per_bucket.select(F.col("bkt").alias("c_bkt"), "n_in_bkt")
+    with_prefix = (
+        supp.join(F.broadcast(lower), F.col("c_bkt") < F.col("bkt"), "left")
+        .groupBy("s_suppkey", "s_name", "s_acctbal", "bkt")
+        .agg(F.coalesce(F.sum("n_in_bkt"), F.lit(0)).alias("n_below_bkt"))
+    )
+    # partial bucket via equi-join on the supplier's own bucket
+    same_bkt = (
+        with_prefix.join(cust, "bkt")
+        .filter(F.col("s_acctbal") > F.col("c_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_same_bkt"))
+    )
+    return (
+        with_prefix.join(same_bkt, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("n_below_bkt") + F.coalesce("n_same_bkt", F.lit(0))).alias(
+                "n_poorer_customers"
+            ),
+        )
+        .filter(F.col("n_poorer_customers") > 0)
+    )
+
+
+@register(
     "q_join_asof",
     oracle=f"""
 WITH purchases AS (
