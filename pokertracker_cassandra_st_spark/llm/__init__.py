@@ -1,3 +1,9 @@
 """LLM-data-pipeline operators: dedup, similarity, text, multimodal."""
 
-from pokertracker_cassandra_st_spark.llm import dedup, similarity, text, multimodal  # noqa: F401
+from pokertracker_cassandra_st_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)

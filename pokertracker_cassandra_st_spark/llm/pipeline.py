@@ -1,0 +1,90 @@
+"""End-to-end corpus curation: the composed LLM-data-pipeline.
+
+One declarative DAG chaining the individual operators this package
+provides — quality gate -> near-exact dedup (normalization fingerprint,
+keep lowest doc_id) -> deterministic split assignment -> per-(split,
+lang) corpus statistics. This is the actual shape of a pre-training
+data build, and because every stage is relational it is one Catalyst
+plan end to end: the optimizer fuses the gate into the scan, the dedup
+is one hash shuffle, the split is a pure projection, the stats a
+partial+final aggregate.
+
+Scale notes: no stage materializes an intermediate; at 100 TB the only
+shuffles are the dedup groupBy (32-byte keys) and the final tiny
+aggregate. Compare with an imperative pipeline that writes each stage
+out — this plan reads the corpus exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+from pokertracker_cassandra_st_spark.llm.text import STOPWORDS
+
+_SW_SQL = "['" + "','".join(STOPWORDS) + "']"
+
+_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND CAST(len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.01
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), split_assigned AS (
+  SELECT *,
+         CASE WHEN ((doc_id % 10) + 10) % 10 < 8 THEN 'train'
+              WHEN ((doc_id % 10) + 10) % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM deduped
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id
+FROM split_assigned
+GROUP BY split, lang
+"""
+
+
+@register("q_pipeline_curate", oracle=_ORACLE, tags=("llm", "bench"))
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> fingerprint dedup -> split -> corpus stats, as
+    one fused plan."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        / F.size(toks)
+    )
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    gated = d.filter((n_tokens >= 20) & (stop_ratio >= 0.01)).select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), fp.alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    bucket = F.pmod(F.col("doc_id"), F.lit(10))
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

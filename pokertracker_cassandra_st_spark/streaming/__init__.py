@@ -1,3 +1,7 @@
 """Structured Streaming pipelines (SURVEY.md §2 M6)."""
 
-from pokertracker_cassandra_st_spark.streaming import runner, stream_queries  # noqa: F401
+from pokertracker_cassandra_st_spark.streaming import (  # noqa: F401
+    mv_sink,
+    runner,
+    stream_queries,
+)

@@ -103,6 +103,49 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert list(first_window["n"]) == [2]
 
 
+def test_foreachbatch_mv_equals_batch_fold(spark, sf_dir, tmp_path):
+    # production-shaped sink: stream -> foreachBatch incremental MV;
+    # final MV must equal the batch fold of the whole log
+    from pokertracker_cassandra_st_spark.plans.mv import read_model
+    from pokertracker_cassandra_st_spark.streaming.mv_sink import run_streaming_mv
+
+    mv = run_streaming_mv(spark, sf_dir, str(tmp_path / "mv"), n_files=4)
+    got = sorted(tuple(r) for r in read_model(mv).collect())
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+        .filter(F.col("last_event_type") != "error")
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_foreachbatch_merge_is_idempotent(spark, sf_dir, tmp_path):
+    # replaying a batch (crash-recovery at-least-once) must not change
+    # the MV: last-write-wins by event_id makes the merge idempotent
+    from pokertracker_cassandra_st_spark.plans.mv import (
+        incremental_update,
+        read_model,
+    )
+    from pokertracker_cassandra_st_spark.streaming.mv_sink import run_streaming_mv
+
+    path = str(tmp_path / "mv")
+    mv = run_streaming_mv(spark, sf_dir, path, n_files=2)
+    before = sorted(tuple(r) for r in read_model(mv).collect())
+    # replay the SECOND half of the log again
+    replay = table(spark, sf_dir, "events").filter(F.col("event_id") >= 5000)
+    incremental_update(spark, path, replay)
+    after = sorted(
+        tuple(r) for r in read_model(spark.read.parquet(path)).collect()
+    )
+    assert before == after
+
+
 def test_replay_state_spans_batches(spark, sf_dir):
     # The replay query streams 4 micro-batches; its update-mode sink
     # must contain multiple rows for users whose events span chunks —
