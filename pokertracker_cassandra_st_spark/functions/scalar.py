@@ -309,8 +309,9 @@ SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
        CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
-       json_valid(props) AS is_json,
-       concat('{"k":', json_extract_string(props, '$.k'), '}') AS rebuilt
+       coalesce(json_valid(props), FALSE) AS is_json,
+       CASE WHEN json_extract_string(props, '$.k') IS NULL THEN NULL
+            ELSE concat('{"k":', json_extract_string(props, '$.k'), '}') END AS rebuilt
 FROM events
 """,
     tags=("fn", "tier-a"),

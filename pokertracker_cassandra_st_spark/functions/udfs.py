@@ -26,7 +26,8 @@ from pokertracker_cassandra_st_spark.registry import register
     "q_udf_python",
     oracle="""
 SELECT event_id, value,
-       CASE WHEN value < 10 THEN 'micro'
+       CASE WHEN value IS NULL THEN NULL
+            WHEN value < 10 THEN 'micro'
             WHEN value < 100 THEN 'small'
             WHEN value < 300 THEN 'mid'
             ELSE 'large' END AS bucket
@@ -38,7 +39,9 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the deliberately-slow tier)."""
 
     @F.udf(returnType=T.StringType())
-    def bucket(v: float) -> str:
+    def bucket(v: float | None) -> str | None:
+        if v is None:  # UDFs see raw NULLs — always guard
+            return None
         if v < 10:
             return "micro"
         if v < 100:

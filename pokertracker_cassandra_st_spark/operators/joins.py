@@ -307,15 +307,23 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the whole click ROW as a struct: the struct is non-null for
+    # every click even when its value field is NULL, so ignorenulls
+    # skips only "no click yet" — a null-VALUED click still matches
+    # (the ASOF contract; caught by tests/test_adversarial.py).
+    click_row = F.when(
+        F.col("side") == 0, F.struct("click_ts", "click_value")
+    )
     return (
-        unioned.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
-        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        unioned.withColumn("last_click", F.last(click_row, ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select(
             "event_id",
             "user_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
-            "last_click_value",
+            F.date_format("last_click.click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_click_ts"
+            ),
+            F.col("last_click.click_value").alias("last_click_value"),
         )
     )

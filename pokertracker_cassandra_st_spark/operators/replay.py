@@ -80,7 +80,7 @@ def q_replay_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT user_id,
        max_by(event_type, event_id) AS last_event_type,
-       max_by(value, event_id)      AS last_value,
+       (list(value ORDER BY event_id DESC))[1] AS last_value,
        max(event_id)                AS last_event_id
 FROM events
 GROUP BY user_id
@@ -94,6 +94,10 @@ def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs map-side, so it scales as a plain aggregation.
     """
     events = table(spark, sf_dir, "events")
+    # note: Spark's max_by RETURNS the latest row's value even when it
+    # is NULL, while DuckDB's max_by/arg_max SKIPS null values — the
+    # oracle uses an ordered list to mirror Spark's null-preserving
+    # "latest value" semantics (caught by tests/test_adversarial.py)
     return events.groupBy("user_id").agg(
         F.max_by("event_type", "event_id").alias("last_event_type"),
         F.max_by("value", "event_id").alias("last_value"),

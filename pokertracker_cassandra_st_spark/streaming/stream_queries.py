@@ -68,7 +68,7 @@ def _fold(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[
 SELECT user_id,
        max(event_id) AS last_event_id,
        max_by(event_type, event_id) AS last_event_type,
-       max_by(value, event_id) AS last_value
+       (list(value ORDER BY event_id DESC))[1] AS last_value
 FROM events
 GROUP BY user_id
 HAVING max_by(event_type, event_id) <> '{TOMBSTONE}'
