@@ -31,15 +31,22 @@ SELECT doc_id + {AUG_OFFSET} AS doc_id,
        array_to_string(list_slice(string_split(text, ' '), 1,
                                   len(string_split(text, ' ')) - 1), ' ') AS text
 FROM documents
+WHERE len(string_split(text, ' ')) >= 2
 """
 
 
 def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
-    mutated = d.select(
-        (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
-        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    # only docs with >= 2 tokens get a drop-last-token mutation — the
+    # degenerate slice of a 1-token doc diverges between engines
+    # (DuckDB list_slice(l, 1, 0) -> NULL, Spark slice -> [])
+    mutated = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+        )
     )
     return d.unionByName(mutated)
 

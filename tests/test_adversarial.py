@@ -75,13 +75,60 @@ def adv_dir():
         }
     )
     ev.to_parquet(f"{ADV}/events.parquet", index=False)
+    _adv_documents(rng).to_parquet(f"{ADV}/documents.parquet", index=False)
     for t in TABLES:
-        if t == "events":
+        if t in ("events", "documents"):
             continue
         dst = f"{ADV}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(f"{BASE}/{t}.parquet", dst)
     yield ADV
+
+
+DOC_QUERIES = [
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_tfidf",
+    "q_dedup_exact",
+    "q_udtf_explode",
+    "q_fn_array",
+    "q_sample_split",
+    "q_pipeline_curate",
+    "q_multimodal_meta",
+]
+
+
+def _adv_documents(rng) -> pd.DataFrame:
+    texts = [
+        "",                                  # empty
+        " ",                                 # whitespace only
+        "word",                              # single token
+        "a " * 500 + "b",                    # long, repetitive
+        # unicode (NOTE: no 'ß' — JVM upper('ß')='SS' but DuckDB
+        # upper('ß')='ẞ'; a real, documented dialect divergence)
+        "naïve café résumé 日本語 emoji",
+        "the the the the the the",           # stopword-only
+        "tab\tand  double  space",           # messy whitespace
+    ]
+    # plus duplicated documents (exact dups) and normal-ish ones
+    base = [
+        " ".join(rng.choice(["spark", "query", "join", "the", "a", "scan"], size=30))
+        for _ in range(40)
+    ]
+    texts = texts + base + base[:10]  # 10 exact duplicates
+    n = len(texts)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": texts,
+            "lang": rng.choice(["en", "de", "fr"], size=n),
+            "source": rng.choice(["s0", "s1"], size=n),
+            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
 
 
 @pytest.fixture(scope="module")
@@ -91,8 +138,8 @@ def adv_duck(adv_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", EVENT_QUERIES)
-def test_oracle_holds_on_adversarial_events(spark, adv_dir, adv_duck, name):
+@pytest.mark.parametrize("name", EVENT_QUERIES + DOC_QUERIES)
+def test_oracle_holds_on_adversarial_data(spark, adv_dir, adv_duck, name):
     q = REGISTRY[name]
     assert q.oracle is not None
     pdf = q.fn(spark, adv_dir).toPandas()
