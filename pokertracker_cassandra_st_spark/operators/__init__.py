@@ -15,4 +15,5 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     reshape,
     subqueries,
     analytics,
+    timeseries,
 )

@@ -4,4 +4,5 @@ from pokertracker_cassandra_st_spark.streaming import (  # noqa: F401
     mv_sink,
     runner,
     stream_queries,
+    tws_replay,
 )

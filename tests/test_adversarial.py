@@ -45,6 +45,7 @@ EVENT_QUERIES = [
     "q_udf_python",
     "q_udf_pandas",
     "q_udaf_pandas",
+    "q_ts_gapfill",
 ]
 
 
