@@ -33,6 +33,7 @@ HEADLINE = [
     "q_sim_topk",           # brute-force vector top-k
     "q_tpch_q3_shape",      # 3-way join + top-k
     "q_tpch_q5_shape",      # 6-way star join
+    "q_pipeline_curate",    # fused LLM curation pipeline
 ]
 
 # measured once, reported separately — a full stateful streaming run
