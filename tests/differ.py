@@ -28,12 +28,18 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v) -> str:
-    """Canonical string form of one cell (engine-agnostic)."""
+    """Canonical string form of one cell (engine-agnostic).
+
+    None and NaN both canonicalize to missing: pandas float columns
+    already collapse SQL NULL to NaN, so the distinction is a frame-
+    representation artifact (e.g. NULL booleans arrive as None from
+    Spark but np.nan from DuckDB), not an engine difference.
+    """
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "∅"
         if v == 0.0:
             return "0"  # collapse -0.0 / 0.0
         return repr(v)

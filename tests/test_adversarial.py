@@ -77,8 +77,9 @@ def adv_dir():
     )
     ev.to_parquet(f"{ADV}/events.parquet", index=False)
     _adv_documents(rng).to_parquet(f"{ADV}/documents.parquet", index=False)
+    _inject_rel_nulls(rng, ADV)
     for t in TABLES:
-        if t in ("events", "documents"):
+        if t in ("events", "documents", "lineitem", "orders", "customer"):
             continue
         dst = f"{ADV}/{t}.parquet"
         if not os.path.exists(dst):
@@ -132,6 +133,44 @@ def _adv_documents(rng) -> pd.DataFrame:
     )
 
 
+REL_QUERIES = [
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_having",
+    "q_agg_stats",
+    "q_filter_range",
+    "q_join_inner_hash",
+    "q_join_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_sortmerge",
+    "q_win_running",
+    "q_topk",
+    "q_sort_multikey",
+    "q_fn_cond",
+    "q_skew_salted_agg",
+]
+
+
+def _inject_rel_nulls(rng, adv):
+    li = pd.read_parquet(f"{BASE}/lineitem.parquet")
+    for col, frac in [("l_quantity", 0.05), ("l_discount", 0.05), ("l_tax", 0.03)]:
+        li.loc[rng.rand(len(li)) < frac, col] = np.nan
+    li.loc[rng.rand(len(li)) < 0.02, "l_returnflag"] = None
+    li.to_parquet(f"{adv}/lineitem.parquet", index=False)
+
+    o = pd.read_parquet(f"{BASE}/orders.parquet")
+    o.loc[rng.rand(len(o)) < 0.05, "o_custkey"] = pd.NA  # orphan orders
+    o.loc[rng.rand(len(o)) < 0.03, "o_totalprice"] = np.nan
+    o["o_custkey"] = o["o_custkey"].astype("Int64")
+    o.to_parquet(f"{adv}/orders.parquet", index=False)
+
+    c = pd.read_parquet(f"{BASE}/customer.parquet")
+    c.loc[rng.rand(len(c)) < 0.03, "c_acctbal"] = np.nan
+    c.loc[rng.rand(len(c)) < 0.02, "c_mktsegment"] = None
+    c.to_parquet(f"{adv}/customer.parquet", index=False)
+
+
 @pytest.fixture(scope="module")
 def adv_duck(adv_dir):
     con = duck_connection(adv_dir)
@@ -139,7 +178,7 @@ def adv_duck(adv_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", EVENT_QUERIES + DOC_QUERIES)
+@pytest.mark.parametrize("name", EVENT_QUERIES + DOC_QUERIES + REL_QUERIES)
 def test_oracle_holds_on_adversarial_data(spark, adv_dir, adv_duck, name):
     q = REGISTRY[name]
     assert q.oracle is not None
