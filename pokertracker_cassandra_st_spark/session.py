@@ -32,6 +32,45 @@ _RUNTIME_CONF = {
 }
 
 
+_PYFILE_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of the
+    driver process's cwd.
+
+    Module-level UDF functions (pandas UDFs, mapInPandas, stateful
+    folds) pickle BY REFERENCE — the worker must import the module. A
+    driver started outside /root/repo has no such path, so we zip the
+    package once per session and addPyFile it (works on a session we
+    didn't create, and on a real cluster ships to every executor).
+    """
+    if id(spark) in _PYFILE_SHIPPED:
+        return
+    try:
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        zpath = os.path.join(root, ".scratch", "pokertracker_pkg.zip")
+        os.makedirs(os.path.dirname(zpath), exist_ok=True)
+        sources = [
+            os.path.join(dirpath, f)
+            for dirpath, _dirs, files in os.walk(pkg_dir)
+            for f in files
+            if f.endswith(".py")
+        ]
+        newest = max(os.path.getmtime(p) for p in sources)
+        if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+            with zipfile.ZipFile(zpath, "w") as zf:
+                for full in sources:
+                    zf.write(full, os.path.relpath(full, root))
+        spark.sparkContext.addPyFile(zpath)
+        _PYFILE_SHIPPED.add(id(spark))
+    except Exception:  # Spark Connect has no sparkContext — best effort
+        pass
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, cheap)."""
     for k, v in _RUNTIME_CONF.items():
@@ -44,6 +83,7 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", str(max(ncpu, 8)))
     except Exception:
         pass
+    _ship_package(spark)
     return spark
 
 
