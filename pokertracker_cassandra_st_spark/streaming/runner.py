@@ -112,4 +112,10 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the memory sink holds results in memory; the checkpoint is
+        # only needed while the query runs — don't let scratch grow
+        # unboundedly across rounds
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
