@@ -32,7 +32,7 @@ _RUNTIME_CONF = {
 }
 
 
-_PYFILE_SHIPPED: set[int] = set()
+_PYFILE_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -45,7 +45,11 @@ def _ship_package(spark: SparkSession) -> None:
     package once per session and addPyFile it (works on a session we
     didn't create, and on a real cluster ships to every executor).
     """
-    if id(spark) in _PYFILE_SHIPPED:
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return  # Spark Connect: no sparkContext; workers share the server env
+    if app_id in _PYFILE_SHIPPED:
         return
     try:
         import zipfile
@@ -66,8 +70,8 @@ def _ship_package(spark: SparkSession) -> None:
                 for full in sources:
                     zf.write(full, os.path.relpath(full, root))
         spark.sparkContext.addPyFile(zpath)
-        _PYFILE_SHIPPED.add(id(spark))
-    except Exception:  # Spark Connect has no sparkContext — best effort
+        _PYFILE_SHIPPED.add(app_id)
+    except Exception:  # best effort — cwd-local imports still work
         pass
 
 
