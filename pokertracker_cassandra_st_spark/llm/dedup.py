@@ -89,7 +89,7 @@ toks AS (
 shingles AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(t, i.i, i.i + 4), ' ') AS sh
-  FROM toks CROSS JOIN range(1, 200) AS i(i)
+  FROM toks CROSS JOIN range(1, 2001) AS i(i)
   WHERE i.i + 4 <= len(t)
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
@@ -124,6 +124,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     sh = (
         corpus.select("doc_id", toks.alias("t"))
+        # docs shorter than one shingle produce none (also guards
+        # Spark's sequence(1, n-4) flipping DESCENDING when n < 5)
+        .filter(F.size("t") >= 5)
         .select(
             "doc_id",
             F.explode(

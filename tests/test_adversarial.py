@@ -100,6 +100,7 @@ DOC_QUERIES = [
     "q_sample_split",
     "q_pipeline_curate",
     "q_multimodal_meta",
+    "q_dedup_ngram_jaccard",
 ]
 
 
@@ -149,6 +150,10 @@ REL_QUERIES = [
     "q_sort_multikey",
     "q_fn_cond",
     "q_skew_salted_agg",
+    "q_agg_pivot",
+    "q_unpivot",
+    "q_agg_mode",
+    "q_agg_collect",
 ]
 
 
