@@ -281,6 +281,44 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_filtered",
+    oracle=f"""
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       {o_dsum('l_quantity')} AS sum_all,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                  FILTER (WHERE l_discount > 0.05), 4) AS DOUBLE) AS sum_discounted,
+       count(l_quantity) AS n_qty_nonnull
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    tags=("agg",),
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (the SQL FILTER clause): conditional counts
+    and sums in one pass — no self-joins, no CASE pyramids; map-side
+    partials apply per filter."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        dsum("l_quantity").alias("sum_all"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_quantity")).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("sum_discounted"),
+        F.count("l_quantity").alias("n_qty_nonnull"),
+    )
+
+
+@register(
     "q_agg_mode",
     oracle="""
 SELECT o_orderstatus, o_orderpriority AS top_priority, n

@@ -192,6 +192,41 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_nullsafe",
+    oracle="""
+SELECT coalesce(CAST(a.o_custkey AS STRING), '∅') AS custkey_a,
+       count(*) AS n_pairs
+FROM (SELECT o_custkey FROM orders WHERE o_orderkey % 100 = 0) a
+JOIN (SELECT o_custkey FROM orders WHERE o_orderkey % 100 = 50) b
+  ON a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+GROUP BY 1
+""",
+    tags=("join",),
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics needed when
+    'unknown' is a real category (orphan orders, missing dimensions).
+
+    Scale notes: the null bucket is the ultimate skewed key; in
+    production pair <=> with the salting recipe (q_skew_salted_agg) or
+    split the null partition off and cross-count it separately.
+    """
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_custkey").alias("k_a")
+    )
+    b = o.filter(F.col("o_orderkey") % 100 == 50).select(
+        F.col("o_custkey").alias("k_b")
+    )
+    return (
+        a.join(b, F.col("k_a").eqNullSafe(F.col("k_b")))
+        .groupBy(F.coalesce(F.col("k_a").cast("string"), F.lit("∅")).alias("custkey_a"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
     "q_join_band",
     oracle="""
 SELECT s.s_suppkey, s.s_name, count(*) AS n_poorer_customers

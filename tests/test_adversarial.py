@@ -154,6 +154,17 @@ REL_QUERIES = [
     "q_unpivot",
     "q_agg_mode",
     "q_agg_collect",
+    "q_agg_filtered",
+    "q_join_nullsafe",
+]
+
+# streaming queries on adversarial events (oracle = batch recompute)
+STREAM_QUERIES = [
+    "q_stream_replay",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_static_join",
 ]
 
 
@@ -183,7 +194,7 @@ def adv_duck(adv_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", EVENT_QUERIES + DOC_QUERIES + REL_QUERIES)
+@pytest.mark.parametrize("name", EVENT_QUERIES + DOC_QUERIES + REL_QUERIES + STREAM_QUERIES)
 def test_oracle_holds_on_adversarial_data(spark, adv_dir, adv_duck, name):
     q = REGISTRY[name]
     assert q.oracle is not None
