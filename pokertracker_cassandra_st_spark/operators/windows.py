@@ -152,6 +152,50 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS hour_sum,
+       count(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         AS hour_events
+FROM events
+""",
+    tags=("window",),
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per user, the trailing one-hour sum and
+    count at each event — unlike ROWS frames, the window is defined by
+    the ORDER-BY VALUE distance (epoch seconds), so co-timed events
+    share a frame regardless of row order.
+
+    Scale notes: same single shuffle as any partitioned window; the
+    frame bound is evaluated per row against the sorted run, no extra
+    pass. This is the batch twin of the streaming sliding window.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+        F.count("*").over(w).alias("hour_events"),
+    )
+
+
+@register(
     "q_win_pct",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice,

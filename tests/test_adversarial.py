@@ -40,6 +40,7 @@ EVENT_QUERIES = [
     "q_scd2_history",
     "q_win_laglead",
     "q_win_moving",
+    "q_win_range_frame",
     "q_join_asof",
     "q_fn_json",
     "q_udf_python",
