@@ -46,27 +46,36 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Scaled-long fragments (exact integer arithmetic, see exprs.slong).
-# Domain bounds: extprice<=1.1e5 (scale 2 -> 1.1e7/row), discount/tax
-# <=0.10 (scale 4); disc_price long sum bounded by rows*1.1e11 — inside
-# int64 through sf~100; the charge sum is widened to decimal/hugeint.
+# discount/tax are 2-decimal rates, so scale 2 suffices: the charge
+# product is price(1e2)*(100-disc)(1e2)*(100+tax)(1e2) <= 1.1e11/row —
+# the SUM stays a pure int64 through sf~10 (documented bound; beyond
+# that switch to the decimal tier). Every oracle SUM is forced through
+# BIGINT before the double cast: int64->double is the same correctly-
+# rounded native conversion in both engines, whereas DuckDB's
+# HUGEINT->double takes a different rounding path above 2^53 (caught
+# by the sf0.1 sweep).
 _O_PRICE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
-_O_DISC = "CAST(round(l_discount * 10000) AS BIGINT)"
-_O_TAX = "CAST(round(l_tax * 10000) AS BIGINT)"
+_O_DISC = "CAST(round(l_discount * 100) AS BIGINT)"
+_O_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
 _O_QTY = "CAST(round(l_quantity * 100) AS BIGINT)"
-_O_DISC_PRICE = f"({_O_PRICE} * (10000 - {_O_DISC}))"
+_O_DISC_PRICE = f"({_O_PRICE} * (100 - {_O_DISC}))"
+
+
+def _o_lsum(expr: str) -> str:
+    return f"CAST(CAST(SUM({expr}) AS BIGINT) AS DOUBLE)"
 
 
 @register(
     "q_agg_groupby",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM({_O_QTY}) AS DOUBLE) / 100 AS sum_qty,
-       CAST(SUM({_O_PRICE}) AS DOUBLE) / 100 AS sum_base_price,
-       CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) / 1000000 AS sum_disc_price,
-       CAST(SUM({_O_DISC_PRICE} * (10000 + {_O_TAX})) AS DOUBLE) / 10000000000 AS sum_charge,
-       CAST(SUM({_O_QTY}) AS DOUBLE) / 100 / count(l_quantity) AS avg_qty,
-       CAST(SUM({_O_PRICE}) AS DOUBLE) / 100 / count(l_extendedprice) AS avg_price,
-       CAST(SUM({_O_DISC}) AS DOUBLE) / 10000 / count(l_discount) AS avg_disc,
+       {_o_lsum(_O_QTY)} / 100 AS sum_qty,
+       {_o_lsum(_O_PRICE)} / 100 AS sum_base_price,
+       {_o_lsum(_O_DISC_PRICE)} / 10000 AS sum_disc_price,
+       {_o_lsum(f"{_O_DISC_PRICE} * (100 + {_O_TAX})")} / 1000000 AS sum_charge,
+       {_o_lsum(_O_QTY)} / 100 / count(l_quantity) AS avg_qty,
+       {_o_lsum(_O_PRICE)} / 100 / count(l_extendedprice) AS avg_price,
+       {_o_lsum(_O_DISC)} / 100 / count(l_discount) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -80,29 +89,29 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     All sums run in exact scaled-integer arithmetic (exprs.slong):
     order independent and engine agnostic like the decimal path, but
     long-backed so the whole aggregation stays in codegen (~2x faster).
-    The charge product needs ~3 extra digits, so only its SUM widens to
-    decimal (Spark) / hugeint (DuckDB).
+    See the fragment comment above for the int64 headroom bound and
+    the HUGEINT->double rounding trap the oracle avoids.
     """
     li = table(spark, sf_dir, "lineitem")
     qty = slong("l_quantity", 2)
     price = slong("l_extendedprice", 2)
-    disc = slong("l_discount", 4)
-    tax = slong("l_tax", 4)
-    disc_price = price * (10000 - disc)  # scale 1e6
-    charge = disc_price.cast("decimal(20,0)") * (10000 + tax)  # scale 1e10
+    disc = slong("l_discount", 2)
+    tax = slong("l_tax", 2)
+    disc_price = price * (100 - disc)  # scale 1e4
+    charge = disc_price * (100 + tax)  # scale 1e6, pure long
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             (F.sum(qty).cast("double") / 100).alias("sum_qty"),
             (F.sum(price).cast("double") / 100).alias("sum_base_price"),
-            (F.sum(disc_price).cast("double") / 1_000_000).alias("sum_disc_price"),
-            (F.sum(charge).cast("double") / 10_000_000_000).alias("sum_charge"),
+            (F.sum(disc_price).cast("double") / 10_000).alias("sum_disc_price"),
+            (F.sum(charge).cast("double") / 1_000_000).alias("sum_charge"),
             (F.sum(qty).cast("double") / 100 / F.count("l_quantity")).alias("avg_qty"),
             (F.sum(price).cast("double") / 100 / F.count("l_extendedprice")).alias(
                 "avg_price"
             ),
-            (F.sum(disc).cast("double") / 10000 / F.count("l_discount")).alias(
+            (F.sum(disc).cast("double") / 100 / F.count("l_discount")).alias(
                 "avg_disc"
             ),
             F.count("*").alias("count_order"),

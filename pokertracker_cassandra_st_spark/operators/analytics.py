@@ -20,22 +20,24 @@ from pokertracker_cassandra_st_spark.catalog import table, tables
 from pokertracker_cassandra_st_spark.exprs import slong
 from pokertracker_cassandra_st_spark.registry import register
 
-# oracle-side fragment; the Spark side uses exprs.slong (same values)
+# oracle-side fragment; the Spark side uses exprs.slong (same values).
+# scale-2 rates + BIGINT-wrapped SUM keep the oracle on the native
+# int64->double conversion path (see aggregates.py fragment comment).
 _REV = (
     "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
 )
 
 
 def _rev_col():
-    return slong("l_extendedprice", 2) * (10000 - slong("l_discount", 4))
+    return slong("l_extendedprice", 2) * (100 - slong("l_discount", 2))
 
 
 @register(
     "q_tpch_q3_shape",
     oracle=f"""
 SELECT l.l_orderkey,
-       CAST(SUM({_REV}) AS DOUBLE) / 1000000 AS revenue,
+       CAST(CAST(SUM({_REV}) AS BIGINT) AS DOUBLE) / 10000 AS revenue,
        CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
        o.o_orderpriority
 FROM customer c
@@ -63,7 +65,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(rev).cast("double") / 1_000_000).alias("revenue"))
+        .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -79,7 +81,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5_shape",
     oracle=f"""
 SELECT n.n_name,
-       CAST(SUM({_REV}) AS DOUBLE) / 1000000 AS revenue
+       CAST(CAST(SUM({_REV}) AS BIGINT) AS DOUBLE) / 10000 AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -132,7 +134,7 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg((F.sum(rev).cast("double") / 1_000_000).alias("revenue"))
+        .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
     )
 
 

@@ -76,9 +76,9 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_sortmerge",
     oracle="""
 SELECT o.o_orderpriority, count(*) AS n_lines,
-       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))) AS DOUBLE)
-         / 1000000 AS revenue
+       CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+            AS DOUBLE) / 10000 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o.o_orderpriority
@@ -91,14 +91,14 @@ def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed below the join into the orders scan."""
     t = tables(spark, sf_dir, "lineitem", "orders")
     o = t.orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-    # exact scaled-long revenue (see exprs.slong): price(1e2) * (1-disc)(1e4)
-    rev = slong("l_extendedprice", 2) * (10000 - slong("l_discount", 4))
+    # exact scaled-long revenue (see exprs.slong): price(1e2) * (1-disc)(1e2)
+    rev = slong("l_extendedprice", 2) * (100 - slong("l_discount", 2))
     return (
         t.lineitem.join(o, t.lineitem.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            (F.sum(rev).cast("double") / 1_000_000).alias("revenue"),
+            (F.sum(rev).cast("double") / 10_000).alias("revenue"),
         )
     )
 
