@@ -286,19 +286,30 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fn_map", oracle=None, tags=("fn",))
+@register(
+    "q_fn_map",
+    oracle="""
+SELECT event_id,
+       coalesce(array_to_string(json_keys(props), ','), '') AS keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       coalesce(len(json_keys(props)), -1) AS n_entries
+FROM events
+""",
+    tags=("fn",),
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map family: parse the JSON payload to MapType, then keys/values/
-    element_at. Rows-only: DuckDB has no MAP-from-JSON equivalent with
-    matching canonical form."""
+    """Map family: parse the JSON payload to MapType, then keys /
+    element_at / cardinality — canonicalized to strings and scalars
+    (DuckDB mirrors via json_keys)."""
     ev = table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.array_join(F.map_keys(m), ",").alias("keys"),
-        F.array_join(F.map_values(m), ",").alias("vals"),
+        F.coalesce(F.array_join(F.map_keys(m), ","), F.lit("")).alias("keys"),
         F.element_at(m, "k").cast("bigint").alias("k_val"),
-        F.size(F.map_entries(m)).alias("n_entries"),
+        F.coalesce(F.size(F.map_entries(m)).cast("long"), F.lit(-1)).alias(
+            "n_entries"
+        ),
     )
 
 

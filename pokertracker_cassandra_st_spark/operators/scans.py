@@ -61,13 +61,24 @@ def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_quantity", "l_shipdate")
 
 
-@register("q_sink_roundtrip", oracle=None, tags=("sink",))
+@register(
+    "q_sink_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("sink",),
+)
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a projection to parquet, read it back (Tier A1 sink).
 
-    Rows-only check: the observable is that the round-trip preserves
-    rows and schema. Written under the repo scratch dir (the only
-    writable location per the task rules).
+    Oracle = the same aggregate computed directly on the source: the
+    parquet round-trip must be lossless, so the post-roundtrip numbers
+    equal the never-written ones. Written under the repo scratch dir
+    (the only writable location per the task rules).
 
     Scale notes: the write is partitioned by the natural query key
     (l_returnflag) — at scale this gives partition pruning to every

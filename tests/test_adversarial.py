@@ -43,6 +43,7 @@ EVENT_QUERIES = [
     "q_win_range_frame",
     "q_join_asof",
     "q_fn_json",
+    "q_fn_map",
     "q_udf_python",
     "q_udf_pandas",
     "q_udaf_pandas",
