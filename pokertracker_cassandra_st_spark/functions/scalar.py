@@ -101,6 +101,53 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_date2",
+    oracle="""
+SELECT o_orderkey,
+       quarter(o_orderdate) AS q,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS STRING) AS plus3m,
+       CAST(CAST(CAST(o_orderdate AS DATE)
+                 + INTERVAL 1 DAY * (CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0
+                                          THEN 7 ELSE (8 - isodow(o_orderdate)) % 7 END)
+                 AS DATE) AS STRING) AS next_monday,
+       (2002 - year(o_orderdate)) * 12 - month(o_orderdate) + 1 AS months_to_2002
+FROM orders
+""",
+    tags=("fn",),
+)
+def q_fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date family: quarter/week/day-of-year, add_months,
+    next_day, whole-month distance.
+
+    Dialect notes: DuckDB has no next_day — the oracle derives the
+    strictly-next Monday from isodow; both engines use ISO week
+    numbering for weekofyear.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("string").alias(
+            "plus3m"
+        ),
+        F.next_day(F.col("o_orderdate").cast("date"), "Mon").cast("string").alias(
+            "next_monday"
+        ),
+        (
+            (F.lit(2002) - F.year("o_orderdate")) * 12
+            - F.month("o_orderdate")
+            + 1
+        )
+        .cast("long")
+        .alias("months_to_2002"),
+    )
+
+
+@register(
     "q_fn_math",
     oracle="""
 SELECT p_partkey,
