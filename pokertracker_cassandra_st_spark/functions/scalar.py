@@ -258,6 +258,41 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_trig",
+    oracle="""
+SELECT p_partkey,
+       round(sin(radians(p_size)), 6) AS sin_sz,
+       round(cos(radians(p_size)), 6) AS cos_sz,
+       round(tan(radians(p_size % 89)), 6) AS tan_sz,
+       round(atan(p_size / 50.0), 6) AS atan_sz,
+       round(atan2(p_size, 50), 6) AS atan2_sz,
+       round(degrees(atan(1)) * 4, 6) AS pi_deg,
+       round((exp(p_size / 50.0) - exp(-(p_size / 50.0))) / 2, 6) AS sinh_sz,
+       round((exp(2 * (p_size / 50.0)) - 1) / (exp(2 * (p_size / 50.0)) + 1), 6) AS tanh_sz
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / hyperbolic family — libm implementations differ
+    in the last ulps across engines, so everything is rounded to 6
+    decimals on both sides."""
+    p = table(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(F.radians(sz)), 6).alias("sin_sz"),
+        F.round(F.cos(F.radians(sz)), 6).alias("cos_sz"),
+        F.round(F.tan(F.radians(sz % 89)), 6).alias("tan_sz"),
+        F.round(F.atan(sz / 50.0), 6).alias("atan_sz"),
+        F.round(F.atan2(sz.cast("double"), F.lit(50.0)), 6).alias("atan2_sz"),
+        F.round(F.degrees(F.atan(F.lit(1))) * 4, 6).alias("pi_deg"),
+        F.round(F.sinh(sz / 50.0), 6).alias("sinh_sz"),
+        F.round(F.tanh(sz / 50.0), 6).alias("tanh_sz"),
+    )
+
+
+@register(
     "q_fn_cond",
     oracle="""
 SELECT c_custkey,
