@@ -368,6 +368,63 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SW = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@register(
+    "q_fn_array2",
+    oracle=f"""
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list_intersect(string_split(text, ' '), {_SW}))), ','), '')
+         AS stop_hits,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), t -> NOT list_contains({_SW}, t)))), ','), '')
+         AS content_words,
+       len(list_intersect(string_split(text, ' '), {_SW})) > 0 AS has_stopword,
+       CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS first_the,
+       coalesce(array_to_string(list_filter(string_split(text, ' '), t -> t <> 'the'), ','), '')
+         AS the_removed,
+       array_to_string(flatten([string_split(text, ' ')[1:2], ['|'],
+                                string_split(text, ' ')[1:2]]), ',') AS flat_echo
+FROM documents
+""",
+    tags=("fn",),
+)
+def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations: intersect / except / overlap / position /
+    remove / flatten, canonicalized to sorted joined strings.
+
+    Dialect notes: DuckDB list_intersect returns distinct elements in
+    arbitrary order (Spark array_intersect preserves first-occurrence
+    order), hence sort+distinct canonicalization on both sides;
+    except/remove are expressed with list_filter.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to", "in"]])
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.array_intersect(toks, sw))), ",").alias(
+            "stop_hits"
+        ),
+        F.array_join(F.array_sort(F.array_distinct(F.array_except(toks, sw))), ",").alias(
+            "content_words"
+        ),
+        F.arrays_overlap(toks, sw).alias("has_stopword"),
+        F.coalesce(F.array_position(toks, "the"), F.lit(0)).cast("long").alias(
+            "first_the"
+        ),
+        F.array_join(F.array_remove(toks, "the"), ",").alias("the_removed"),
+        F.array_join(
+            F.flatten(
+                F.array(F.slice(toks, 1, 2), F.array(F.lit("|")), F.slice(toks, 1, 2))
+            ),
+            ",",
+        ).alias("flat_echo"),
+    )
+
+
 @register(
     "q_fn_map",
     oracle="""

@@ -99,6 +99,7 @@ DOC_QUERIES = [
     "q_dedup_exact",
     "q_udtf_explode",
     "q_fn_array",
+    "q_fn_array2",
     "q_sample_split",
     "q_pipeline_curate",
     "q_multimodal_meta",
