@@ -290,6 +290,30 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_grouping_fn",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def q_agg_grouping_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on a rollup: distinguishes 'aggregated-out'
+    nulls from real null group keys — required for correct
+    cube/rollup consumption when keys can be null."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q_agg_filtered",
     oracle=f"""
 SELECT l_linestatus,
