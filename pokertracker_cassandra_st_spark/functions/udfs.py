@@ -119,6 +119,45 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_udtf_python",
+    oracle="""
+SELECT doc_id, tok AS word, length(tok) AS word_len
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      WHERE doc_id < 50)
+WHERE tok <> ''
+""",
+    tags=("udf",),
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 4 @udtf): one input row -> many output
+    rows from arbitrary Python, registered and invoked through SQL with
+    a LATERAL join. The built-in explode (q_udtf_explode) is the fast
+    path; this is the extension point for logic SQL can't express
+    (custom tokenizers, parsers, format shredders).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, word_len: int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for w in text.split(" "):
+                if w:
+                    yield (w, len(w))
+
+    spark.udtf.register("tokenize_py", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, CAST(t.word_len AS BIGINT) AS word_len
+        FROM docs_udtf d, LATERAL tokenize_py(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+@register(
     "q_udtf_explode",
     oracle="""
 SELECT tok AS word, count(*) AS n
