@@ -456,28 +456,43 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_json",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
-       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+       k_str,
+       CAST(k_str AS BIGINT) AS k_num,
+       CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.missing') END AS BIGINT) AS k_missing,
        coalesce(json_valid(props), FALSE) AS is_json,
-       CASE WHEN json_extract_string(props, '$.k') IS NULL THEN NULL
-            ELSE concat('{"k":', json_extract_string(props, '$.k'), '}') END AS rebuilt
-FROM events
+       CASE WHEN k_str IS NULL THEN NULL
+            ELSE concat('{"k":', k_str, '}') END AS rebuilt
+FROM (
+  -- json_valid guard keeps the oracle total: DuckDB json_extract_string
+  -- ERRORS on malformed JSON, while Spark get_json_object yields NULL
+  SELECT event_id, props,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k_str
+  FROM events
+)
 """,
     tags=("fn", "tier-a"),
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family (Tier A11 generalized): extract, typed cast, missing
-    path -> NULL, validity, re-encode."""
+    path -> NULL, validity, re-encode.
+
+    Validity is a real parse check (``try_parse_json`` -> NULL on
+    malformed input), mirroring DuckDB ``json_valid`` — NOT presence of
+    a particular key, so valid JSON lacking 'k' still reports true.
+    ``rebuilt`` re-encodes from the extracted value and is NULL when
+    '$.k' is missing (Spark concat propagates NULL; the oracle states
+    it with an explicit CASE because DuckDB concat swallows NULLs)."""
     ev = table(spark, sf_dir, "events")
-    parsed = F.from_json("props", "struct<k:bigint>")
+    k_str = F.get_json_object("props", "$.k")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        k_str.alias("k_str"),
+        k_str.cast("bigint").alias("k_num"),
         F.get_json_object("props", "$.missing").cast("bigint").alias("k_missing"),
-        F.get_json_object("props", "$.k").isNotNull().alias("is_json"),
-        F.to_json(parsed).alias("rebuilt"),
+        F.try_parse_json("props").isNotNull().alias("is_json"),
+        F.concat(F.lit('{"k":'), k_str, F.lit("}")).alias("rebuilt"),
     )
 
 

@@ -87,10 +87,13 @@ toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM corpus
 ),
 shingles AS (
+  -- start positions derived from each document's own length
+  -- (unnest over a per-row generate_series list), mirroring Spark's
+  -- sequence(1, size - 4) exactly — no fixed token-count cap that a
+  -- longer corpus could silently exceed
   SELECT DISTINCT doc_id,
-         array_to_string(list_slice(t, i.i, i.i + 4), ' ') AS sh
-  FROM toks CROSS JOIN range(1, 2001) AS i(i)
-  WHERE i.i + 4 <= len(t)
+         array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 common AS (
@@ -159,43 +162,69 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_near_minhash", oracle=None, tags=("llm", "dedup"))
+@register("q_dedup_near_minhash", oracle=_SHINGLE_ORACLE, tags=("llm", "dedup"))
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates (spark.ml MinHashLSH, seeded).
+    """MinHash + LSH candidate generation, exact-verified inside the
+    query (spark.ml MinHashLSH, seeded).
 
     shingle -> HashingTF sparse vector -> minhash signature -> banded
-    bucket join (approxSimilarityJoin). Rows-only: signature hashes are
-    engine-specific; exactness is delegated to q_dedup_ngram_jaccard.
+    bucket join (approxSimilarityJoin) -> EXACT 5-gram Jaccard on the
+    candidate pairs only, keeping pairs >= 0.5. Because verification is
+    exact, the output is deterministic and oracle-checkable (same oracle
+    as q_dedup_ngram_jaccard); the LSH stage only has to achieve recall,
+    which 16 hash tables make a near-certainty (miss probability
+    (1-s)^16 <= 1.5e-5 at s=0.5, and the seed pins the hash family).
+    The LSH prefilter runs at vector-Jaccard 0.4 — slack below the 0.5
+    verify threshold — so HashingTF bucket collisions can't evict a
+    borderline true pair before exact verification.
 
-    Scale notes: this is THE scalable near-dup path — cost is
-    O(n · hashes) plus a bucket-join whose fan-out is controlled by the
-    band width; no quadratic pair enumeration.
+    Scale notes: this is THE scalable near-dup path — candidate cost is
+    O(n · hashes) plus a bucket-join whose fan-out the band width
+    controls, and the exact verification touches only candidate pairs —
+    never all-pairs. The same tiering as q_dedup_ngram_jaccard's
+    docstring describes, here fused into one job.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     corpus = augmented_corpus(spark, sf_dir)
     toks = F.split("text", " ")
-    sh = corpus.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
-                lambda i: F.array_join(F.slice(toks, i, 5), " "),
-            )
-        ).alias("shingles"),
+    # distinct 5-gram shingle set per doc — the SAME set the exact tier
+    # and the oracle use (docs shorter than one shingle drop out)
+    sh = (
+        corpus.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.array_join(F.slice("t", i, 5), " "),
+                )
+            ).alias("shingles"),
+        )
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    vecs = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    vecs = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
     model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    cand = (
+        model.approxSimilarityJoin(vecs, vecs, 0.6, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetA.shingles").alias("sh_a"),
             F.col("datasetB.doc_id").alias("id_b"),
-            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+            F.col("datasetB.shingles").alias("sh_b"),
         )
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -260,4 +289,83 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
         )
         .distinct()
+    )
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), aug AS (
+  SELECT vec_id, label, emb FROM base
+  UNION ALL
+  SELECT vec_id + {AUG_OFFSET} AS vec_id, label,
+         list_concat(emb[1:63], [CAST(0.0 AS DOUBLE)]) AS emb
+  FROM base
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.emb, b.emb) /
+           (sqrt(list_dot_product(a.emb, a.emb)) *
+            sqrt(list_dot_product(b.emb, b.emb))) AS raw
+  FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(raw, 6) AS cosine
+FROM pairs WHERE raw >= 0.98
+"""
+
+
+@register("q_dedup_embedding", oracle=_EMB_DEDUP_ORACLE, tags=("llm", "dedup"))
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs of vectors with cosine >= 0.98,
+    blocked by the coarse cluster column (label) so candidate pairing is
+    per-cell, never all-pairs.
+
+    The corpus is augmented with a perturbed copy of every vector (last
+    dimension zeroed, vec_id + AUG_OFFSET, same label) so near-dup pairs
+    provably exist: cos(v, v') = sqrt(1 - v_64^2/|v|^2) ~ 0.99 for
+    spread-out 64-dim vectors, while unrelated within-label pairs sit
+    below 0.5 in the fixture. Dot products run in double via JVM
+    higher-order functions (zip_with + aggregate) — no Python in the
+    hot path — and the cosine is exact, so the result is deterministic
+    and oracle-checkable.
+
+    Scale notes: blocking by cell bounds the pair count to
+    sum(cell_size^2) instead of n^2 — the same IVF-style partitioning as
+    q_sim_ivf, and at 100 TB the cells are partition keys so each
+    cell's pair join is co-located. Cross-cell near-dups are out of
+    scope by design (recall comes from the cell assignment, e.g. a
+    coarse k-means — the standard ANN-dedup tradeoff).
+    """
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    mut = base.select(
+        (F.col("vec_id") + AUG_OFFSET).alias("vec_id"),
+        "label",
+        F.concat(F.slice("emb", 1, 63), F.array(F.lit(0.0))).alias("emb"),
+    )
+    aug = base.unionByName(mut)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    a = aug.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("l_a"),
+        F.col("emb").alias("e_a"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n_a"),
+    )
+    b = aug.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("l_b"),
+        F.col("emb").alias("e_b"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n_b"),
+    )
+    raw = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("raw", raw)
+        .filter(F.col("raw") >= 0.98)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cosine"))
     )

@@ -111,19 +111,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_multimodal_framesample", oracle=None, tags=("llm", "multimodal"))
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling shape: explode each payload into every-64th-byte
+    """Frame sampling shape: explode each payload into fixed-size
     'frames' (stand-in for video frame extraction), keeping (doc_id,
-    frame_no, frame_bytes) rows — the fan-out pattern a video pipeline
-    uses, bounded per row."""
-    p = _payloads(spark, sf_dir)
+    frame_no, frame_chunk) rows — the fan-out pattern a video pipeline
+    uses, bounded per row.
+
+    Count and slice both operate on the DECODED string (character
+    domain), so n_frames and chunk lengths stay consistent even for
+    multi-byte UTF-8 payloads — a byte-based count with char-based
+    slicing would leave trailing empty chunks."""
+    p = (
+        _payloads(spark, sf_dir)
+        .select("doc_id", F.decode("payload", "utf-8").alias("txt"))
+        # sub-frame payloads yield zero frames (also guards Spark's
+        # sequence(0, -1) flipping DESCENDING for short inputs)
+        .filter(F.length("txt") >= 64)
+    )
     frames = p.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.floor(F.length("payload") / 64) - 1),
-                lambda i: F.substring(
-                    F.col("payload").cast("string"), (i * 64 + 1).cast("int"), 64
-                ),
+                F.sequence(F.lit(0), F.floor(F.length("txt") / 64) - 1),
+                lambda i: F.substring("txt", (i * 64 + 1).cast("int"), 64),
             )
         ).alias("frame_no", "frame_chunk"),
     )

@@ -16,4 +16,5 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     subqueries,
     analytics,
     timeseries,
+    sqlapi,
 )

@@ -141,18 +141,44 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", oracle=None, tags=("agg",))
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct next to the exact count.
+    """HyperLogLog++ approximate distinct, verified against the exact
+    count inside the query: returns the exact value plus a boolean
+    asserting the sketch landed within 5% relative error (HLL++ at
+    rsd=0.01 is deterministic for fixed data, so the boolean is
+    stable) — which makes the sketch oracle-checkable even though its
+    raw estimate is engine-specific.
 
-    Rows-only: sketch estimates are engine-specific by design. At 100 TB
-    the approx path is the default (fixed-size sketch state, mergeable
-    map-side; exact distinct must shuffle every distinct value).
-    """
+    At 100 TB the approx path is the default (fixed-size sketch state,
+    mergeable map-side; exact distinct must shuffle every distinct
+    value)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.05
+            ).alias("approx_within_tol"),
+        )
     )
 
 
@@ -275,17 +301,43 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_percentile_approx", oracle=None, tags=("agg",))
+@register(
+    "q_agg_percentile_approx",
+    oracle="""
+SELECT l_linestatus,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       TRUE AS approx_within_tol
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    tags=("agg",),
+)
 def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch) next to the exact one.
+    """approx_percentile (GK sketch) verified against the exact
+    percentile inside the query: returns the exact value plus a boolean
+    asserting the sketch landed within 5% relative error (the sketch is
+    deterministic for fixed data + accuracy, so the boolean is stable)
+    — making the sketch oracle-checkable even though its raw estimate
+    is engine-specific.
 
-    Rows-only (sketch is engine-specific). At 100 TB the sketch is the
-    only viable path — fixed memory, mergeable across executors.
-    """
+    At 100 TB the sketch is the only viable path — fixed memory,
+    mergeable across executors; exact percentile needs a full sort."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+        )
+        .select(
+            "l_linestatus",
+            "p50_exact",
+            (
+                F.abs(F.col("_approx") - F.col("p50_exact"))
+                / F.abs(F.col("p50_exact"))
+                <= 0.05
+            ).alias("approx_within_tol"),
+        )
     )
 
 

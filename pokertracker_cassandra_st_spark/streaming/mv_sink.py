@@ -42,11 +42,20 @@ def run_streaming_mv(
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         incremental_update(spark, mv_path, batch_df)
 
-    q = (
-        ev.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", f"{mv_path}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = f"{mv_path}_ckpt"
+    try:
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the checkpoint only matters while the query runs (the MV holds
+        # the durable state); drop it so repeated runs don't accumulate
+        # state dirs under scratch — mirrors runner.run_to_table
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(mv_path)

@@ -30,18 +30,25 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str, n_files: int = 1) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, n_files: int = 1, shuffled: bool = False
+) -> DataFrame:
     """events as a file-source stream (ts rebuilt to µs timestamp).
 
     ``n_files > 1`` splits the log into that many time-ordered chunks
     and feeds them one per micro-batch (maxFilesPerTrigger=1) — this is
     how the late-data/watermark semantics are exercised
     deterministically.
+
+    ``shuffled=True`` hash-partitions instead: each micro-batch carries
+    events from across the whole time range, so later batches deliver
+    events OLDER than ones already seen — deterministic out-of-order
+    arrival, for asserting that order-insensitive folds still converge.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file streaming source requires a directory; materialize the
     # event log as n time-ordered files under scratch (cached per sf/n).
-    src = _split_events(spark, sf_dir, n_files)
+    src = _split_events(spark, sf_dir, n_files, shuffled)
     reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -51,21 +58,33 @@ def stream_events(spark: SparkSession, sf_dir: str, n_files: int = 1) -> DataFra
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def _split_events(spark: SparkSession, sf_dir: str, n_files: int) -> str:
-    """Materialize events as n time-ordered files (cached per sf/n)."""
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_files}"
+def _split_events(
+    spark: SparkSession, sf_dir: str, n_files: int, shuffled: bool = False
+) -> str:
+    """Materialize events as n files (cached per sf/n/mode): contiguous
+    time-ordered ranges by default, hash-scattered when ``shuffled``."""
+    mode = "shuf" if shuffled else "ord"
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_files}_{mode}"
     out = f"{SCRATCH}/events_split_{key}"
     marker = f"{out}/_SUCCESS"
     if not os.path.exists(marker):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # deterministic chunks: event_id order ~ arrival order
-        (
-            ev.repartitionByRange(n_files, "event_id")
-            .sortWithinPartitions("event_id")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        if shuffled:
+            # deterministic hash scatter: consecutive event_ids land in
+            # different chunks, so every chunk spans the full time range
+            part = (
+                ev.withColumn("_b", F.pmod(F.xxhash64("event_id"), F.lit(n_files)))
+                .repartitionByRange(n_files, "_b")
+                .sortWithinPartitions("_b", "event_id")
+                .drop("_b")
+            )
+        else:
+            # deterministic chunks: event_id order ~ arrival order
+            part = ev.repartitionByRange(n_files, "event_id").sortWithinPartitions(
+                "event_id"
+            )
+        part.write.mode("overwrite").parquet(out)
         # The file stream source feeds files in modification-time order;
         # parallel writer tasks finish in arbitrary order, so restamp
         # mtimes to match chunk (= time) order for deterministic replay.

@@ -103,6 +103,51 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_outoforder",
+    oracle=f"""
+SELECT user_id,
+       max(event_id) AS last_event_id,
+       max_by(event_type, event_id) AS last_event_type,
+       (list(value ORDER BY event_id DESC))[1] AS last_value
+FROM events
+GROUP BY user_id
+HAVING max_by(event_type, event_id) <> '{TOMBSTONE}'
+""",
+    tags=("stream", "tier-a"),
+)
+def q_stream_outoforder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replay fold under DISORDERED arrival: micro-batches are
+    hash-scattered slices of the log, so each batch delivers events both
+    newer and older than anything already folded — the reference's
+    read-your-writes invariant (``PlayerResourceIT.java:126-171``) must
+    hold regardless of delivery order.
+
+    The per-key fold keeps the max event_id (the version sequence,
+    Tier A13), which is order-insensitive by construction, so streaming
+    state converges to exactly the batch recomputation (the oracle) even
+    though arrival order is scrambled. No watermark on the fold — late
+    events must still apply, not drop."""
+    ev = stream_events(spark, sf_dir, n_files=4, shuffled=True)
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _fold,
+        outputStructType=_FOLD_OUT_SCHEMA,
+        stateStructType=_FOLD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(folded, "update")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("last_event_id").alias("last_event_id"),
+            F.max_by("last_event_type", "last_event_id").alias("last_event_type"),
+            F.max_by("last_value", "last_event_id").alias("last_value"),
+        )
+        .filter(F.col("last_event_type") != TOMBSTONE)
+    )
+
+
+@register(
     "q_stream_tumbling",
     oracle=f"""
 SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600),

@@ -64,6 +64,17 @@ def adv_dir():
     value = np.round(rng.uniform(0.01, 500, size=n), 2)
     value[rng.rand(n) < 0.05] = np.nan
     props = np.array([f'{{"k": {int(k)}}}' for k in rng.randint(0, 100, size=n)], dtype=object)
+    # valid JSON objects LACKING 'k': is_json must still be true and
+    # k-derived columns NULL (q_fn_json validity is a parse check, not
+    # key presence); kept as objects so q_fn_map's json_keys oracle
+    # stays total (DuckDB json_keys errors on malformed JSON — that
+    # case is covered by test_fn_json_validity on a dedicated table)
+    lacking = rng.rand(n) < 0.08
+    props[lacking] = np.array(
+        [f'{{"other": {int(k)}}}' for k in rng.randint(0, 9, size=int(lacking.sum()))],
+        dtype=object,
+    )
+    props[rng.rand(n) < 0.02] = "{}"
     props[rng.rand(n) < 0.10] = None
     ev = pd.DataFrame(
         {
@@ -204,3 +215,56 @@ def test_oracle_holds_on_adversarial_data(spark, adv_dir, adv_duck, name):
     pdf = q.fn(spark, adv_dir).toPandas()
     odf = adv_duck.execute(q.oracle).fetchdf()
     assert_frames_match(pdf, odf, f"{name}[adversarial]")
+
+
+# JSON payloads q_fn_json must classify correctly even though the shared
+# adversarial fixture can't carry them (q_fn_map's json_keys oracle is
+# only total over valid JSON): malformed, non-object, empty, and
+# object-lacking-k inputs. ADVICE r1: validity is a parse check, not
+# key presence.
+JSON_EDGE_PROPS = [
+    '{"k": 5}',
+    '{"k": -3}',
+    '{"other": 1}',   # valid, lacks k -> is_json true, k_* NULL
+    "{}",
+    "not json",
+    "[1, 2]",         # valid non-object
+    '"str"',
+    "17",
+    "true",
+    "",
+    '{"k":',          # truncated object
+    None,
+]
+
+
+def test_fn_json_validity(spark, tmp_path_factory):
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("json_edge"))
+    n = len(JSON_EDGE_PROPS)
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": (np.arange(n, dtype="int64") + 1_700_000_000) * 1_000_000_000,
+            "user_id": np.ones(n, dtype="int64"),
+            "event_type": ["click"] * n,
+            "value": np.ones(n, dtype="float64"),
+            "props": pd.Series(JSON_EDGE_PROPS, dtype=object),
+        }
+    ).to_parquet(f"{d}/events.parquet", index=False)
+    q = REGISTRY["q_fn_json"]
+    pdf = q.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, "q_fn_json[json-edge]")
+    # and the validity column itself is what a parse check should say
+    by_id = dict(zip(pdf["event_id"], pdf["is_json"]))
+    expect = [True, True, True, True, False, True, True, True, True, False, False, False]
+    assert [bool(by_id[i]) for i in range(n)] == expect

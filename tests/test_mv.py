@@ -54,17 +54,31 @@ def test_tombstone_shadowing(spark, tmp_path):
     # in the base MV (Tier A7 via the merge path)
     events = table(spark, SF, "events")
     path = str(tmp_path / "mv")
-    # find a user whose LAST event is a tombstone
-    last = (
-        events.groupBy("user_id")
-        .agg(F.max_by("event_type", "event_id").alias("t"), F.max("event_id").alias("m"))
-        .filter(F.col("t") == "error")
+    # find a user whose LAST event is a tombstone but whose event just
+    # before it is NOT — so the key is provably live in the base MV
+    # before the tombstone merges in
+    pair = events.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_t"),
+        F.max("event_id").alias("last_id"),
+    )
+    prev = (
+        events.alias("e")
+        .join(pair.alias("p"), F.col("e.user_id") == F.col("p.user_id"))
+        .filter(F.col("e.event_id") < F.col("p.last_id"))
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.max_by("e.event_type", "e.event_id").alias("prev_t"))
+    )
+    cand = (
+        pair.join(prev, "user_id")
+        .filter((F.col("last_t") == "error") & (F.col("prev_t") != "error"))
         .first()
     )
-    assert last is not None, "fixture assumes at least one tombstoned user"
-    uid, last_id = last["user_id"], last["m"]
+    assert cand is not None, "fixture assumes a tombstoned user with a live prior event"
+    uid, last_id = cand["user_id"], cand["last_id"]
     full_refresh(events.filter(F.col("event_id") < last_id), path)
-    assert read_model(spark.read.parquet(path)).filter(F.col("user_id") == uid).count() >= 0
+    # the key must be VISIBLE pre-merge for the post-merge check to mean
+    # anything (its latest base event is non-tombstone by construction)
+    assert read_model(spark.read.parquet(path)).filter(F.col("user_id") == uid).count() == 1
     incremental_update(spark, path, events.filter(F.col("event_id") >= last_id))
     after = read_model(spark.read.parquet(path))
     assert after.filter(F.col("user_id") == uid).count() == 0

@@ -127,3 +127,13 @@ def test_replay_single_shuffle_with_partial_limit(spark, sf_dir):
     plan = plan_of(spark, "q_replay_projection", sf_dir, mode="simple")
     assert plan.count("Exchange") == 1
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark, sf_dir):
+    # union-and-fill as-of: exactly one Exchange (hash on user_id) and
+    # NO join operator at all — the shape that can't explode into a
+    # range join (BroadcastNestedLoopJoin) at 100 TB
+    plan = plan_of(spark, "q_join_asof", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Window" in plan

@@ -1,0 +1,65 @@
+"""Contract tests for the driver-facing registry ordering.
+
+The driver's correctness gate checks the first 50 registry entries;
+registry.WINDOW pins which queries those are. These tests lock the
+invariants that make the round-2 rotation plan work: the window is
+exactly the first 50, fully oracle-backed, and covers every operator
+family from SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+from pokertracker_cassandra_st_spark.registry import (
+    REGISTRY,
+    WINDOW,
+    get_oracles,
+    get_queries,
+)
+
+# one representative name-prefix per §2.1 family (VERDICT r1 table)
+FAMILY_PREFIXES = {
+    "scan/sink": ("q_scan_", "q_sink_"),
+    "filter": ("q_filter_",),
+    "join": ("q_join_",),
+    "agg": ("q_agg_",),
+    "window": ("q_win_",),
+    "sort/topk": ("q_sort_", "q_topk"),
+    "setop": ("q_set_",),
+    "reshape/sample": ("q_unpivot", "q_sample_", "q_agg_pivot"),
+    "replay": ("q_replay_", "q_scd2_"),
+    "subquery/cte": ("q_subquery_", "q_lateral_", "q_recursive_"),
+    "composite": ("q_tpch_", "q_skew_"),
+    "timeseries": ("q_ts_",),
+    "scalar-fn": ("q_fn_",),
+    "udf": ("q_udf_", "q_udaf_", "q_udtf_"),
+    "streaming": ("q_stream_",),
+    "dedup": ("q_dedup_",),
+    "similarity": ("q_sim_",),
+    "text": ("q_text_",),
+    "multimodal": ("q_multimodal_",),
+    "pipeline": ("q_pipeline_",),
+    "formats": ("q_source_",),
+}
+
+
+def test_window_is_first_50_and_oracle_backed():
+    names = list(get_queries())
+    assert len(WINDOW) == 50 == len(set(WINDOW))
+    assert names[: len(WINDOW)] == WINDOW
+    oracles = get_oracles()
+    missing = [n for n in WINDOW if n not in oracles]
+    assert not missing, f"window entries without an oracle: {missing}"
+
+
+def test_window_covers_every_family():
+    uncovered = [
+        fam
+        for fam, prefixes in FAMILY_PREFIXES.items()
+        if not any(n.startswith(p) for p in prefixes for n in WINDOW)
+    ]
+    assert not uncovered, f"families with no driver-window entry: {uncovered}"
+
+
+def test_every_query_registered_and_named():
+    get_queries()
+    assert all(n.startswith("q_") for n in REGISTRY)
