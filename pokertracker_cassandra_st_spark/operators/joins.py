@@ -362,3 +362,79 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_click.click_value").alias("last_click_value"),
         )
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       {o_fmt_ts('p.ts')} AS purchase_ts,
+       CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE
+            THEN {o_fmt_ts('c.ts')} END AS last_click_ts,
+       CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE
+            THEN c.value END AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("join",),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance (pandas merge_asof semantics): the
+    latest same-user click at-or-before each purchase counts only if it
+    is at most 30 minutes old — older matches null out, exactly as a
+    feature-engineering join would refuse stale context.
+
+    Same union-and-fill shape as q_join_asof (one shuffle on user_id,
+    no range-join explosion); the tolerance is one post-fill predicate
+    in exact microseconds. Oracle: DuckDB native ASOF JOIN + the same
+    staleness CASE.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    unioned = (
+        purchases.withColumn("click_value", F.lit(None).cast("double"))
+        .withColumn("click_ts", F.lit(None).cast("timestamp"))
+        .withColumn("side", F.lit(1))
+        .unionByName(
+            clicks.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+                "side", F.lit(0)
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_row = F.when(F.col("side") == 0, F.struct("click_ts", "click_value"))
+    fresh = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click.click_ts"))
+    ) <= 1800 * 1_000_000
+    return (
+        unioned.withColumn("last_click", F.last(click_row, ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.when(
+                fresh, F.date_format("last_click.click_ts", "yyyy-MM-dd HH:mm:ss")
+            ).alias("last_click_ts"),
+            F.when(fresh, F.col("last_click.click_value")).alias("last_click_value"),
+        )
+    )

@@ -80,3 +80,106 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_last_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "q_ts_downsample",
+    oracle=f"""
+SELECT user_id,
+       strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+                ((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600),
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       (list(value ORDER BY event_id))[1]      AS open_value,
+       (list(value ORDER BY event_id DESC))[1] AS close_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(*)   AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("timeseries",),
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style downsampling: irregular events -> fixed 6-hour buckets
+    per user with open/close (first/last by the event_id sequence) and
+    min/max. The resample primitive every metrics/feature pipeline needs.
+
+    Scale notes: one partial-aggregated shuffle on (user_id, bucket);
+    open/close ride the same hash aggregate via min_by/max_by — no sort,
+    no window, no second pass."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_format(
+                F.window("ts", "6 hours")["start"], "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket_start"),
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("open_value"),
+            F.max_by("value", "event_id").alias("close_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_ts_sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_no
+""",
+    tags=("timeseries",),
+)
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization (30-minute inactivity gap): lag -> gap flag
+    -> running-sum session number -> per-session aggregate. The batch
+    twin of q_stream_session (which uses session_window); both
+    formulations must and do agree with the same lag+cumsum oracle.
+
+    Scale notes: two window passes over one shuffle on user_id (lag and
+    cumsum share the partitioning), then the session aggregate reuses
+    the same keys — no self-join, no iterative pass."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared in exact microseconds — a seconds-truncated cast
+    # would disagree with the oracle's exact interval comparison when a
+    # gap straddles the 30-minute boundary by a fraction of a second
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn("sess_no", F.sum("new_sess").over(wsum))
+    return (
+        numbered.groupBy("user_id", "sess_no")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("sess_no")
+    )

@@ -372,3 +372,40 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
     ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
     return run_to_table(joined, "append")
+
+
+@register(
+    "q_stream_mv_merge",
+    oracle=f"""
+SELECT user_id,
+       max(event_id) AS last_event_id,
+       max_by(event_type, event_id) AS last_event_type,
+       (list(value ORDER BY event_id DESC))[1] AS last_value
+FROM events
+GROUP BY user_id
+HAVING max_by(event_type, event_id) <> '{TOMBSTONE}'
+""",
+    tags=("stream", "tier-a"),
+)
+def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment-shaped sink: foreachBatch -> incrementally merged
+    parquet materialized view (streaming/mv_sink.py), then read the MV
+    back through the tombstone-hiding read model. Four micro-batches
+    each fold their slice and last-write-wins-merge into the MV; the
+    final MV must equal a batch replay of the whole log (the oracle) —
+    the reference query service's read-your-writes invariant at the
+    durable-storage layer rather than the memory sink.
+
+    Scale notes: per batch only that batch's keys shuffle; MV state
+    lives in the table itself (restart-stateless), and the parquet
+    swap stands in for a lakehouse MERGE INTO."""
+    import os
+
+    from pokertracker_cassandra_st_spark.plans.mv import read_model
+    from pokertracker_cassandra_st_spark.streaming.mv_sink import run_streaming_mv
+    from pokertracker_cassandra_st_spark.streaming.runner import SCRATCH
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    mv_path = f"{SCRATCH}/mv_merge_{sf_name}"
+    mv = run_streaming_mv(spark, sf_dir, mv_path, n_files=4)
+    return read_model(mv)
