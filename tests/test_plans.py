@@ -137,3 +137,26 @@ def test_asof_join_single_shuffle_no_range_explosion(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_downsample_single_partial_agg_shuffle(spark, sf_dir):
+    # OHLC downsample: partial + final HashAggregate around ONE Exchange
+    # — open/close ride min_by/max_by in the same aggregate, no window
+    plan = plan_of(spark, "q_ts_downsample", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # batch sessionization: lag + cumsum + session agg all reuse ONE
+    # hash partitioning on user_id
+    plan = plan_of(spark, "q_ts_sessionize", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_asof_tolerance_keeps_asof_shape(spark, sf_dir):
+    plan = plan_of(spark, "q_join_asof_tolerance", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

@@ -1,0 +1,176 @@
+"""10x scale checkpoint: replicate the sf0.1 tables with shifted keys,
+then re-time and differentially re-check queries at 6M-row scale.
+
+This is the sweep that caught the two round-1 scale bugs (per-row
+BigDecimal in F.round; HUGEINT->double rounding above 2^53) — issues
+invisible at the driver's gate scale. Run it after material engine
+changes:
+
+    python tools/scale_check.py            # build + timings
+    python tools/scale_check.py --check    # + DuckDB differential at 10x
+
+Replication rules (keeping join semantics intact):
+  * lineitem/orders: orderkey shifted by replica * (max+1) on BOTH
+    sides so the join layer scales; o_custkey untouched so customer
+    joins still land.
+  * events: event_id shifted (stays a global version sequence);
+    user_id untouched -> 10x events per key (deeper folds, same key
+    count); ns timestamps preserved via pyarrow round-trip.
+  * documents: doc_id shifted; every token suffixed with the replica
+    tag so replica vocabularies are DISJOINT — near-dup pair structure
+    is preserved per replica instead of exploding quadratically across
+    replicas (which would time a different workload, duplicate-heavy
+    corpora, not a bigger one).
+  * other tables copied unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+
+import pandas as pd
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/root/repo/.scratch/sf1x10"
+REPLICAS = 10
+
+TIMED = [
+    "q_agg_groupby",
+    "q_join_sortmerge",
+    "q_win_running",
+    "q_topk",
+    "q_tpch_q3_shape",
+    "q_replay_projection",
+    "q_ts_downsample",
+    "q_ts_sessionize",
+    "q_join_asof",
+    "q_join_asof_tolerance",
+    "q_dedup_exact",
+    "q_text_tfidf",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_components",
+]
+
+CHECKED = [
+    "q_agg_groupby",
+    "q_tpch_q3_shape",
+    "q_replay_projection",
+    "q_ts_downsample",
+    "q_ts_sessionize",
+    "q_join_asof_tolerance",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_text_tfidf",
+]
+
+
+def build() -> str:
+    if os.path.exists(f"{DST}/_DONE"):
+        return DST
+    os.makedirs(DST, exist_ok=True)
+
+    li = pd.read_parquet(f"{SRC}/lineitem.parquet")
+    o = pd.read_parquet(f"{SRC}/orders.parquet")
+    okey_span = int(max(li["l_orderkey"].max(), o["o_orderkey"].max())) + 1
+    pd.concat(
+        [li.assign(l_orderkey=li["l_orderkey"] + i * okey_span) for i in range(REPLICAS)],
+        ignore_index=True,
+    ).to_parquet(f"{DST}/lineitem.parquet", index=False)
+    pd.concat(
+        [o.assign(o_orderkey=o["o_orderkey"] + i * okey_span) for i in range(REPLICAS)],
+        ignore_index=True,
+    ).to_parquet(f"{DST}/orders.parquet", index=False)
+
+    ev = pd.read_parquet(f"{SRC}/events.parquet")
+    eid_span = int(ev["event_id"].max()) + 1
+    pd.concat(
+        [ev.assign(event_id=ev["event_id"] + i * eid_span) for i in range(REPLICAS)],
+        ignore_index=True,
+    ).to_parquet(f"{DST}/events.parquet", index=False)
+
+    d = pd.read_parquet(f"{SRC}/documents.parquet")
+    did_span = int(d["doc_id"].max()) + 1
+    reps = []
+    for i in range(REPLICAS):
+        tag = f"_r{i}"
+        reps.append(
+            d.assign(
+                doc_id=d["doc_id"] + i * did_span,
+                text=d["text"].str.replace(" ", f"{tag} ", regex=False) + tag,
+            )
+        )
+    pd.concat(reps, ignore_index=True).to_parquet(f"{DST}/documents.parquet", index=False)
+
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    open(f"{DST}/_DONE", "w").close()
+    return DST
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true", help="also run the DuckDB differential")
+    ap.add_argument("--best-of", type=int, default=3)
+    args = ap.parse_args()
+
+    sf_dir = build()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from pokertracker_cassandra_st_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+
+    results = {}
+    for name in TIMED:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).toPandas()  # warm (JIT, file listing)
+        best = min(
+            _timed(lambda: fn(spark, sf_dir).toPandas()) for _ in range(args.best_of)
+        )
+        results[name] = round(best, 3)
+        print(f"{name:28s} {best:7.3f} s")
+    print({"sf": "sf0.1 x10", "queries": results})
+
+    if args.check:
+        import duckdb
+
+        from tests.differ import assert_frames_match
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in CHECKED:
+            q = REGISTRY[name]
+            pdf = q.fn(spark, sf_dir).toPandas()
+            assert_frames_match(pdf, con.execute(q.oracle).fetchdf(), f"{name}[10x]")
+            print(f"differential OK  {name}")
+        con.close()
+
+
+def _timed(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    main()
