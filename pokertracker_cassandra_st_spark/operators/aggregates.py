@@ -459,3 +459,31 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+SELECT l_orderkey,
+       bit_or(CAST(l_linenumber AS BIGINT))  AS lines_or,
+       bit_and(CAST(l_linenumber AS BIGINT)) AS lines_and,
+       bit_xor(CAST(l_linenumber AS BIGINT)) AS lines_xor,
+       count(*) AS n
+FROM lineitem
+WHERE l_orderkey < 1000
+GROUP BY l_orderkey
+""",
+    tags=("agg",),
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_or/bit_and/bit_xor) — the flag-set /
+    bitmap-index building blocks; all three run as partial-aggregatable
+    hash aggregates, so the shuffle carries one long per key."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    ln = F.col("l_linenumber").cast("long")
+    return li.groupBy("l_orderkey").agg(
+        F.bit_or(ln).alias("lines_or"),
+        F.bit_and(ln).alias("lines_and"),
+        F.bit_xor(ln).alias("lines_xor"),
+        F.count("*").alias("n"),
+    )

@@ -133,3 +133,44 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+SELECT lang,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                        CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN '80'
+                                  ELSE 'cc' END) AS n_sampled,
+       min(doc_id) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                        CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN '80'
+                                  ELSE 'cc' END) AS min_sampled_id
+FROM documents
+GROUP BY lang
+""",
+    tags=("llm",),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: per-language sampling at different
+    rates (downsample the dominant 'en' stratum to ~25%, 'zh' to ~50%,
+    others kept at ~80%) with a DETERMINISTIC inclusion rule — the first
+    md5 byte of the key against a per-stratum hex threshold. Unlike
+    rand()-based sampleBy, the same doc is always in or out, across
+    retries, engines, and cluster re-planning — the property a 100 TB
+    training-data pipeline needs for reproducible mixtures.
+
+    Scale notes: the inclusion test is a scan-parallel expression (md5
+    is JVM-side); one partial-aggregated shuffle on the stratum key."""
+    d = table(spark, sf_dir, "documents")
+    thresh = (
+        F.when(F.col("lang") == "en", "40")
+        .when(F.col("lang") == "zh", "80")
+        .otherwise("cc")
+    )
+    picked = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(picked, 1)).alias("n_sampled"),
+        F.min(F.when(picked, F.col("doc_id"))).alias("min_sampled_id"),
+    )

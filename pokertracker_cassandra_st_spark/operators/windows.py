@@ -217,3 +217,37 @@ def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+SELECT c_custkey,
+       -- NULLS FIRST spelled out: Spark's ascending default, while
+       -- DuckDB defaults to NULLS LAST (diverges on null balances)
+       CAST(ntile(10) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey)
+            AS BIGINT) AS decile,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal NULLS FIRST, c_custkey)
+            AS BIGINT) AS seg_quartile
+FROM customer
+""",
+    tags=("win",),
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing: global account-balance deciles plus
+    per-segment quartiles (ntile), tie-broken by the unique key so
+    bucket assignment is deterministic.
+
+    Scale notes: the global ntile is a single-partition window — fine
+    for ranked reporting output, but the partitioned form (seg_quartile)
+    is the scalable shape; at 100 TB replace a global ntile with
+    approx-quantile cutpoints + a broadcast range lookup."""
+    c = table(spark, sf_dir, "customer")
+    w_all = Window.orderBy("c_acctbal", "c_custkey")
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w_all).cast("long").alias("decile"),
+        F.ntile(4).over(w_seg).cast("long").alias("seg_quartile"),
+    )

@@ -48,6 +48,9 @@ EVENT_QUERIES = [
     "q_udf_pandas",
     "q_udaf_pandas",
     "q_ts_gapfill",
+    "q_ts_downsample",
+    "q_ts_sessionize",
+    "q_join_asof_tolerance",
 ]
 
 
@@ -115,6 +118,9 @@ DOC_QUERIES = [
     "q_pipeline_curate",
     "q_multimodal_meta",
     "q_dedup_ngram_jaccard",
+    "q_dedup_editdist",
+    "q_dedup_components",
+    "q_sample_stratified",
 ]
 
 
@@ -170,11 +176,20 @@ REL_QUERIES = [
     "q_agg_collect",
     "q_agg_filtered",
     "q_join_nullsafe",
+    "q_agg_bitwise",
+    "q_win_ntile",
+    "q_sql_pricing_summary",
+    "q_sql_top_customers",
+    "q_sql_window",
+    "q_sql_exists",
+    "q_sql_cte",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)
 STREAM_QUERIES = [
     "q_stream_replay",
+    "q_stream_outoforder",
+    "q_stream_mv_merge",
     "q_stream_tumbling",
     "q_stream_session",
     "q_stream_dedup",
