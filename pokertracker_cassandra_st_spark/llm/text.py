@@ -74,22 +74,30 @@ SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
     tags=("llm", "text", "bench"),
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document, computed with DataFrame ops
-    (tokenize -> tf -> df -> idf join -> windowed top-k)."""
+    """Top-3 TF-IDF terms per document: tokenize -> tf -> document
+    frequency as a count over a term-partitioned window -> top-k.
+
+    The window form computes df WITHOUT a second aggregation branch, so
+    the corpus is tokenized exactly once (the join form re-executes the
+    tokenize+tf lineage for its df side unless tf is materialized —
+    measured 1.03s vs 0.75s at sf0.1). Tradeoff at 100 TB: stopword
+    terms make hot window partitions; there, materialize tf once
+    (cache/checkpoint) and shuffle-JOIN a separately aggregated df on
+    term so AQE's skew handling applies — same output, documented here
+    because the right physical shape flips with corpus size."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()
+    w_df = Window.partitionBy("term")
     tfidf = F.round(
-        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        F.col("tf") * F.log((n_docs + 1.0) / (F.count("*").over(w_df) + 1.0)), 6
     ).alias("tfidf")
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        tf.join(F.broadcast(df), "term")
-        .select("doc_id", "term", tfidf)
+        tf.select("doc_id", "term", tfidf)
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )

@@ -438,3 +438,29 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("last_click.click_value")).alias("last_click_value"),
         )
     )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name, (n.n_regionkey = r.r_regionkey) AS is_home
+FROM region r CROSS JOIN nation n
+""",
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two BOUNDED dims (5 regions x 25 nations =
+    125 rows) — the template grid every region/nation combination
+    reporting needs. Explicit crossJoin with a broadcast side.
+
+    Scale notes: cross joins are safe ONLY when one side is provably
+    bounded (broadcast nested loop over a dim); the engine never crosses
+    two sf-scaled tables — unbounded theta shapes go through the band
+    rewrite (q_join_band) instead."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )

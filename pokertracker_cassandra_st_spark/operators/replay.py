@@ -171,3 +171,91 @@ def q_replay_tombstone_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+_CDC_ORACLE = f"""
+WITH split AS (
+  -- integer floor division: CAST(x/2 AS BIGINT) would ROUND-half-even
+  -- while the engine's Python // floors
+  SELECT max(event_id) // 2 AS s FROM events
+),
+old_model AS (
+  SELECT user_id, event_id AS last_event_id, value AS last_value
+  FROM (SELECT user_id, event_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id <= (SELECT s FROM split))
+  WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+),
+new_model AS (
+  SELECT user_id, event_id AS last_event_id, value AS last_value
+  FROM (SELECT user_id, event_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.last_event_id AS old_event_id,
+       n.last_event_id AS new_event_id,
+       n.last_value    AS new_value
+FROM old_model o
+FULL OUTER JOIN new_model n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.last_event_id <> n.last_event_id
+"""
+
+
+@register("q_replay_cdc_diff", oracle=_CDC_ORACLE, tags=("replay", "tier-a"))
+def q_replay_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two read-model snapshots: fold the
+    log up to its midpoint and in full, then emit the per-key delta —
+    insert (key only in the new model), delete (tombstoned since the
+    split), update (newer last_event_id). This is the changefeed a
+    downstream consumer of the reference's read model would subscribe
+    to, derived purely from the log.
+
+    Scale notes: both folds share one shuffle layout on user_id and the
+    diff is a co-partitioned full outer join on the same key — three
+    same-key operations, no second shuffle key. The midpoint scalar is
+    one driver-side max() (same precedent as TF-IDF's n_docs).
+    """
+    events = table(spark, sf_dir, "events")
+    split_id = events.agg(F.max("event_id")).first()[0] // 2
+
+    def model(ev: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != TOMBSTONE))
+            .select("user_id", "event_id", "value")
+        )
+
+    old = model(events.filter(F.col("event_id") <= split_id)).select(
+        F.col("user_id").alias("o_user"),
+        F.col("event_id").alias("old_event_id"),
+    )
+    new = model(events).select(
+        F.col("user_id").alias("n_user"),
+        F.col("event_id").alias("new_event_id"),
+        F.col("value").alias("new_value"),
+    )
+    joined = old.join(new, old.o_user == new.n_user, "full_outer")
+    return (
+        joined.filter(
+            F.col("o_user").isNull()
+            | F.col("n_user").isNull()
+            | (F.col("old_event_id") != F.col("new_event_id"))
+        )
+        .select(
+            F.coalesce("o_user", "n_user").alias("user_id"),
+            F.when(F.col("o_user").isNull(), "insert")
+            .when(F.col("n_user").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old_event_id",
+            "new_event_id",
+            "new_value",
+        )
+    )

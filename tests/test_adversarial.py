@@ -45,12 +45,14 @@ EVENT_QUERIES = [
     "q_fn_json",
     "q_fn_map",
     "q_udf_python",
+    "q_udf_arrow",
     "q_udf_pandas",
     "q_udaf_pandas",
     "q_ts_gapfill",
     "q_ts_downsample",
     "q_ts_sessionize",
     "q_join_asof_tolerance",
+    "q_replay_cdc_diff",
 ]
 
 
