@@ -79,3 +79,51 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source round-trip (columnar alternative to parquet)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "q_source_python_ds",
+    oracle="""
+SELECT CAST(100 AS BIGINT)  AS n_players,
+       CAST(1000 AS BIGINT) AS n_events,
+       CAST(0 AS BIGINT)    AS min_version,
+       CAST(9 AS BIGINT)    AS max_version,
+       CAST(100 AS BIGINT)  AS n_created,
+       CAST(TRUE AS BOOLEAN) AS versions_dense
+""",
+    tags=("source",),
+)
+def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API) as a first-class query:
+    read the seeded synthetic event log (sources/event_gen.py — the
+    reference's EVENTS envelope, initial_db.sql:5-12) and verify its
+    structural invariants. The generator's payload content is
+    RNG-driven, but the envelope structure is fully determined by the
+    options, so the oracle is the literal expected structure: 100
+    players x 10 versions, versions dense 0..9, exactly one
+    PlayerCreated per player.
+
+    Scale notes: generation is partition-parallel with per-partition
+    seeded RNGs — no input I/O; on a cluster the same source soak-tests
+    the replay fold at billions of events."""
+    from pokertracker_cassandra_st_spark.sources.event_gen import register_event_log
+
+    register_event_log(spark)
+    df = (
+        spark.read.format("player_event_log")
+        .option("numPlayers", 100)
+        .option("eventsPerPlayer", 10)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.agg(
+        F.countDistinct("ID").alias("n_players"),
+        F.count("*").alias("n_events"),
+        F.min("VERSION").alias("min_version"),
+        F.max("VERSION").alias("max_version"),
+        F.count(F.when(F.col("NAME") == "PlayerCreated", 1)).alias("n_created"),
+        (
+            F.countDistinct(F.struct("ID", "VERSION"))
+            == F.countDistinct("ID") * (F.max("VERSION") + 1)
+        ).alias("versions_dense"),
+    )

@@ -160,3 +160,32 @@ def test_asof_tolerance_keeps_asof_shape(spark, sf_dir):
     plan = plan_of(spark, "q_join_asof_tolerance", sf_dir, mode="simple")
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
+    # the 100 TB semi-join-reduction lever: a selective dim filter
+    # injects a bloom filter into the fact scan so non-qualifying fact
+    # rows die BEFORE the shuffle. Default thresholds require a >=10GB
+    # probe side, so force them here to lock the mechanism itself.
+    from pokertracker_cassandra_st_spark.catalog import table as load
+
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # bloom probe on the fact side
+        assert "bloom_filter_agg" in plan  # filter built from the dim side
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
