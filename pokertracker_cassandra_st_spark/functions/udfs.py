@@ -206,3 +206,37 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return ev.select("event_id", score("value", "event_type").alias("score"))
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+SELECT event_id, user_id,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+""",
+    tags=("udf",),
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score normalization, each
+    group handed to Python as ONE pandas frame (the API for per-entity
+    model scoring / featurization where the whole group is needed at
+    once). Oracle is the windowed SQL formulation — the two must agree.
+
+    Scale notes: one shuffle on the grouping key; each group must fit
+    in one executor's memory (the API's documented contract) — for
+    unbounded groups use the windowed SQL form instead, which streams.
+    """
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std()  # ddof=1, matches stddev_samp
+        out = pdf[["event_id", "user_id"]].copy()
+        out["z"] = ((pdf["value"] - m) / s).round(4)
+        return out
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, z double"
+    )

@@ -85,23 +85,42 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payloads = pdf["payload"]
         if have_codec:  # pragma: no cover
             raise NotImplementedError("real decode path requires codec fixtures")
+        # fake features derived from BYTE LENGTH only — deterministic,
+        # and expressible as octet_length arithmetic in the oracle, so
+        # the mapInPandas plumbing (schema, Arrow batches, partition
+        # parallelism) gets a full differential check even though the
+        # decode itself is stubbed
+        blen = payloads.map(len)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": payloads.map(len),
-                # fake "width"/"height": first/last byte (deterministic)
-                "width": payloads.map(lambda b: (b[0] if len(b) else 0) + 1),
-                "height": payloads.map(lambda b: (b[-1] if len(b) else 0) + 1),
-                "n_frames": payloads.map(lambda b: max(1, len(b) // 64)),
+                "byte_len": blen,
+                "width": blen % 256 + 1,
+                "height": blen // 256 % 256 + 1,
+                "n_frames": blen.map(lambda n: max(1, n // 64)),
             }
         )
 
 
-@register("q_multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       octet_length(encode(text)) % 256 + 1 AS width,
+       octet_length(encode(text)) // 256 % 256 + 1 AS height,
+       greatest(1, octet_length(encode(text)) // 64) AS n_frames
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract via mapInPandas (Arrow batches of
-    binary payloads -> typed feature rows). Decode itself is stubbed
-    (no codecs in the container); the distributed plumbing is real."""
+    binary payloads -> typed feature rows). The decode itself is a
+    clearly-marked STUB (no codecs in the container) emitting
+    byte-length-derived fake features — which makes the REAL part
+    (Arrow batch shape, schema, partition-parallel execution) fully
+    oracle-checkable instead of rows-only."""
     p = _payloads(spark, sf_dir)
     return p.mapInPandas(
         _decode_batch,
@@ -109,7 +128,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_framesample", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "q_multimodal_framesample",
+    oracle="""
+SELECT doc_id,
+       len(text) // 64 AS n_frames,
+       CAST(64 AS BIGINT) AS min_chunk
+FROM documents
+WHERE len(text) >= 64
+""",
+    tags=("llm", "multimodal"),
+)
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling shape: explode each payload into fixed-size
     'frames' (stand-in for video frame extraction), keeping (doc_id,
@@ -138,5 +167,8 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
-        F.min(F.length("frame_chunk")).alias("min_chunk"),
+        # every chunk is a full 64 chars by construction (count and
+        # slice share the char domain), which is what makes this
+        # oracle-expressible: n_frames = len//64, min_chunk = 64
+        F.min(F.length("frame_chunk")).cast("long").alias("min_chunk"),
     )

@@ -244,16 +244,35 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_latedata", oracle=None, tags=("stream",))
+@register(
+    "q_stream_latedata",
+    oracle="""
+WITH agg AS (
+  SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+           ((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900) AS wstart,
+         event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
+FROM agg
+WHERE wstart + INTERVAL 15 MINUTE < (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+""",
+    tags=("stream",),
+)
 def q_stream_latedata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics: 10-minute watermark over 8 time-ordered
     micro-batches; events arriving behind the watermark are dropped
-    from the windowed aggregate.
+    from the windowed aggregate, and append mode emits only closed
+    windows.
 
-    Rows-only for the driver (arrival order isn't SQL-expressible);
-    tests/test_streaming.py checks the batch-equivalence invariant:
-    with in-order arrival nothing is late, so append-mode output ==
-    batch recomputation of closed windows.
+    Oracle-checkable: with in-order arrival nothing is late, and the
+    availableNow final flush makes the emitted set exactly the windows
+    whose end precedes the final watermark (max event time - 10min) —
+    no reference to micro-batch boundaries needed. The genuinely
+    arrival-order-dependent drop path is exercised by
+    tests/test_streaming.py with a deliberately disordered feed.
     """
     ev = stream_events(spark, sf_dir, n_files=8)
     agg = (
@@ -409,3 +428,51 @@ def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv_path = f"{SCRATCH}/mv_merge_{sf_name}"
     mv = run_streaming_mv(spark, sf_dir, mv_path, n_files=4)
     return read_model(mv)
+
+
+@register(
+    "q_stream_chained",
+    oracle="""
+WITH agg AS (
+  SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+           ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) AS wstart,
+         event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
+FROM agg
+WHERE wstart + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+""",
+    tags=("stream",),
+)
+def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: at-least-once
+    delivery (stream unioned with itself) -> dropDuplicatesWithinWatermark
+    -> tumbling-window count, append mode. Two state stores live in the
+    same query; the dedup store bounds itself by the watermark and the
+    window store emits only closed windows.
+
+    Oracle-checkable because the final emission set is deterministic:
+    availableNow ends with a no-data flush batch, so the emitted
+    windows are exactly those whose end precedes the FINAL watermark
+    (max event time - 1h) — SQL-expressible with no reference to
+    micro-batch boundaries; counts equal the batch recomputation over
+    the deduplicated (= clean) log. tests/test_streaming.py asserts the
+    same equivalence DataFrame-side.
+    """
+    a = stream_events(spark, sf_dir, n_files=4).withWatermark("ts", "1 hour")
+    b = stream_events(spark, sf_dir, n_files=4).withWatermark("ts", "1 hour")
+    dd = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
+    agg = dd.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    sink = run_to_table(agg, "append")
+    return sink.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    )

@@ -159,3 +159,42 @@ def test_replay_state_spans_batches(spark, sf_dir):
     )
     merged = out.merge(batch, on="user_id", suffixes=("", "_b"))
     assert (merged["last_event_id"] == merged["last_event_id_b"]).all()
+
+
+def test_chained_dedup_window_agg_matches_batch(spark, sf_dir):
+    # the chained stateful query (dedup -> windowed agg, append mode)
+    # must emit EXACTLY the windows closed by the final watermark, with
+    # counts equal to the batch recomputation over the clean log
+    import pyspark.sql.functions as F
+
+    from pokertracker_cassandra_st_spark.catalog import table
+    from pokertracker_cassandra_st_spark.registry import REGISTRY
+
+    out = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in REGISTRY["q_stream_chained"].fn(spark, sf_dir).collect()
+    }
+    assert out, "chained query emitted nothing"
+
+    # availableNow ends with a no-data flush batch, so the emitted set
+    # is the windows closed by the FINAL watermark (max event time - 1h)
+    import datetime
+
+    ev = table(spark, sf_dir, "events")
+    watermark = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in (
+            ev.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("w.end") < F.lit(watermark))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "event_type",
+                "n",
+            )
+        ).collect()
+    }
+    assert out == expected
