@@ -476,3 +476,100 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+@register(
+    "q_stream_outer_join",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       {o_fmt_ts('p.ts')} AS purchase_ts,
+       {o_fmt_ts('c.ts')} AS click_ts
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+WHERE p.ts < (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)
+UNION ALL
+SELECT p.event_id,
+       CAST(NULL AS BIGINT),
+       p.user_id,
+       {o_fmt_ts('p.ts')},
+       CAST(NULL AS VARCHAR)
+FROM p
+WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE
+          AND c.ts <= p.ts)
+  AND p.ts < (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)
+""",
+    tags=("stream",),
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase pairs with
+    same-user clicks of the preceding 30 minutes, and purchases with NO
+    such click still emit (null click) once the engine can prove no
+    future click can match.
+
+    Null-row emission for purchases in the final (watermark-delay +
+    join-range) window behind max event time depends on micro-batch
+    timing — measured differently at sf0.01 vs sf0.1 — so the query
+    returns the DETERMINISTIC prefix: rows with p_ts older than
+    max(ts) - 40 min (delay 10 + range 30), for which null emission is
+    guaranteed on every run. The oracle applies the same horizon; the
+    trailing window is exactly the data a live deployment would still
+    consider in-flight.
+
+    Scale notes: same state budget as the inner interval join (range +
+    watermark bounded, co-partitioned on user_id); the outer semantics
+    only add the per-row "matched" bit to state. The horizon scalar is
+    one driver-side max() (same precedent as TF-IDF's n_docs).
+    """
+    import datetime
+    ev = stream_events(spark, sf_dir, n_files=4)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    sink = run_to_table(joined, "append")
+    horizon = table(spark, sf_dir, "events").agg(F.max("ts")).first()[
+        0
+    ] - datetime.timedelta(minutes=40)
+    return (
+        sink.filter(F.col("p_ts") < F.lit(horizon))
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+    )
