@@ -189,3 +189,13 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
             "10GB",
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q5_star_join_pushdown_and_broadcast(spark, sf_dir):
+    # the 6-way star: region predicate must reach the region SCAN (not
+    # post-join), and the bounded dims must come in as broadcasts, not
+    # shuffled sort-merge joins
+    plan = plan_of(spark, "q_tpch_q5_shape", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("r_name" in l and "EqualTo" in l for l in pushed)
+    assert plan.count("BroadcastHashJoin") >= 2
