@@ -487,3 +487,32 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(ln).alias("lines_xor"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+       CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000.0 AS bucket_lo,
+       count(*) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("agg",),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (5000-wide price buckets): the profiling /
+    data-quality primitive. One partial-aggregated shuffle keyed by the
+    bucket expression; empty buckets are naturally absent (dense
+    spines come from q_ts_gapfill's sequence+join pattern when needed).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        (bucket * 5000.0).alias("bucket_lo"),
+        F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )

@@ -179,6 +179,7 @@ REL_QUERIES = [
     "q_agg_filtered",
     "q_join_nullsafe",
     "q_agg_bitwise",
+    "q_agg_histogram",
     "q_win_ntile",
     "q_sql_pricing_summary",
     "q_sql_top_customers",

@@ -56,14 +56,33 @@ TIMED = [
 
 CHECKED = [
     "q_agg_groupby",
+    "q_agg_rollup",
+    "q_agg_histogram",
+    "q_agg_approx_distinct",
+    "q_agg_percentile_approx",
     "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
     "q_replay_projection",
+    "q_replay_cdc_diff",
+    "q_scd2_history",
+    "q_win_rank",
+    "q_win_running",
+    "q_ts_gapfill",
     "q_ts_downsample",
     "q_ts_sessionize",
+    "q_join_asof",
     "q_join_asof_tolerance",
+    "q_join_sortmerge",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_dedup_components",
     "q_text_tfidf",
+    "q_text_stats",
+    "q_udf_grouped_map",
+    "q_udf_pandas",
+    "q_sql_pricing_summary",
+    "q_sql_cte",
+    "q_sample_stratified",
 ]
 
 
