@@ -141,6 +141,66 @@ WINDOW: list[str] = [
 ]
 
 
+# Pre-staged rotation for round 3: every query that has never had a
+# driver CORRECTNESS row (40 as of end of round 2 — new round-2 operators
+# plus the families round 2's window displaced) + the flagship + one
+# rep per core family. To rotate, set WINDOW = WINDOW_R3 at the top of
+# round 3; tests/test_registry_window.py re-validates the invariants.
+WINDOW_R3: list[str] = [
+    "q_replay_projection",
+    "q_replay_cdc_diff",
+    "q_join_asof_tolerance",
+    "q_join_cross",
+    "q_agg_bitwise",
+    "q_agg_histogram",
+    "q_win_ntile",
+    "q_sample_stratified",
+    "q_ts_downsample",
+    "q_ts_sessionize",
+    "q_sql_pricing_summary",
+    "q_sql_top_customers",
+    "q_sql_window",
+    "q_sql_exists",
+    "q_sql_cte",
+    "q_fn_date2",
+    "q_fn_string2",
+    "q_fn_trig",
+    "q_fn_cond",
+    "q_fn_array2",
+    "q_fn_map",
+    "q_fn_cast",
+    "q_udf_arrow",
+    "q_udf_grouped_map",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_latedata",
+    "q_stream_stream_join",
+    "q_stream_static_join",
+    "q_stream_mv_merge",
+    "q_stream_chained",
+    "q_stream_outer_join",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_dedup_components",
+    "q_dedup_editdist",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_text_fingerprint",
+    "q_sim_lsh_hyperplane",
+    "q_source_python_ds",
+    # reps of twice-green families keep a current-round signal alive
+    "q_agg_groupby",
+    "q_join_asof",
+    "q_win_rank",
+    "q_scan_pushdown",
+    "q_filter_eq",
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_stream_replay",
+    "q_pipeline_curate",
+]
+
+
 def _ordered() -> dict[str, Query]:
     _load_all()
     missing = [n for n in WINDOW if n not in REGISTRY]

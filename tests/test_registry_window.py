@@ -63,3 +63,19 @@ def test_window_covers_every_family():
 def test_every_query_registered_and_named():
     get_queries()
     assert all(n.startswith("q_") for n in REGISTRY)
+
+
+def test_round3_rotation_prestaged():
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R3
+
+    qs = get_queries()
+    assert len(WINDOW_R3) == 50 == len(set(WINDOW_R3))
+    unknown = [n for n in WINDOW_R3 if n not in qs]
+    assert not unknown, f"WINDOW_R3 names not registered: {unknown}"
+    # it must cover every query that has never had a driver row
+    r1 = set(json.load(open("/root/repo/CORRECTNESS_r01.json")))
+    never = [n for n in qs if n not in r1 and n not in set(WINDOW)]
+    missing = [n for n in never if n not in set(WINDOW_R3)]
+    assert not missing, f"never-driver-checked queries absent from WINDOW_R3: {missing}"
