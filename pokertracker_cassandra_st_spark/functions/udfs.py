@@ -230,10 +230,16 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         m = pdf["value"].mean()
         s = pdf["value"].std()  # ddof=1, matches stddev_samp
         out = pdf[["event_id", "user_id"]].copy()
-        out["z"] = ((pdf["value"] - m) / s).round(4)
+        z = (pdf["value"] - m) / s
+        # round half-away-from-zero: pandas .round is IEEE half-even,
+        # but DuckDB round() (the oracle) is half-away — a z exactly on
+        # a 4th-decimal .5 boundary would otherwise flip between engines
+        out["z"] = np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4
         return out
 
     ev = table(spark, sf_dir, "events")

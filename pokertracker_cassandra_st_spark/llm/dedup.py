@@ -228,53 +228,124 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash", oracle=None, tags=("llm", "dedup"))
+_HEX = "0123456789abcdef"
+
+
+def _simhash_oracle() -> str:
+    """DuckDB mirror of q_dedup_simhash (generated: 64 bit-votes).
+
+    The token hash is md5 — identical bytes in every engine — read out
+    as 16 hex-digit values of 4 bits each, so neither side depends on an
+    engine-specific hash (Spark's xxhash64 has no DuckDB twin). Band
+    keys are 16-bit, safely inside BIGINT shifts in both dialects
+    (DuckDB errors on 1 << 63, so the full 64-bit signature is never
+    assembled as one integer).
+    """
+    digit_cols = ",\n         ".join(
+        f"instr('{_HEX}', substr(h, {p + 1}, 1)) - 1 AS d{p}" for p in range(16)
+    )
+    vote_cols = ",\n         ".join(
+        f"SUM(CASE WHEN ((d{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    key_cols = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN v{band * 16 + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f" AS BIGINT) AS k{band}"
+        for band in range(4)
+    )
+    bands_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, k{band} AS key FROM keys" for band in range(4)
+    )
+    return f"""
+WITH corpus AS ({_AUG_ORACLE}),
+tok AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+  WHERE w <> ''
+),
+digits AS (
+  SELECT doc_id,
+         {digit_cols}
+  FROM (SELECT doc_id, md5(w) AS h FROM tok)
+),
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM digits GROUP BY doc_id
+),
+keys AS (
+  SELECT doc_id,
+         {key_cols}
+  FROM votes
+),
+bands AS (
+  {bands_union}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures + banded candidate pairs.
 
-    Per-token xxhash64 -> per-bit ±1 votes -> sign -> signature; docs
-    sharing any of four 16-bit bands are near-dup candidates. Rows-only
-    (xxhash64 is Spark-specific).
+    Per-token hash -> per-bit ±1 votes -> sign -> signature; docs
+    sharing any of four 16-bit bands are near-dup candidates. The token
+    hash is md5 read out as 16 hex-digit nibbles — engine-independent,
+    so the whole query is deterministic and oracle-checkable (previously
+    rows-only on xxhash64). In production the hash choice is pluggable;
+    the algorithm is identical.
 
     Scale notes: signature computation is one pass + one groupBy; the
     band join is 4 equi-joins on 16-bit keys — the standard trick to
-    avoid pairwise Hamming comparisons at corpus scale.
+    avoid pairwise Hamming comparisons at corpus scale. Only (doc_id,
+    16 nibble ints) shuffle to the vote aggregation; text never moves.
     """
     corpus = augmented_corpus(spark, sf_dir)
     tok = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).filter(F.col("w") != "")
-    hashed = tok.select("doc_id", F.xxhash64("w").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    sigbits = hashed.groupBy("doc_id").agg(*votes)
-    sig_expr = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
-    sig = sigbits.select("doc_id", sig_expr.alias("simhash"))
-    bands = sig.select(
+    digits = tok.select(
         "doc_id",
-        "simhash",
+        *[
+            F.expr(f"instr('{_HEX}', substring(md5(w), {p + 1}, 1)) - 1").alias(f"d{p}")
+            for p in range(16)
+        ],
+    )
+    votes = digits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    key_cols = []
+    for band in range(4):
+        key = F.lit(0)
+        for j in range(16):
+            key = key + F.when(F.col(f"v{band * 16 + j}") > 0, F.lit(1 << j)).otherwise(0)
+        key_cols.append(key.cast("long").alias(f"k{band}"))
+    keys = votes.select("doc_id", *key_cols)
+    bands = keys.select(
+        "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
+                    F.struct(F.lit(i).alias("band"), F.col(f"k{i}").alias("key"))
                     for i in range(4)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

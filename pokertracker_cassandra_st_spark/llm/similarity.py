@@ -117,45 +117,100 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_topk(table(spark, sf_dir, "embeddings"), same_cell_only=True)
 
 
-@register("q_sim_lsh_hyperplane", oracle=None, tags=("llm", "similarity"))
+N_PLANES = 16
+DIM = 64
+_Q_SCALE = 1_000_000
+
+
+def _plane_signs() -> list[list[int]]:
+    """±1 hyperplane patterns derived from md5 of "plane_dim" strings.
+
+    Computed in plain Python (hashlib) and inlined as LITERALS into both
+    the Spark plan and the DuckDB oracle — the plane family is therefore
+    engine-independent by construction, seeded, and reproducible
+    anywhere.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for i in range(DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _lsh_oracle() -> str:
+    signs = _plane_signs()
+    values = ",\n    ".join(
+        f"({p}, CAST({signs[p]!r} AS BIGINT[]))" for p in range(N_PLANES)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_Q_SCALE} + 0.5) AS BIGINT)) AS eq
+  FROM embeddings
+),
+planes(p, coef) AS (
+  VALUES
+    {values}
+),
+proj AS (
+  SELECT e.vec_id, e.label, pl.p, list_dot_product(e.eq, pl.coef) AS pr
+  FROM emb e CROSS JOIN planes pl
+),
+sig AS (
+  SELECT vec_id, label,
+         CAST(SUM(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, label
+)
+SELECT bucket,
+       count(*) AS n_vectors,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       min(vec_id) AS min_vec_id
+FROM sig
+GROUP BY bucket
+"""
+
+
+@register("q_sim_lsh_hyperplane", oracle=_lsh_oracle(), tags=("llm", "similarity"))
 def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH (sign-of-projection signatures).
 
-    16 deterministic pseudo-hyperplanes (elementwise ±1 patterns from
-    xxhash64(dim, plane)); vectors sharing a signature bucket are
-    candidate neighbors. Rows-only (bucket contents are hash-specific).
+    16 deterministic ±1 hyperplanes (md5-seeded literals — see
+    _plane_signs); vectors sharing the 16-bit sign signature are
+    candidate cosine neighbors. Projections run on embeddings quantized
+    to scaled longs (floor(x*1e6 + 0.5)), so every dot product is an
+    exact integer — the sign can never flip on last-ulp float noise and
+    the buckets are identical across engines, making the query fully
+    oracle-checkable (previously rows-only).
 
-    Scale notes: signatures are one narrow map pass; the bucket join
+    Scale notes: signatures are one narrow map pass (zip_with +
+    aggregate over 64-element arrays, JVM-side); the bucket equi-join
     replaces the all-pairs cross join — the standard cosine-ANN shape
-    when no trained index is available.
+    when no trained index is available. At 100 TB the bucket is the
+    shuffle/partition key and each bucket's verification join is
+    co-located.
     """
+    signs = _plane_signs()
     emb = table(spark, sf_dir, "embeddings")
-    planes = 16
-    sig_bit = [
-        F.when(
-            F.aggregate(
-                F.transform(
-                    F.col("embedding"),
-                    lambda x, i: x.cast("double")
-                    * F.when(F.xxhash64(i, F.lit(p)) % 2 == 0, 1.0).otherwise(-1.0),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias(f"p{p}")
-        for p in range(planes)
-    ]
-    sig_expr = None
-    for p in range(planes):
-        term = F.shiftleft(F.col(f"p{p}"), p)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
-    sigs = emb.select("vec_id", "label", *sig_bit).select(
-        "vec_id", "label", sig_expr.alias("bucket")
+    eq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _Q_SCALE + 0.5).cast("long"),
     )
+    quant = emb.select("vec_id", "label", eq.alias("eq"))
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        coef = F.array(*[F.lit(c) for c in signs[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col("eq"), coef, lambda a, b: a * b.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    sigs = quant.select("vec_id", "label", bucket.cast("long").alias("bucket"))
     return sigs.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),

@@ -82,10 +82,19 @@ def _load_all() -> None:
 #     dedup/similarity/text/multimodal/pipeline, format sources — plus
 #     one representative of each already-green family and the two
 #     sketch queries now made oracle-checkable.
-# Entries past the window keep their round-1 green rows; the local
+# Entries past the window keep their prior-round green rows; the local
 # differential mirror (tests/test_correctness.py) still checks ALL
 # queries every run regardless of this ordering.
-WINDOW: list[str] = [
+#
+# STALENESS DISCLOSURE (round N): CORRECTNESS_r0N.json re-verifies ONLY
+# the 50 in-window queries; out-of-window rows in earlier
+# CORRECTNESS_r0*.json files are as-of their own round. The repo
+# therefore publishes CORRECTNESS_LOCAL_FULL_r0N.json each round
+# (tools/full_correctness.py): the SAME differential over the ENTIRE
+# registry, run locally at the driver's sf, with a value hash per query
+# — so every out-of-window query still has a current-round, hash-pinned
+# verification artifact rather than a silently stale green row.
+WINDOW_R2: list[str] = [
     # flagship + reps of round-1-green families
     "q_replay_projection",
     "q_agg_approx_distinct",
@@ -141,11 +150,10 @@ WINDOW: list[str] = [
 ]
 
 
-# Pre-staged rotation for round 3: every query that has never had a
-# driver CORRECTNESS row (40 as of end of round 2 — new round-2 operators
-# plus the families round 2's window displaced) + the flagship + one
-# rep per core family. To rotate, set WINDOW = WINDOW_R3 at the top of
-# round 3; tests/test_registry_window.py re-validates the invariants.
+# Round-3 rotation (ACTIVE): every query that has never had a driver
+# CORRECTNESS row (new round-2 operators plus the families round 2's
+# window displaced) + the flagship + one rep per core family.
+# tests/test_registry_window.py re-validates the invariants.
 WINDOW_R3: list[str] = [
     "q_replay_projection",
     "q_replay_cdc_diff",
@@ -188,16 +196,31 @@ WINDOW_R3: list[str] = [
     "q_text_fingerprint",
     "q_sim_lsh_hyperplane",
     "q_source_python_ds",
-    # reps of twice-green families keep a current-round signal alive
-    "q_agg_groupby",
-    "q_join_asof",
-    "q_win_rank",
+    # reps of already-green families keep a current-round signal alive
+    # (families whose never-checked entries are above — join/agg/win/
+    # dedup — don't need a second slot; sort/setop/subquery/composite
+    # have no never-checked entries, so a rep carries the family)
+    "q_sort_multikey",
+    "q_set_union",
+    "q_subquery_scalar",
+    "q_tpch_q3_shape",
     "q_scan_pushdown",
     "q_filter_eq",
-    "q_dedup_exact",
     "q_sim_topk",
     "q_stream_replay",
     "q_pipeline_curate",
+]
+
+WINDOW: list[str] = WINDOW_R3
+
+# Queries added AFTER the round-3 rotation was fixed — they have no
+# driver row yet by construction and MUST lead the round-4 window.
+POST_ROTATION_R3: list[str] = [
+    "q_text_contamination",
+    "q_pipeline_pack",
+    "q_text_pii_scrub",
+    "q_join_interval_overlap",
+    "q_agg_heavy_hitters",
 ]
 
 

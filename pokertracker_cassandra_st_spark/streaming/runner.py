@@ -65,35 +65,62 @@ def _split_events(
     time-ordered ranges by default, hash-scattered when ``shuffled``."""
     mode = "shuf" if shuffled else "ord"
     key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_files}_{mode}"
-    out = f"{SCRATCH}/events_split_{key}"
+    # v2: exact per-bucket files (repartitionByRange over a column with
+    # only n_files distinct values derives boundaries by SAMPLING, so
+    # two buckets could silently coalesce into one file — fewer
+    # micro-batches than the out-of-order coverage claims)
+    out = f"{SCRATCH}/events_split_v2_{key}"
     marker = f"{out}/_SUCCESS"
     if not os.path.exists(marker):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import glob
+        import shutil
+        import time
+
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         if shuffled:
             # deterministic hash scatter: consecutive event_ids land in
             # different chunks, so every chunk spans the full time range
-            part = (
-                ev.withColumn("_b", F.pmod(F.xxhash64("event_id"), F.lit(n_files)))
-                .repartitionByRange(n_files, "_b")
-                .sortWithinPartitions("_b", "event_id")
-                .drop("_b")
-            )
+            bucket = F.pmod(F.xxhash64("event_id"), F.lit(n_files))
         else:
-            # deterministic chunks: event_id order ~ arrival order
-            part = ev.repartitionByRange(n_files, "event_id").sortWithinPartitions(
-                "event_id"
+            # contiguous id ranges: event_id order ~ arrival order
+            max_id = ev.agg(F.max("event_id")).first()[0]
+            bucket = F.least(
+                F.floor(F.col("event_id") * n_files / (max_id + 1)),
+                F.lit(n_files - 1),
             )
-        part.write.mode("overwrite").parquet(out)
+        tagged = ev.withColumn("_b", bucket)
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        # one write per bucket => the file count IS n_files by
+        # construction (asserted below); each file sorted by event_id.
+        # n_files is tiny (<= 8) and the split is cached per sf/n/mode,
+        # so the per-bucket scan loop is a one-off test-harness cost.
+        for i in range(n_files):
+            tmp = f"{out}/_tmp"
+            (
+                tagged.filter(F.col("_b") == i)
+                .drop("_b")
+                .coalesce(1)
+                .sortWithinPartitions("event_id")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            parts = glob.glob(f"{tmp}/part-*.parquet")
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"split bucket {i} of {n_files} produced {len(parts)} files "
+                    f"(empty bucket?) — micro-batch structure would be broken"
+                )
+            shutil.move(parts[0], f"{out}/chunk_{i:03d}.parquet")
+            shutil.rmtree(tmp)
         # The file stream source feeds files in modification-time order;
-        # parallel writer tasks finish in arbitrary order, so restamp
-        # mtimes to match chunk (= time) order for deterministic replay.
-        parts = sorted(
-            f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
-        )
-        t0 = os.path.getmtime(marker)
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(out, f), (t0 + i + 1, t0 + i + 1))
+        # stamp mtimes to match chunk (= arrival) order.
+        t0 = time.time()
+        for i in range(n_files):
+            os.utime(f"{out}/chunk_{i:03d}.parquet", (t0 + i + 1, t0 + i + 1))
+        with open(marker, "w"):
+            pass
     return out
 
 

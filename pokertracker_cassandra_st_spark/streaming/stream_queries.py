@@ -257,7 +257,7 @@ WITH agg AS (
 )
 SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
 FROM agg
-WHERE wstart + INTERVAL 15 MINUTE < (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+WHERE wstart + INTERVAL 15 MINUTE <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 """,
     tags=("stream",),
 )
@@ -269,10 +269,14 @@ def q_stream_latedata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checkable: with in-order arrival nothing is late, and the
     availableNow final flush makes the emitted set exactly the windows
-    whose end precedes the final watermark (max event time - 10min) —
-    no reference to micro-batch boundaries needed. The genuinely
-    arrival-order-dependent drop path is exercised by
-    tests/test_streaming.py with a deliberately disordered feed.
+    whose end is AT-OR-BEFORE the final watermark (max event time -
+    10min) — no reference to micro-batch boundaries needed. The
+    comparator is <= , not < : Spark's eviction predicate is
+    window.end <= watermark, empirically pinned by
+    tests/test_stream_boundary.py with a fixture whose max(ts) lands
+    exactly on a window end. The genuinely arrival-order-dependent drop
+    path is exercised by tests/test_streaming.py with a deliberately
+    disordered feed.
     """
     ev = stream_events(spark, sf_dir, n_files=8)
     agg = (
@@ -443,7 +447,7 @@ WITH agg AS (
 )
 SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
 FROM agg
-WHERE wstart + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+WHERE wstart + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 """,
     tags=("stream",),
 )
@@ -456,11 +460,12 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checkable because the final emission set is deterministic:
     availableNow ends with a no-data flush batch, so the emitted
-    windows are exactly those whose end precedes the FINAL watermark
-    (max event time - 1h) — SQL-expressible with no reference to
-    micro-batch boundaries; counts equal the batch recomputation over
-    the deduplicated (= clean) log. tests/test_streaming.py asserts the
-    same equivalence DataFrame-side.
+    windows are exactly those whose end is at-or-before the FINAL
+    watermark (max event time - 1h; <= is Spark's empirical eviction
+    predicate, pinned by tests/test_stream_boundary.py) —
+    SQL-expressible with no reference to micro-batch boundaries; counts
+    equal the batch recomputation over the deduplicated (= clean) log.
+    tests/test_streaming.py asserts the same equivalence DataFrame-side.
     """
     a = stream_events(spark, sf_dir, n_files=4).withWatermark("ts", "1 hour")
     b = stream_events(spark, sf_dir, n_files=4).withWatermark("ts", "1 hour")
@@ -495,7 +500,7 @@ FROM p JOIN c
   ON p.user_id = c.user_id
  AND c.ts >= p.ts - INTERVAL 30 MINUTE
  AND c.ts <= p.ts
-WHERE p.ts < (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)
+WHERE p.ts < (SELECT date_trunc('second', max(ts)) - INTERVAL 40 MINUTE FROM events)
 UNION ALL
 SELECT p.event_id,
        CAST(NULL AS BIGINT),
@@ -508,7 +513,7 @@ WHERE NOT EXISTS (
         WHERE c.user_id = p.user_id
           AND c.ts >= p.ts - INTERVAL 30 MINUTE
           AND c.ts <= p.ts)
-  AND p.ts < (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)
+  AND p.ts < (SELECT date_trunc('second', max(ts)) - INTERVAL 40 MINUTE FROM events)
 """,
     tags=("stream",),
 )
@@ -522,10 +527,16 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-range) window behind max event time depends on micro-batch
     timing — measured differently at sf0.01 vs sf0.1 — so the query
     returns the DETERMINISTIC prefix: rows with p_ts older than
-    max(ts) - 40 min (delay 10 + range 30), for which null emission is
-    guaranteed on every run. The oracle applies the same horizon; the
-    trailing window is exactly the data a live deployment would still
-    consider in-flight.
+    floor-to-second(max(ts)) - 40 min (delay 10 + range 30), for which
+    null emission is guaranteed on every run. The second-truncation
+    matters: Spark tracks the watermark in MILLISECONDS of the max
+    event time while the data carries microseconds, so an un-truncated
+    horizon could admit a p_ts inside the sub-ms gap whose null row the
+    final flush never emits. Truncating makes p_ts + 30min strictly
+    older than the final watermark for every returned row, under either
+    a strict or non-strict eviction comparator. The oracle applies the
+    identical horizon; the trailing window is exactly the data a live
+    deployment would still consider in-flight.
 
     Scale notes: same state budget as the inner interval join (range +
     watermark bounded, co-partitioned on user_id); the outer semantics
@@ -560,9 +571,8 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     sink = run_to_table(joined, "append")
-    horizon = table(spark, sf_dir, "events").agg(F.max("ts")).first()[
-        0
-    ] - datetime.timedelta(minutes=40)
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    horizon = max_ts.replace(microsecond=0) - datetime.timedelta(minutes=40)
     return (
         sink.filter(F.col("p_ts") < F.lit(horizon))
         .select(

@@ -65,17 +65,21 @@ def test_every_query_registered_and_named():
     assert all(n.startswith("q_") for n in REGISTRY)
 
 
-def test_round3_rotation_prestaged():
+def test_round3_window_covers_never_driver_checked():
+    """The active (r3) window must contain every query with no driver
+    CORRECTNESS row from rounds 1-2."""
     import json
 
-    from pokertracker_cassandra_st_spark.registry import WINDOW_R3
+    from pokertracker_cassandra_st_spark.registry import POST_ROTATION_R3
 
     qs = get_queries()
-    assert len(WINDOW_R3) == 50 == len(set(WINDOW_R3))
-    unknown = [n for n in WINDOW_R3 if n not in qs]
-    assert not unknown, f"WINDOW_R3 names not registered: {unknown}"
-    # it must cover every query that has never had a driver row
-    r1 = set(json.load(open("/root/repo/CORRECTNESS_r01.json")))
-    never = [n for n in qs if n not in r1 and n not in set(WINDOW)]
-    missing = [n for n in never if n not in set(WINDOW_R3)]
-    assert not missing, f"never-driver-checked queries absent from WINDOW_R3: {missing}"
+    checked: set[str] = set()
+    for f in ("/root/repo/CORRECTNESS_r01.json", "/root/repo/CORRECTNESS_r02.json"):
+        checked |= set(json.load(open(f)))
+    # queries added after the r3 rotation was fixed are declared in
+    # POST_ROTATION_R3 (they must lead the r4 window instead)
+    never = [n for n in qs if n not in checked and n not in set(POST_ROTATION_R3)]
+    missing = [n for n in never if n not in set(WINDOW)]
+    assert not missing, f"never-driver-checked queries absent from WINDOW: {missing}"
+    undeclared = [n for n in POST_ROTATION_R3 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R3 names not registered: {undeclared}"
