@@ -1,0 +1,256 @@
+"""Corpus-curation operators round 3: decontamination, token-budget
+packing, PII scrubbing.
+
+These are the remaining standard stages of a pre-training data build
+that the dedup/quality/split operators (llm/dedup.py, llm/pipeline.py)
+don't yet cover:
+
+  * benchmark DEcontamination — find training documents sharing long
+    n-grams with an evaluation set, the standard train/test-leakage
+    check run before every pre-training job;
+  * token-budget packing — assign documents to fixed-token-budget
+    training shards in a deterministic order (the sharding step before
+    sequence packing proper, which is a per-shard local operation);
+  * PII scrubbing — regex redaction with per-document audit counts.
+
+All three are pure Catalyst (no Python in the hot path) and
+differentially verified against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.llm.dedup import (
+    _AUG_ORACLE,
+    AUG_OFFSET,
+    augmented_corpus,
+)
+from pokertracker_cassandra_st_spark.registry import register
+
+# ---------------------------------------------------------------- #
+# decontamination                                                   #
+# ---------------------------------------------------------------- #
+
+_NGRAM = 8
+
+_CONTAMINATION_ORACLE = f"""
+WITH corpus AS ({_AUG_ORACLE}),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {_NGRAM - 1}), ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS i
+        FROM toks)
+),
+ev AS (
+  SELECT doc_id, sh FROM shingles
+  WHERE doc_id % 20 = 0 AND doc_id < {AUG_OFFSET}
+),
+tr AS (
+  SELECT doc_id, sh FROM shingles WHERE doc_id >= {AUG_OFFSET}
+)
+SELECT tr.doc_id AS train_id,
+       count(DISTINCT tr.sh) AS n_shared_shingles,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.sh = ev.sh
+GROUP BY tr.doc_id
+"""
+
+
+@register("q_text_contamination", oracle=_CONTAMINATION_ORACLE, tags=("llm", "text"))
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents that share at least
+    one word-8-gram with the evaluation set, with the count of shared
+    8-grams and of eval documents hit.
+
+    The fixture corpus is all-distinct, so the check runs over the same
+    augmented corpus the dedup tiers use (llm/dedup.augmented_corpus):
+    eval = original docs with doc_id % 20 == 0, train = the mutated
+    copies (doc_id >= AUG_OFFSET) — every eval doc's near-copy in train
+    is a guaranteed leak, exactly the scenario decontamination exists to
+    catch.
+
+    Scale notes: only (shingle, doc_id) pairs shuffle — never text; the
+    eval side of the join is the benchmark suite (tiny vs a 100 TB
+    corpus), so Spark broadcasts it and the train side never shuffles.
+    In production the shingle would be hashed to 8 bytes
+    (xxhash64) before the join; here it stays a string so the DuckDB
+    differential is engine-independent.
+    """
+    corpus = augmented_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    sh = (
+        corpus.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
+                    lambda i: F.array_join(F.slice("t", i, _NGRAM), " "),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    ev = sh.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < AUG_OFFSET)).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    tr = sh.filter(F.col("doc_id") >= AUG_OFFSET).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- #
+# token-budget packing                                              #
+# ---------------------------------------------------------------- #
+
+_PACK_BUDGET = 2000  # tokens per shard
+_PACK_BUCKET = 64  # docs per phase-1 range bucket
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS tokens_before
+  FROM t
+)
+SELECT CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM c
+GROUP BY 1
+"""
+
+
+@register("q_pipeline_pack", oracle=_PACK_ORACLE, tags=("llm", "pipeline"))
+def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment: walk documents in doc_id order,
+    cut a new training shard every {budget} tokens (shard = exclusive
+    running token count // budget), report per-shard stats. This is the
+    sharding stage of sequence packing — the subsequent pack-into-
+    context-windows step is a per-shard local operation.
+
+    Scale notes: a naive global-window cumsum would move the corpus
+    through ONE partition. Implemented instead as the classic two-phase
+    distributed prefix sum: (1) bucket docs into ordered doc_id ranges
+    and aggregate per-bucket token sums (partial agg, fully parallel);
+    (2) the per-bucket sums — corpus_size / bucket_size rows, tiny —
+    get an exclusive cumsum and broadcast back as offsets; (3) each
+    bucket computes its local cumsum in parallel and adds its offset.
+    Identical result to the single-window oracle, but the wide table
+    only ever shuffles on the bucket key. Token counts are exact
+    integers, so cross-engine equality is exact.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    bucketed = d.withColumn("bkt", F.floor(F.col("doc_id") / _PACK_BUCKET))
+    # phase 1: per-bucket totals (tiny output)
+    sums = bucketed.groupBy("bkt").agg(F.sum("n").alias("bkt_n"))
+    # phase 2: exclusive prefix over the bucket sums — row count is
+    # n_docs / bucket_size, so the single-partition window is on a
+    # provably tiny frame (thousands of rows even at 100 TB)
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = sums.select(
+        "bkt", (F.sum("bkt_n").over(wb) - F.col("bkt_n")).alias("offset")
+    )
+    # phase 3: local cumsum within each bucket + broadcast offset
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "tokens_before", F.col("offset") + F.sum("n").over(wl) - F.col("n")
+        )
+        .withColumn("shard", F.floor(F.col("tokens_before") / _PACK_BUDGET))
+    )
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# PII scrubbing                                                     #
+# ---------------------------------------------------------------- #
+
+# shared Java-regex / RE2 subset (no lookaround, no backrefs)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+_PII_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN concat('contact_', CAST(doc_id AS VARCHAR),
+                          '@example.com ', text)
+              ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g') AS clean
+  FROM seeded
+)
+SELECT doc_id, n_emails,
+       CAST(len(clean) AS BIGINT) AS clean_len,
+       substr(clean, 1, 40) AS clean_head
+FROM scrubbed
+"""
+
+
+@register("q_text_pii_scrub", oracle=_PII_ORACLE, tags=("llm", "text"))
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with audit counts: redact email addresses to
+    [EMAIL], report per-document redaction count and scrubbed length.
+    Every fifth document gets a deterministic synthetic email prepended
+    (identically in both engines) so the redaction path provably fires
+    on the otherwise email-free fixture corpus.
+
+    The pattern stays inside the Java-regex ∩ RE2 common subset (no
+    lookaround/backrefs) so Spark and DuckDB agree byte-for-byte —
+    which is also the production posture: RE2-compatible patterns keep
+    the option of pushing the scrub into native scanners.
+
+    Scale notes: pure per-row projection — no shuffle at all; Catalyst
+    fuses seed + count + replace into the scan. At 100 TB this is the
+    cheapest kind of operator there is.
+    """
+    d = table(spark, sf_dir, "documents")
+    seeded = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("contact_"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com "), F.col("text")),
+    ).otherwise(F.col("text"))
+    clean = F.regexp_replace(seeded, _EMAIL_RE, "[EMAIL]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(seeded, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.substring(clean, 1, 40).alias("clean_head"),
+    )

@@ -516,3 +516,54 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+@register(
+    "q_agg_heavy_hitters",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(SUM(n_orders) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS c
+  FROM counts
+)
+SELECT o_custkey, n_orders, round(n_orders / n, 6) AS share
+FROM counts, tot
+WHERE n_orders > 1.5 * (n / c)
+""",
+    tags=("agg",),
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: customers whose order count exceeds 1.5x
+    the per-customer average, with their share of all orders. The exact
+    two-pass formulation of the frequent-items problem (the sketched
+    one-pass alternative is Misra-Gries / SpaceSaving; the exact form
+    is preferred whenever a second pass over the aggregate — not the
+    data — is affordable, which at 100 TB it is: pass 2 reads the
+    per-key COUNTS, a table keys-sized, not corpus-sized).
+
+    Scale notes: one partial-aggregated shuffle builds the counts; the
+    global (total, n_keys) scalar is a broadcast cross join of a 1-row
+    frame, so the threshold compare never leaves the executors. The
+    relative (not absolute) threshold keeps the query meaningful at
+    every scale factor. Both engines compare against the identical
+    IEEE double threshold, so the result set is exact.
+    """
+    counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = counts.agg(
+        F.sum("n_orders").cast("double").alias("n"),
+        F.count("*").cast("double").alias("c"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_orders") > 1.5 * (F.col("n") / F.col("c")))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n"), 6).alias("share"),
+        )
+    )

@@ -295,7 +295,11 @@ def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 ), clicks AS (
+  -- deterministic tie rule: among clicks sharing (user_id, ts) the one
+  -- with the max event_id wins (ASOF JOIN would otherwise pick an
+  -- arbitrary row among equal c.ts)
   SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
 )
 SELECT p.event_id,
        p.user_id,
@@ -327,19 +331,23 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("value").alias("click_value"),
         F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("tie_id"),
     )
     unioned = purchases.withColumn("click_value", F.lit(None).cast("double")).withColumn(
         "click_ts", F.lit(None).cast("timestamp")
-    ).withColumn("side", F.lit(1)).unionByName(
+    ).withColumn("side", F.lit(1)).withColumn("tie_id", F.col("event_id")).unionByName(
         clicks.withColumn("event_id", F.lit(None).cast("long")).withColumn(
             "side", F.lit(0)
         )
     )
     # Order clicks before purchases at identical ts so "at-or-before"
-    # includes a click with exactly the purchase timestamp.
+    # includes a click with exactly the purchase timestamp; tie_id
+    # (the click's own event_id) breaks ties among clicks sharing a
+    # timestamp so last() is deterministic — max event_id wins, the
+    # same rule the oracle's QUALIFY dedup pins.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "tie_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry the whole click ROW as a struct: the struct is non-null for
@@ -371,6 +379,7 @@ WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 ), clicks AS (
   SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
 )
 SELECT p.event_id,
        p.user_id,
@@ -405,20 +414,24 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("value").alias("click_value"),
         F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("tie_id"),
     )
     unioned = (
         purchases.withColumn("click_value", F.lit(None).cast("double"))
         .withColumn("click_ts", F.lit(None).cast("timestamp"))
         .withColumn("side", F.lit(1))
+        .withColumn("tie_id", F.col("event_id"))
         .unionByName(
             clicks.withColumn("event_id", F.lit(None).cast("long")).withColumn(
                 "side", F.lit(0)
             )
         )
     )
+    # tie_id: deterministic winner among same-(user_id, ts) clicks —
+    # see q_join_asof; the oracle's QUALIFY mirrors the max-event_id rule
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "tie_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_row = F.when(F.col("side") == 0, F.struct("click_ts", "click_value"))
@@ -463,4 +476,112 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+), sessions AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM numbered GROUP BY user_id, sess_no
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS v, max(ts) AS mx FROM events
+), camp AS (
+  SELECT CAST((epoch_us(gs) - epoch_us(v)) // 14400000000 AS BIGINT) AS campaign_k,
+         gs AS c_start,
+         gs + INTERVAL 6 HOUR AS c_end
+  FROM (SELECT v, unnest(generate_series(v, mx, INTERVAL 4 HOUR)) AS gs FROM bounds)
+)
+SELECT s.user_id,
+       strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s.s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       c.campaign_k,
+       epoch_us(least(s.s_end, c.c_end)) - epoch_us(greatest(s.s_start, c.c_start))
+         AS overlap_us
+FROM sessions s
+JOIN camp c
+  ON c.c_start <= s.s_end AND s.s_start < c.c_end
+""",
+    tags=("join",),
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user activity sessions (30-min-gap
+    sessionization, exact µs bounds) against overlapping campaign
+    windows (6-hour windows starting every 4 hours across the event
+    span), emitting each (session, campaign) pair with its exact
+    overlap duration. The attribution/exposure primitive: "which
+    campaigns was this session exposed to, for how long".
+
+    Interval semantics: sessions are closed [start, end] (single-event
+    sessions are valid zero-length intervals), campaigns half-open
+    [start, end) — predicate c_start <= s_end AND s_start < c_end.
+
+    Scale notes: the campaign side is bounded by calendar span, not
+    data size, so it broadcasts and the session side never reshuffles
+    after its sessionization window — the overlap predicate runs as a
+    broadcast nested-loop with bounded fan-out (span/step + 1 windows
+    max per session, typically 1-2 for short sessions). When BOTH
+    interval sides are data-sized, this shape is wrong — bucketize to
+    time bands and equi-join on band + post-filter (the q_join_band
+    rewrite) to stay out of quadratic territory.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        flagged.withColumn("sess_no", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "sess_no")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bounds = ev.agg(F.min("ts").alias("tmin"), F.max("ts").alias("tmax")).first()
+    t0 = bounds.tmin.replace(minute=0, second=0, microsecond=0)
+    camp = (
+        spark.range(1)
+        .select(
+            F.posexplode(
+                F.sequence(F.lit(t0), F.lit(bounds.tmax), F.expr("INTERVAL 4 HOURS"))
+            ).alias("campaign_k", "c_start")
+        )
+        .select(
+            F.col("campaign_k").cast("long").alias("campaign_k"),
+            "c_start",
+            (F.col("c_start") + F.expr("INTERVAL 6 HOURS")).alias("c_end"),
+        )
+    )
+    overlap_us = F.unix_micros(F.least("s_end", "c_end")) - F.unix_micros(
+        F.greatest("s_start", "c_start")
+    )
+    return (
+        sessions.join(
+            F.broadcast(camp),
+            (F.col("c_start") <= F.col("s_end")) & (F.col("s_start") < F.col("c_end")),
+        )
+        .select(
+            "user_id",
+            F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "campaign_k",
+            overlap_us.alias("overlap_us"),
+        )
     )

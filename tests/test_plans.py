@@ -199,3 +199,39 @@ def test_q5_star_join_pushdown_and_broadcast(spark, sf_dir):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("r_name" in l and "EqualTo" in l for l in pushed)
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    # the eval (benchmark) shingle set is tiny vs the train corpus —
+    # it must broadcast so the train side never shuffles for the join
+    plan = plan_of(spark, "q_text_contamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_broadcasts_campaigns(spark, sf_dir):
+    # the campaign side is calendar-bounded -> BroadcastNestedLoopJoin;
+    # the session side must not shuffle again after its window
+    plan = plan_of(spark, "q_join_interval_overlap", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    simple = plan_of(spark, "q_join_interval_overlap", sf_dir, mode="simple")
+    # one Exchange for the sessionization window; none added by the join
+    assert simple.count("Exchange") <= 2  # hashpartitioning + broadcast exch
+
+
+def test_heavy_hitters_partial_agg_and_broadcast_scalar(spark, sf_dir):
+    plan = plan_of(spark, "q_agg_heavy_hitters", sf_dir)
+    simple = plan_of(spark, "q_agg_heavy_hitters", sf_dir, mode="simple")
+    assert "partial_count" in simple  # map-side combine on the counts
+    # the (total, n_keys) scalar joins via broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_prefix_sum_is_two_phase(spark, sf_dir):
+    # the corpus-sized side must never pass through a single-partition
+    # global window; only the tiny per-bucket sums frame may
+    simple = plan_of(spark, "q_pipeline_pack", sf_dir, mode="simple")
+    # the big side's window partitions by bkt (parallel), the offsets
+    # frame is the only SinglePartition consumer
+    assert simple.count("Exchange SinglePartition") <= 1
+    assert "windowspecdefinition(bkt" in simple

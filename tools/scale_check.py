@@ -52,6 +52,10 @@ TIMED = [
     "q_text_tfidf",
     "q_dedup_ngram_jaccard",
     "q_dedup_components",
+    "q_dedup_simhash",
+    "q_sim_lsh_hyperplane",
+    "q_text_contamination",
+    "q_pipeline_pack",
 ]
 
 CHECKED = [
@@ -83,6 +87,16 @@ CHECKED = [
     "q_sql_pricing_summary",
     "q_sql_cte",
     "q_sample_stratified",
+    # round 3: changed hash derivations + new curation operators
+    "q_dedup_simhash",
+    "q_sim_lsh_hyperplane",
+    "q_text_contamination",
+    "q_pipeline_pack",
+    "q_text_pii_scrub",
+    "q_join_interval_overlap",
+    "q_agg_heavy_hitters",
+    "q_join_asof",  # tie-break change
+    "q_stream_latedata",  # comparator change
 ]
 
 
