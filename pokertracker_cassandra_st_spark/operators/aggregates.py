@@ -567,3 +567,49 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orders") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "q_agg_sketch_union",
+    oracle="""
+SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT) AS n_sketches,
+       true AS within_tolerance
+FROM lineitem
+""",
+    tags=("agg", "sketch"),
+)
+def q_agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): build one HLL
+    sketch of distinct order keys PER SHIP-MONTH, then merge the monthly
+    sketches with hll_union_agg and estimate the global distinct count.
+    This is the pre-aggregation pattern that makes distinct-count
+    dashboards viable at 100 TB: per-partition sketches are computed
+    once at ingest (bytes per month, not rows), and any time-range
+    rollup is a cheap union of sketches — no re-scan of the fact table.
+
+    Correctness contract (same as q_agg_approx_distinct): the estimate
+    itself is sketch-implementation-specific, so the checked output is
+    the EXACT distinct count plus a within-5%-tolerance boolean on the
+    merged-sketch estimate (HLL at default lgK=12 has ~1.6% relative
+    standard error, so the flag is deterministically true); the oracle
+    computes the exact value and literal true.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_month = li.groupBy(F.date_trunc("month", "l_shipdate").alias("m")).agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    merged = per_month.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_sketches"),
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_distinct",
+        "n_sketches",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_tolerance"),
+    )

@@ -221,6 +221,7 @@ POST_ROTATION_R3: list[str] = [
     "q_text_pii_scrub",
     "q_join_interval_overlap",
     "q_agg_heavy_hitters",
+    "q_agg_sketch_union",
 ]
 
 

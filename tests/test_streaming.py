@@ -198,3 +198,108 @@ def test_chained_dedup_window_agg_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert out == expected
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once resume across restarts: run a windowed count over
+    the first half of the event files with a checkpoint, stop, add the
+    second half to the source directory, restart the SAME query (same
+    checkpoint + sink), and assert the combined emitted output equals a
+    single uninterrupted run. This is the production crash/redeploy
+    path: the checkpoint's offset log + state store must carry the
+    watermark and partial windows across the restart without
+    re-emitting or dropping anything.
+    """
+    import shutil
+
+    from pokertracker_cassandra_st_spark.streaming.runner import _split_events
+
+    src_all = _split_events(spark, sf_dir, n_files=8)
+    chunks = sorted(
+        f for f in os.listdir(src_all) if f.startswith("chunk_")
+    )
+    assert len(chunks) == 8
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for f in chunks[:4]:
+        shutil.copy2(os.path.join(src_all, f), os.path.join(staged, f))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink")
+
+    def run_once() -> None:
+        from pokertracker_cassandra_st_spark.streaming.runner import (
+            EVENTS_RAW_SCHEMA,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(staged)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # first half, then "crash" (query ends)
+    for f in chunks[4:]:
+        shutil.copy2(os.path.join(src_all, f), os.path.join(staged, f))
+    run_once()  # restart from the same checkpoint
+
+    got = (
+        spark.read.parquet(sink_dir)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n").alias("n"))
+    )
+    # no window may be emitted twice (append-mode exactly-once)
+    dupes = (
+        spark.read.parquet(sink_dir)
+        .groupBy("window_start", "event_type")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0, "append-mode sink re-emitted a closed window after restart"
+
+    # combined output == the single-run oracle (same closed-window set
+    # as q_stream_latedata: end <= final watermark)
+    ev_batch = table(spark, sf_dir, "events")
+    wm = ev_batch.agg(F.max("ts")).first()[0]
+    expected = (
+        ev_batch.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(
+            F.col("window.end")
+            <= F.lit(wm) - F.expr("INTERVAL 10 MINUTES")
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert diff == 0, "restarted run diverged from the uninterrupted oracle"
