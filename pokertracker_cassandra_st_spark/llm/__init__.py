@@ -5,6 +5,7 @@ from pokertracker_cassandra_st_spark.llm import (  # noqa: F401
     dedup,
     multimodal,
     pipeline,
+    shaping,
     similarity,
     text,
 )

@@ -16,5 +16,7 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     subqueries,
     analytics,
     timeseries,
+    behavior,
+    graph,
     sqlapi,
 )

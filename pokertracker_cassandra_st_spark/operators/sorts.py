@@ -96,3 +96,63 @@ def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+def _z_interleave(xe: str, ye: str, div: str) -> str:
+    """16+16-bit Morton (Z-order) interleave as portable integer
+    arithmetic; ``div`` is the dialect's integer-division token
+    (Spark ``DIV``, DuckDB ``//``). Pure +/*/div/mod keeps the
+    expression bit-identical across engines without relying on
+    dialect-specific shift operators."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({xe}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({ye}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_Z_X = "o_custkey % 65536"
+_Z_Y_SPARK = "least(datediff(o_orderdate, DATE '1995-01-01'), 65535)"
+_Z_Y_DUCK = (
+    "least(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)),"
+    " 65535)"
+)
+
+_ZORDER_ORACLE = f"""
+SELECT o_orderkey,
+       CAST({_Z_X} AS BIGINT) AS zx,
+       CAST({_Z_Y_DUCK} AS BIGINT) AS zy,
+       CAST({_z_interleave(_Z_X, _Z_Y_DUCK, "//")} AS BIGINT) AS zvalue
+FROM orders
+ORDER BY zvalue, o_orderkey
+LIMIT 200
+"""
+
+
+@register("q_sort_zorder", oracle=_ZORDER_ORACLE, tags=("sort", "layout"))
+def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key over (customer, order
+    date): interleave the low 16 bits of each dimension so rows close
+    in BOTH dimensions sort near each other — the multi-dimensional
+    data-layout trick behind Delta/Iceberg OPTIMIZE ZORDER. Returns
+    the curve's first 200 rows as a deterministic probe of the order.
+
+    At 100 TB the use is `df.repartitionByRange(N, zvalue)
+    .sortWithinPartitions(zvalue).write...`: min/max parquet column
+    stats then prune on BOTH o_custkey and o_orderdate predicates
+    (a 1-D sort only prunes its leading column). The key is pure
+    integer codegen arithmetic — no UDF, no shuffle of its own.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr(_Z_X).cast("long").alias("zx"),
+            F.expr(_Z_Y_SPARK).cast("long").alias("zy"),
+            F.expr(_z_interleave(_Z_X, _Z_Y_SPARK, "DIV"))
+            .cast("long")
+            .alias("zvalue"),
+        )
+        .orderBy("zvalue", "o_orderkey")
+        .limit(200)
+    )

@@ -222,6 +222,15 @@ POST_ROTATION_R3: list[str] = [
     "q_join_interval_overlap",
     "q_agg_heavy_hitters",
     "q_agg_sketch_union",
+    "q_pipeline_shuffle",
+    "q_pipeline_mixture",
+    "q_text_chunk",
+    "q_text_repetition",
+    "q_sim_quantize",
+    "q_ts_funnel",
+    "q_ts_retention",
+    "q_graph_pagerank",
+    "q_sort_zorder",
 ]
 
 
