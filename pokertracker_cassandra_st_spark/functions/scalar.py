@@ -528,3 +528,66 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("not_a_number").cast("bigint").alias("bad_cast"),
         (F.col("o_orderstatus") == "O").cast("int").alias("is_open"),
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+SELECT c_custkey,
+       struct_pack(nk := c_nationkey, seg := c_mktsegment).nk AS s_nk,
+       struct_pack(nk := c_nationkey, seg := c_mktsegment).seg AS s_seg,
+       struct_pack(outer_k := c_custkey,
+                   inner_s := struct_pack(nk := c_nationkey,
+                                          bal_cents := CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  ).inner_s.bal_cents AS nested_bal_cents,
+       (struct_pack(a := c_nationkey, b := c_mktsegment) =
+        struct_pack(a := c_nationkey, b := 'BUILDING')) AS seg_is_building,
+       CASE WHEN c_nationkey < 12
+            THEN struct_pack(tag := 'low',  k := c_nationkey)
+            ELSE struct_pack(tag := 'high', k := c_nationkey)
+       END.tag AS branch_tag
+FROM customer
+""",
+    tags=("fn",),
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (row-type) family: named_struct construction, dot-path
+    field access, nesting, whole-struct equality comparison, and struct
+    values flowing through conditionals — the composite type surface
+    the engine's replay/event payloads rely on (events.props is a
+    struct-shaped JSON; q_join_asof carries its matched click as a
+    struct column).
+
+    c_acctbal is compared as integer cents (floor(x*100+0.5)) so the
+    nested-field check has no float formatting divergence.
+    """
+    c = table(spark, sf_dir, "customer")
+    s = F.struct(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    )
+    nested = F.struct(
+        F.col("c_custkey").alias("outer_k"),
+        F.struct(
+            F.col("c_nationkey").alias("nk"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_cents"),
+        ).alias("inner_s"),
+    )
+    eq = F.struct(
+        F.col("c_nationkey").alias("a"), F.col("c_mktsegment").alias("b")
+    ) == F.struct(
+        F.col("c_nationkey").alias("a"), F.lit("BUILDING").alias("b")
+    )
+    branch = F.when(
+        F.col("c_nationkey") < 12,
+        F.struct(F.lit("low").alias("tag"), F.col("c_nationkey").alias("k")),
+    ).otherwise(
+        F.struct(F.lit("high").alias("tag"), F.col("c_nationkey").alias("k"))
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("nk").alias("s_nk"),
+        s.getField("seg").alias("s_seg"),
+        nested.getField("inner_s").getField("bal_cents").alias("nested_bal_cents"),
+        eq.alias("seg_is_building"),
+        branch.getField("tag").alias("branch_tag"),
+    )

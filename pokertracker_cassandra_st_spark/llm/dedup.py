@@ -562,3 +562,85 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------- #
+# segment-level (C4-style "line") dedup                             #
+# ---------------------------------------------------------------- #
+
+_SEG = 10  # tokens per non-overlapping segment
+
+_LINES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), seg AS (
+  SELECT doc_id, seg_idx,
+         md5(array_to_string(list_slice(toks, seg_idx * {_SEG} + 1,
+                                        seg_idx * {_SEG} + {_SEG}), ' '))
+           AS seg_hash
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, (len(toks) + {_SEG - 1}) // {_SEG} - 1))
+                 AS seg_idx
+        FROM t WHERE len(toks) > 0)
+), ranked AS (
+  SELECT doc_id, seg_idx,
+         row_number() OVER (PARTITION BY seg_hash
+                            ORDER BY doc_id, seg_idx) AS occ
+  FROM seg
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@register("q_dedup_lines", oracle=_LINES_ORACLE, tags=("llm", "dedup"))
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (the C4/line-level pass): split each
+    document into non-overlapping ``_SEG``-token segments, keep only the
+    globally FIRST occurrence (lowest doc_id, then segment position) of
+    each distinct segment, and report per document how many of its
+    segments survive — the intra-corpus boilerplate remover that
+    document-level dedup can't see (headers, footers, licence blocks
+    repeated across distinct documents).
+
+    Scale notes: the occurrence ranking partitions on the segment's
+    md5, so the shuffle carries (hash, doc_id, seg_idx) triples — 16
+    bytes of key, never segment text; the per-document rollup is a
+    second narrow shuffle on doc_id. First-occurrence semantics is a
+    deterministic total order (doc_id, seg_idx), so re-running at any
+    partitioning yields the same survivor set.
+    """
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") > 0)
+    n_segs = ((F.size("toks") + _SEG - 1) / _SEG).cast("long")
+    seg = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("seg_idx") * _SEG + 1, F.lit(_SEG)),
+                " ",
+            )
+        ).alias("seg_hash"),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    )
+    return (
+        seg.withColumn("occ", occ)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

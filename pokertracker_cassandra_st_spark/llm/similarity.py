@@ -216,3 +216,95 @@ def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("label").alias("n_labels"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+# ---------------------------------------------------------------- #
+# k-means assignment step (one Lloyd iteration, exact integers)     #
+# ---------------------------------------------------------------- #
+
+_KM_K = 8  # centroids = the vectors with vec_id < _KM_K
+_KM_S = 1_000_000  # quantization scale: long(x * 1e6), half-away
+
+
+def _km_quant_duck(col: str) -> str:
+    return (
+        f"list_transform({col}, x -> CAST(CASE WHEN x < 0 "
+        f"THEN -floor(abs(CAST(x AS DOUBLE)) * {_KM_S} + 0.5) "
+        f"ELSE  floor(abs(CAST(x AS DOUBLE)) * {_KM_S} + 0.5) END AS BIGINT))"
+    )
+
+
+_KMEANS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, {_km_quant_duck('embedding')} AS qe FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < {_KM_K}
+), dist AS (
+  SELECT q.vec_id, cent.cid,
+         list_sum(list_transform(list_zip(q.qe, cent.ce),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM q CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM dist
+)
+SELECT cid, count(*) AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS sse_scaled
+FROM assigned WHERE rn = 1
+GROUP BY cid
+"""
+
+
+@register("q_sim_kmeans", oracle=_KMEANS_ORACLE, tags=("llm", "similarity"))
+def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) assignment step: every embedding is assigned
+    to its nearest of ``_KM_K`` seed centroids (the vectors with the
+    lowest ids) by squared L2 distance, reporting cluster sizes and the
+    within-cluster sum of squared distances — the building block of the
+    coarse-quantizer training loop behind the IVF index (q_sim_ivf
+    consumes exactly such an assignment as its cell structure).
+
+    Determinism: embeddings are quantized to longs (1e-6 resolution,
+    half-away) BEFORE any arithmetic, so distances are exact integer
+    sums — max |q| ~ 2e6, dim 64 => d2 <= 64 * (4e6)^2 ~ 1e15, well
+    inside int64 — and the argmin (ties broken by centroid id) is
+    bit-identical across engines and partitionings.
+
+    Scale notes: the centroid side is ``_KM_K`` rows — broadcast; the
+    assignment is a stateless narrow map over the corpus (no shuffle of
+    embeddings), and the cluster rollup shuffles only (cid, d2) pairs
+    with map-side partial aggregation. An iterated version repeats this
+    plan with the recomputed centroid table re-broadcast each step —
+    per-iteration cost is one corpus scan, which is the floor.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+
+    def _quant(col: Column) -> Column:
+        def one(x: Column) -> Column:
+            mag = F.floor(F.abs(x.cast("double")) * _KM_S + 0.5).cast("long")
+            return F.when(x < 0, -mag).otherwise(mag)
+
+        return F.transform(col, one)
+
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qe"))
+    cent = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = q.join(F.broadcast(cent)).select("vec_id", "cid", d2.alias("d2"))
+    best = dist.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid")).alias("m")
+    )
+    return (
+        best.select(F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum("d2").cast("long").alias("sse_scaled"),
+        )
+    )

@@ -96,3 +96,61 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "q_sink_partition_overwrite",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+GROUP BY o_orderpriority
+""",
+    tags=("sink",),
+)
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (the partition-level reload/upsert a
+    batch warehouse runs nightly): write orders partitioned by
+    o_orderpriority, then re-load ONLY the '1-URGENT' partition from a
+    corrected extract (here: totalprice > 150000) with
+    ``partitionOverwriteMode=dynamic`` — untouched partitions must
+    survive byte-for-byte. Read-back aggregate proves exactly that:
+    four original partitions + the one replaced partition.
+
+    Scale notes: dynamic mode rewrites only partitions present in the
+    incoming DataFrame — a reload of one day/priority touches one
+    directory, not the table; the oracle's UNION mirrors the resulting
+    partition-level lineage. Writer-side the partitionBy column prunes
+    to one directory per task output; no shuffle beyond the write's
+    own distribution.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = f"{SCRATCH}/sink_partition_overwrite"
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    o = table(spark, sf_dir, "orders").select(*cols)
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    corrected = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -231,6 +231,10 @@ POST_ROTATION_R3: list[str] = [
     "q_ts_retention",
     "q_graph_pagerank",
     "q_sort_zorder",
+    "q_dedup_lines",
+    "q_sim_kmeans",
+    "q_sink_partition_overwrite",
+    "q_fn_struct",
 ]
 
 
