@@ -154,3 +154,155 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+_MERGE_INS_OFFSET = 1_000_000_000  # synthetic insert keys, disjoint from base
+
+
+@register(
+    "q_sink_merge",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS price,
+         o_orderstatus AS status
+  FROM base
+  WHERE o_orderkey % 1000 <> 0
+  UNION ALL
+  SELECT o_orderkey + {_MERGE_INS_OFFSET}, o_totalprice, 'N'
+  FROM base WHERE o_orderkey % 100 = 0
+)
+SELECT status,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       max(o_orderkey) AS max_key
+FROM merged
+GROUP BY status
+""",
+    tags=("sink",),
+)
+def q_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (the lakehouse upsert/CDC-apply): materialize a base
+    table, then apply one changeset holding all three verbs — DELETE
+    (key % 1000 == 0), UPDATE (key % 10 == 0: price += 1000), INSERT
+    (new keys at base+1e9, status 'N') — in a single full-outer join
+    pass, rewrite the table, and aggregate the read-back. This is the
+    batch-side sibling of q_stream_mv_merge (foreachBatch incremental
+    MV) and q_replay_cdc_diff (which *produces* such changesets).
+
+    Scale notes: one shuffle — base and changeset co-partition on the
+    merge key for the full-outer join; the apply itself is a
+    stateless projection (coalesce per column + op filter). On a
+    date-partitioned table the join would be preceded by partition
+    pruning to the changeset's touched partitions and the rewrite
+    confined to them (q_sink_partition_overwrite shows exactly that
+    mechanism); the full-table rewrite here is the worst case, not the
+    design.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    base_dir = f"{SCRATCH}/merge_base"
+    out_dir = f"{SCRATCH}/merge_out"
+    key = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").parquet(base_dir)
+
+    deletes = o.filter(key % 1000 == 0).select(
+        key.alias("c_key"),
+        F.lit(None).cast("double").alias("c_price"),
+        F.lit(None).cast("string").alias("c_status"),
+        F.lit("D").alias("op"),
+    )
+    updates = o.filter((key % 10 == 0) & (key % 1000 != 0)).select(
+        key.alias("c_key"),
+        (F.col("o_totalprice") + 1000).alias("c_price"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.lit("U").alias("op"),
+    )
+    inserts = o.filter(key % 100 == 0).select(
+        (key + _MERGE_INS_OFFSET).alias("c_key"),
+        F.col("o_totalprice").alias("c_price"),
+        F.lit("N").alias("c_status"),
+        F.lit("I").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+
+    base = spark.read.parquet(base_dir)
+    merged = (
+        base.join(changes, base["o_orderkey"] == changes["c_key"], "full_outer")
+        .filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_key", "o_orderkey").alias("o_orderkey"),
+            F.coalesce("c_price", "o_totalprice").alias("price"),
+            F.coalesce("c_status", "o_orderstatus").alias("status"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "q_scan_dpp",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE substr(o_orderpriority, 1, 1) IN ('1', '2')
+GROUP BY o_orderpriority
+""",
+    tags=("scan",),
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table partitioned on
+    o_orderpriority joined to a dimension whose *non-key* predicate
+    (priority class '1'/'2') only determines the surviving partitions
+    at runtime — Catalyst injects a DynamicPruning subquery that reuses
+    the dimension broadcast to skip entire fact partitions at the
+    file-source level (asserted in tests/test_plans.py).
+
+    Scale notes: this is THE mechanism that makes star-schema joins on
+    a date/tenant-partitioned 100 TB fact viable — the scan reads only
+    the partitions the filtered dimension selects, so I/O scales with
+    the dimension predicate's selectivity, not the fact size. The
+    dimension is distinct-priority-level tiny and broadcast; no
+    shuffle on the fact side before aggregation's own exchange.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = f"{SCRATCH}/dpp_orders"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .withColumn("prio_class", F.substring("o_orderpriority", 1, 1))
+    )
+    picked = dim.filter(F.col("prio_class").isin("1", "2")).select(
+        F.col("o_orderpriority").alias("d_priority")
+    )
+    return (
+        fact.join(
+            F.broadcast(picked),
+            fact["o_orderpriority"] == picked["d_priority"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -183,3 +183,89 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("sess_no")
     )
+
+
+_ITP_S = 1_000_000  # value quantization scale for exact interpolation
+
+
+@register(
+    "q_ts_interpolate",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         (list(value ORDER BY event_id DESC))[1] AS v
+  FROM events
+  GROUP BY 1, 2
+), q AS (
+  SELECT user_id, day,
+         CAST(CASE WHEN v < 0 THEN -floor(abs(v) * {_ITP_S} + 0.5)
+                   ELSE  floor(abs(v) * {_ITP_S} + 0.5) END AS BIGINT) AS qv
+  FROM daily
+), nx AS (
+  SELECT user_id, day, qv,
+         lead(day) OVER w AS nd,
+         lead(qv)  OVER w AS nq
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), seg AS (
+  SELECT user_id, day, qv, nd, nq, date_diff('day', day, nd) AS g
+  FROM nx
+  WHERE nd IS NOT NULL AND date_diff('day', day, nd) > 1
+)
+SELECT user_id,
+       CAST(CAST(day + CAST(i AS INTEGER) AS DATE) AS VARCHAR) AS day,
+       CAST(qv * (g - i) + nq * i AS BIGINT) AS interp_num,
+       CAST(g AS BIGINT) AS gap_len
+FROM seg, LATERAL unnest(generate_series(1, g - 1)) AS t(i)
+""",
+    tags=("timeseries",),
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across observation gaps — the numeric
+    sibling of q_ts_gapfill's LOCF: for every pair of consecutive
+    observed days (d0, d1) per user with a gap g > 1, emit the g-1
+    missing days with the linearly interpolated value. Emitted exactly:
+    values quantize to 1e-6 longs first, and the output is the integer
+    numerator qv0*(g-i) + qv1*i together with the denominator g, so the
+    interpolation is pure int64 arithmetic — bit-identical across
+    engines and partitionings (the consumer divides, or keeps the
+    rational form).
+
+    Scale notes: one shuffle on user_id serves both the daily rollup
+    and the lead() window (same key); the gap explode fans out bounded
+    by calendar span, independent of event volume. No UDFs, no driver
+    loops — sequence+explode stays in whole-stage codegen.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.max_by("value", "event_id").alias("v"))
+    mag = F.floor(F.abs(F.col("v")) * _ITP_S + 0.5).cast("long")
+    q = daily.select(
+        "user_id", "day", F.when(F.col("v") < 0, -mag).otherwise(mag).alias("qv")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    nx = q.select(
+        "user_id",
+        "day",
+        "qv",
+        F.lead("day").over(w).alias("nd"),
+        F.lead("qv").over(w).alias("nq"),
+    )
+    seg = nx.filter(
+        F.col("nd").isNotNull() & (F.datediff("nd", "day") > 1)
+    ).withColumn("g", F.datediff("nd", "day").cast("long"))
+    i = F.col("i")
+    return seg.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("g") - 1)).alias("i"),
+        "day",
+        "qv",
+        "nq",
+        "g",
+    ).select(
+        "user_id",
+        F.date_add("day", i.cast("int")).cast("string").alias("day"),
+        (F.col("qv") * (F.col("g") - i) + F.col("nq") * i).alias("interp_num"),
+        F.col("g").alias("gap_len"),
+    )

@@ -235,6 +235,10 @@ POST_ROTATION_R3: list[str] = [
     "q_sim_kmeans",
     "q_sink_partition_overwrite",
     "q_fn_struct",
+    "q_sink_merge",
+    "q_scan_dpp",
+    "q_source_schema_evolution",
+    "q_ts_interpolate",
 ]
 
 

@@ -127,3 +127,61 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.countDistinct("ID") * (F.max("VERSION") + 1)
         ).alias("versions_dense"),
     )
+
+
+@register(
+    "q_source_schema_evolution",
+    oracle="""
+WITH unified AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       max(o_orderkey) AS max_key
+FROM unified
+GROUP BY 1
+""",
+    tags=("source",),
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch written
+    WITHOUT o_orderpriority and a later batch WITH it are read as one
+    table via mergeSchema — the union schema resolves by column NAME
+    and old rows surface NULL for the added column (bucketed here as
+    '<pre-evolution>'), exactly the additive-column evolution a
+    long-lived event log accumulates.
+
+    Scale notes: mergeSchema's footer reconciliation is an O(n_files)
+    metadata pass (driver-side, no data read) — at 100 TB you pin the
+    merged schema explicitly via .schema(...) once known, which this
+    read path equally supports; per-row cost is zero either way since
+    parquet resolves columns by name. Batch dirs stay independently
+    written — no rewrite of old data to evolve.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = f"{SCRATCH}/schema_evo"
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    o.filter(key % 2 == 1).select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=1")
+    o.filter(key % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{out}/batch=2")
+    back = (
+        spark.read.option("mergeSchema", True)
+        .option("basePath", out)
+        .parquet(f"{out}/batch=1", f"{out}/batch=2")
+    )
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )

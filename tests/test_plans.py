@@ -235,3 +235,39 @@ def test_pack_prefix_sum_is_two_phase(spark, sf_dir):
     # frame is the only SinglePartition consumer
     assert simple.count("Exchange SinglePartition") <= 1
     assert "windowspecdefinition(bkt" in simple
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    # q_scan_dpp: the fact scan's PartitionFilters must carry a
+    # DynamicPruning subquery on the partition column — the mechanism
+    # that skips unselected partitions of a 100 TB fact entirely
+    plan = plan_of(spark, "q_scan_dpp", sf_dir)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l.lower() for l in part_lines), part_lines
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    # centroid side is K rows: must broadcast; the corpus never shuffles
+    # before assignment (the only Exchanges are the argmin + rollup aggs)
+    simple = plan_of(spark, "q_sim_kmeans", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+    assert simple.count("Exchange hashpartitioning") <= 2
+
+
+def test_dedup_lines_shuffles_hashes_not_text(spark, sf_dir):
+    # two narrow shuffles (seg_hash window, doc_id rollup); the raw
+    # text column must not survive past the segment-hash projection
+    simple = plan_of(spark, "q_dedup_lines", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 2
+    # plans print top-down (scan at the bottom): everything ABOVE the
+    # seg_hash Exchange — the shuffled rows and all post-shuffle ops —
+    # must not reference the raw text column
+    above_shuffle = simple[: simple.index("Exchange hashpartitioning(seg_hash")]
+    assert "text#" not in above_shuffle
+
+
+def test_interpolate_two_shuffles_no_udf(spark, sf_dir):
+    simple = plan_of(spark, "q_ts_interpolate", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
