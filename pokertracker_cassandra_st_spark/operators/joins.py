@@ -585,3 +585,70 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             overlap_us.alias("overlap_us"),
         )
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("join",),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed large-large join — the zero-shuffle upgrade path for
+    joins where neither side broadcasts: both tables are written
+    bucketed+sorted on the join key, so the SortMergeJoin reads
+    co-located buckets directly and needs NO Exchange on either input
+    (asserted in tests/test_plans.py). The ``merge`` hint pins the
+    strategy so the demonstration holds at any test SF where one side
+    would otherwise broadcast.
+
+    Scale notes: at 100 TB this converts every repeated join on the
+    same key from a full two-sided shuffle into a local merge per
+    bucket — the write-once/join-many amortization that star-schema
+    fact-fact joins (orders x lineitem) rely on. Bucket count scales
+    with cluster parallelism, not data volume; the only Exchange left
+    in the query is the final aggregation's.
+    """
+    import os
+
+    os.makedirs("/root/repo/.scratch/bucketed_q", exist_ok=True)
+    base = "/root/repo/.scratch/bucketed_q"
+    li_t, o_t = "q_jb_lineitem", "q_jb_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/{li_t}")
+        .saveAsTable(li_t)
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{o_t}")
+        .saveAsTable(o_t)
+    )
+    li = spark.table(li_t)
+    o = spark.table(o_t).hint("merge")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -239,6 +239,7 @@ POST_ROTATION_R3: list[str] = [
     "q_scan_dpp",
     "q_source_schema_evolution",
     "q_ts_interpolate",
+    "q_join_bucketed",
 ]
 
 

@@ -271,3 +271,12 @@ def test_interpolate_two_shuffles_no_udf(spark, sf_dir):
     simple = plan_of(spark, "q_ts_interpolate", sf_dir, mode="simple")
     assert simple.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+
+
+def test_bucketed_query_join_has_no_input_exchange(spark, sf_dir):
+    # q_join_bucketed: SortMergeJoin over co-located bucketed scans —
+    # the only Exchange in the whole plan is the final aggregation's
+    simple = plan_of(spark, "q_join_bucketed", sf_dir, mode="simple")
+    assert "SortMergeJoin" in simple
+    join_and_below = simple[simple.index("SortMergeJoin") :]
+    assert "Exchange" not in join_and_below
