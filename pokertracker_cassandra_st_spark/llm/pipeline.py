@@ -88,3 +88,47 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@register(
+    "q_pipeline_dataset_card",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       count(DISTINCT md5(text)) AS n_unique_texts,
+       count(DISTINCT lang) AS n_langs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+""",
+    tags=("llm",),
+)
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profiling: the per-source summary block every
+    released training corpus ships (docs, chars, whitespace tokens,
+    exact-duplicate cardinality, language spread, length extremes) —
+    computed in ONE pass over the corpus. ``n_docs - n_unique_texts``
+    is the exact-duplicate count; all metrics are integers, so the
+    result is bit-deterministic under any partitioning.
+
+    Scale notes: two DISTINCT aggregates over different expressions
+    make Catalyst plan an Expand (3 rows per input) — but the expanded
+    rows carry only (source, md5, lang), never text, so shuffle volume
+    is ~48 bytes x 3 per doc regardless of document size; text dies at
+    the map side after hashing. At extreme cardinality the drop-ins
+    are approx_count_distinct (one pass, no Expand) or a two-level
+    re-aggregation over a pre-deduped (source, md5) projection.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

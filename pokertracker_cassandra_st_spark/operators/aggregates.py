@@ -613,3 +613,47 @@ def q_agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_tolerance"),
     )
+
+
+@register(
+    "q_agg_percentile_exact",
+    oracle="""
+SELECT event_type,
+       count(value) AS n,
+       CAST(quantile_cont(CAST(round(value * 1000000) AS BIGINT) * 4, 0.25)
+            AS BIGINT) AS p25_q4,
+       CAST(quantile_cont(CAST(round(value * 1000000) AS BIGINT) * 4, 0.50)
+            AS BIGINT) AS p50_q4,
+       CAST(quantile_cont(CAST(round(value * 1000000) AS BIGINT) * 4, 0.75)
+            AS BIGINT) AS p75_q4
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (percentile_cont semantics: position p*(n-1),
+    linear interpolation) — the sibling of q_agg_percentile_approx's GK
+    sketch. Bit-determinism across engines: values quantize to 1e-6
+    longs times 4, so every interpolated value at p in {.25,.5,.75} is
+    an exact integer (fractions are quarters and inputs are multiples
+    of 4) — no float rounding can diverge. Output is the quantized
+    numerator; consumers divide by 4e6.
+
+    Scale notes: exact percentiles need the value multiset per group —
+    Spark's ``percentile`` aggregates a per-partition buffer then
+    merges (memory ~ group cardinality x distinct values, with
+    map-side partial aggregation). Exact is right when groups are
+    few and value domains bounded (here: 5 event types); at unbounded
+    cardinality switch to q_agg_percentile_approx (GK, fixed memory) —
+    the within-tolerance contract there quantifies the trade.
+    """
+    ev = table(spark, sf_dir, "events")
+    qv4 = (slong("value", 6) * 4).alias("qv4")
+    base = ev.select("event_type", F.col("value"), qv4)
+    return base.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.percentile("qv4", 0.25).cast("long").alias("p25_q4"),
+        F.percentile("qv4", 0.50).cast("long").alias("p50_q4"),
+        F.percentile("qv4", 0.75).cast("long").alias("p75_q4"),
+    )

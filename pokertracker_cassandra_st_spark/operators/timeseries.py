@@ -16,11 +16,16 @@ span.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import DEC, fmt_ts
 from pokertracker_cassandra_st_spark.registry import register
+
+SCRATCH = "/root/repo/.scratch"
 
 
 @register(
@@ -268,4 +273,141 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("day", i.cast("int")).cast("string").alias("day"),
         (F.col("qv") * (F.col("g") - i) + F.col("nq") * i).alias("interp_num"),
         F.col("g").alias("gap_len"),
+    )
+
+
+@register(
+    "q_ts_rollup_hierarchy",
+    oracle="""
+SELECT 'hour' AS grain, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', event_type,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR),
+       count(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'month', event_type,
+       CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR),
+       count(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+""",
+    tags=("timeseries",),
+)
+def q_ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy (the hypertable rollup pattern):
+    the HOURLY aggregate is materialized ONCE from raw events, and the
+    coarser grains (day, month) are derived by re-aggregating the
+    stored hourly partials — raw data is scanned exactly once no matter
+    how many grains are served. Sums are kept in exact DECIMAL in the
+    materialization so partial re-aggregation is bit-identical to a
+    direct aggregate at every grain (the oracle computes each grain
+    straight from raw events — equality IS the merge-correctness
+    proof).
+
+    Scale notes: at 100 TB the hourly materialization is ~10^4-10^5x
+    smaller than raw (bounded by hours x keys, not events), so the
+    daily/monthly queries read megabytes, not terabytes. Count and
+    decimal-sum partials are mergeable (unlike avg/double-sum stored as
+    final values); this is exactly the invariant streaming/hypertable
+    rollups rely on. The refresh path is incremental: re-aggregate only
+    the hours a new partition touches, overwrite those rows.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    mat = f"{SCRATCH}/rollup_hourly_{os.path.basename(os.path.normpath(sf_dir))}"
+    ev = table(spark, sf_dir, "events")
+    (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),
+        )
+        .write.mode("overwrite")
+        .parquet(mat)
+    )
+    hourly = spark.read.parquet(mat)
+    hour_out = hourly.select(
+        F.lit("hour").alias("grain"),
+        "event_type",
+        fmt_ts("h").alias("bucket"),
+        "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+    daily = (
+        hourly.groupBy("event_type", F.date_trunc("day", "h").cast("date").alias("d"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .select(
+            F.lit("day").alias("grain"),
+            "event_type",
+            F.col("d").cast("string").alias("bucket"),
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+    monthly = (
+        hourly.groupBy(
+            "event_type", F.date_trunc("month", "h").cast("date").alias("m")
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .select(
+            F.lit("month").alias("grain"),
+            "event_type",
+            F.col("m").cast("string").alias("bucket"),
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+    return hour_out.unionByName(daily).unionByName(monthly)
+
+
+@register(
+    "q_ts_sliding_distinct",
+    oracle="""
+SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+                ((CAST(floor(epoch(ts)) AS BIGINT) // 21600 - k.k) * 21600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events, (VALUES (0), (1)) AS k(k)
+GROUP BY 1
+""",
+    tags=("timeseries",),
+)
+def q_ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users: 12-hour windows sliding every 6
+    hours, each event contributing to exactly width/slide = 2 windows.
+    The overlapping-window cardinality question ("unique actives in the
+    trailing 12h, refreshed every 6h") that tumbling windows cannot
+    answer. ``F.window(ts, width, slide)`` does the bounded fan-out
+    declaratively; the oracle mirrors it with an explicit 2-row
+    membership join.
+
+    Scale notes: fan-out is width/slide (here 2x), independent of data
+    volume, and happens map-side before the aggregate's partial phase.
+    Exact distinct over (window, user) shuffles one narrow pair per
+    membership; for high-cardinality users at 100 TB the drop-in
+    relaxations are approx_count_distinct or the mergeable HLL sketch
+    rollup (q_agg_sketch_union) over per-slide partial sketches —
+    sliding windows then UNION slide-aligned sketches instead of
+    re-scanning, the same partial-merge invariant as
+    q_ts_rollup_hierarchy.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(F.window("ts", "12 hours", "6 hours").alias("w"), "user_id")
+        .groupBy(F.col("w.start").alias("ws"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            fmt_ts("ws").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
     )

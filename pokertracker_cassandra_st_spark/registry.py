@@ -240,6 +240,10 @@ POST_ROTATION_R3: list[str] = [
     "q_source_schema_evolution",
     "q_ts_interpolate",
     "q_join_bucketed",
+    "q_ts_rollup_hierarchy",
+    "q_ts_sliding_distinct",
+    "q_agg_percentile_exact",
+    "q_pipeline_dataset_card",
 ]
 
 

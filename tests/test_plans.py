@@ -280,3 +280,33 @@ def test_bucketed_query_join_has_no_input_exchange(spark, sf_dir):
     assert "SortMergeJoin" in simple
     join_and_below = simple[simple.index("SortMergeJoin") :]
     assert "Exchange" not in join_and_below
+
+
+def test_rollup_hierarchy_reads_materialization_not_raw(spark, sf_dir):
+    # q_ts_rollup_hierarchy: all three grains must read the hourly
+    # materialization — the returned plan never rescans raw events
+    simple = plan_of(spark, "q_ts_rollup_hierarchy", sf_dir, mode="simple")
+    assert simple.count("rollup_hourly") == 3
+    assert "events.parquet" not in simple
+
+
+def test_sliding_distinct_bounded_fanout_partial_agg(spark, sf_dir):
+    # q_ts_sliding_distinct: window fan-out is an Expand/Explode map-side
+    # step and the distinct agg keeps partial aggregation (no raw-row
+    # shuffle of anything wider than (window, user_id))
+    plan = plan_of(spark, "q_ts_sliding_distinct", sf_dir)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "ts" in read_schema and "user_id" in read_schema
+    assert "value" not in read_schema and "props" not in read_schema
+
+
+def test_dataset_card_text_dies_before_shuffle(spark, sf_dir):
+    # q_pipeline_dataset_card: text is hashed map-side; the Exchange
+    # carries md5/lang/source + partial counters, never the text column
+    simple = plan_of(spark, "q_pipeline_dataset_card", sf_dir, mode="simple")
+    # raw text may appear only at the map side: the scan itself and the
+    # Expand that hashes it to md5 — every aggregate/exchange stage
+    # above carries the 32-char digest, never the document body
+    for line in simple.splitlines():
+        if "text#" in line:
+            assert "Expand" in line or "FileScan" in line, line
