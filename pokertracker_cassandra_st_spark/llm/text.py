@@ -238,3 +238,108 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_fp"),
         F.md5(bag).alias("bag_fp"),
     )
+
+
+# ---------------------------------------------------------------- #
+# boilerplate removal (frequency-threshold segment filter)          #
+# ---------------------------------------------------------------- #
+
+_BSEG = 10  # tokens per non-overlapping segment (mirrors dedup.py._SEG)
+_BOILER_MIN_DOCS = 3  # a segment in >= this many distinct docs is boilerplate
+
+_BOILER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), seg AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(toks, seg_idx * {_BSEG} + 1,
+                                    seg_idx * {_BSEG} + {_BSEG}), ' ')
+           AS seg_text
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, (len(toks) + {_BSEG - 1}) // {_BSEG} - 1))
+                 AS seg_idx
+        FROM t WHERE len(toks) > 0)
+), freq AS (
+  SELECT md5(seg_text) AS seg_hash, count(DISTINCT doc_id) AS nd
+  FROM seg GROUP BY md5(seg_text)
+), marked AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text,
+         f.nd >= {_BOILER_MIN_DOCS} AS boiler
+  FROM seg s JOIN freq f ON md5(s.seg_text) = f.seg_hash
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN NOT boiler THEN seg_text END, ' '
+                               ORDER BY seg_idx), '')) AS clean_hash
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register("q_text_boilerplate", oracle=_BOILER_ORACLE, tags=("llm", "text"))
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the C4 policy-line /
+    repeated-header filter): a token segment occurring in >=
+    ``_BOILER_MIN_DOCS`` DISTINCT documents is boilerplate and is
+    dropped from EVERY document (unlike q_dedup_lines, which keeps the
+    first occurrence). Emits per document the segment counts and the
+    md5 of the reconstructed (cleaned, order-preserving) text, so the
+    output identity of the rewritten corpus is oracle-checked without
+    shipping the text back.
+
+    Scale notes: the frequency pass shuffles (md5, doc_id) pairs only —
+    16-byte keys, map-side distinct-partials, never text. The rebuild
+    pass must move surviving segment text once, on doc_id — the
+    unavoidable cost of EMITTING a rewritten corpus (any engine pays
+    it); segments are grouped back with an in-group sort on seg_idx,
+    not a global sort. The boilerplate hash set is tiny (frequency
+    threshold keeps only cross-doc repeats) so at 100 TB the
+    mark-join broadcasts.
+    """
+    t = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    n_segs = ((F.size("toks") + _BSEG - 1) / _BSEG).cast("long")
+    seg = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("seg_idx") * _BSEG + 1, F.lit(_BSEG)),
+            " ",
+        ).alias("seg_text"),
+    )
+    freq = (
+        seg.select(F.md5("seg_text").alias("seg_hash"), "doc_id")
+        .distinct()
+        .groupBy("seg_hash")
+        .agg(F.count("*").alias("nd"))
+    )
+    marked = seg.join(
+        freq, F.md5(seg["seg_text"]) == freq["seg_hash"]
+    ).select(
+        "doc_id",
+        "seg_idx",
+        "seg_text",
+        (F.col("nd") >= _BOILER_MIN_DOCS).alias("boiler"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("boiler"), F.struct("seg_idx", "seg_text"))
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda s: s["seg_text"]), " ")
+        ).alias("clean_hash"),
+    )

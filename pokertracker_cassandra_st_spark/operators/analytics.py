@@ -171,3 +171,72 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pqty").cast("double") / 100).alias("sum_qty"),
         F.max("pmax").alias("max_price"),
     )
+
+
+@register(
+    "q_tpch_q18_shape",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+       CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 100
+""",
+    tags=("analytics",),
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    self-referencing fact aggregate drives a 3-way join back onto the
+    same fact table, then a second grouped aggregate — the canonical
+    "aggregate as semi-join filter" pattern.
+
+    Scale notes: the `big` subquery is lineitem's groupBy(l_orderkey)
+    with map-side partial sums (narrow (key, long) shuffle), and its
+    HAVING output is tiny (hundreds of keys at any sf) — so AQE
+    converts the `big ⋈ orders` join to broadcast at runtime, and the
+    re-join to lineitem is then pre-filtered to those few orderkeys
+    before the final aggregate. lineitem is scanned twice by design;
+    at 100 TB the first scan reads only (l_orderkey, l_quantity) —
+    column pruning keeps it narrow. Quantities are exact scaled longs
+    (fixed 2-decimal domain; sum bounded far inside int64).
+    """
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    li = t.lineitem.select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(slong("l_quantity", 2)).alias("qsum"))
+        .filter(F.col("qsum") > 25000)
+        .select("l_orderkey")
+    )
+    return (
+        t.customer.join(
+            t.orders, t.orders["o_custkey"] == t.customer["c_custkey"]
+        )
+        .join(big, big["l_orderkey"] == F.col("o_orderkey"))
+        .join(li.alias("l"), F.col("l.l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg((F.sum(slong("l.l_quantity", 2)).cast("double") / 100).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "orderdate"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )

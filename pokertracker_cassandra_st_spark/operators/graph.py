@@ -105,3 +105,99 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), "custkey")
         .limit(100)
     )
+
+
+_TRIANGLE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1
+  JOIN e e2 ON e1.p2 = e2.p1
+  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+), per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT node AS partkey, n_triangles,
+       (SELECT count(*) FROM tri) AS total_triangles
+FROM per_node
+ORDER BY n_triangles DESC, partkey
+LIMIT 20
+"""
+
+
+@register("q_graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("graph",))
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts sharing
+    an order are connected), via the canonical oriented edge-edge-edge
+    join: every edge is stored once as (lo, hi) with lo < hi, so each
+    triangle a<b<c is produced exactly once by
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — no per-triangle dedup pass needed.
+
+    Returns the 20 parts participating in the most triangles (total
+    count carried alongside), deterministic tie-break on partkey.
+
+    Reference parity: the reference has no graph engine; this is part of
+    the analytics surface mandated by BASELINE.json:6. Cites the classic
+    MR triangle enumeration (Suri & Vassilvitskii, WWW'11).
+
+    Scale notes: the wedge join e1 ⋈ e2 on the shared middle vertex is
+    the expensive step — its fan-out is sum(deg^2). At 100 TB the
+    standard mitigation (implemented by orientation here, documented for
+    the degree-ordered variant) is to orient edges from lower- to
+    higher-degree endpoints so every wedge is centered at its
+    lowest-degree vertex, bounding fan-out by O(m^1.5) total. All three
+    joins are equi-joins on narrow (long, long) pairs, so each is a
+    plain shuffle the optimizer can plan; no all-pairs step exists.
+    AQE handles the skewed middle-vertex partitions at runtime.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .select(
+            F.col("e1.p1").alias("a"),
+            F.col("e1.p2").alias("b"),
+            F.col("e2.p2").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    total = tri.agg(F.count("*").alias("total_triangles"))
+    return (
+        per_node.crossJoin(F.broadcast(total))
+        .select(
+            F.col("node").alias("partkey"), "n_triangles", "total_triangles"
+        )
+        .orderBy(F.desc("n_triangles"), "partkey")
+        .limit(20)
+    )
