@@ -40,24 +40,56 @@ TABLES = (
 BOUNDED_DIMS = frozenset({"region", "nation"})
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table from an sf directory.
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical parquet type of ``events.ts`` for this sf directory.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's reader
-    rejects; we read it as raw int64 nanos (legacy conf) and rebuild a
-    microsecond timestamp with integer division — lossless here (the
-    generator emits µs-precision values) and matching DuckDB's µs
-    internal representation. The cast stays inside the scan's project,
-    so no extra pass over the data.
+    The driver has shipped two layouts across rounds: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects without the legacy
+    nanos-as-long conf — pyarrow reports it as ``timestamp[ns]``, and
+    test fixtures write the equivalent raw ``int64`` nanos directly)
+    and plain TIMESTAMP(MICROS). Probe the footer once per directory
+    (driver-side, metadata-only) so both load identically. Returns
+    ``"ns"`` (int64-nanos path) or ``"us"`` (native timestamp path).
     """
+    key = sf_dir
+    if key not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        t = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+        _TS_UNIT_CACHE[key] = "ns" if ("ns" in t or t == "int64") else "us"
+    return _TS_UNIT_CACHE[key]
+
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Rebuild ``ts`` as a session-UTC TimestampType column whatever the
+    on-disk representation was: int64 nanos (legacy conf) -> integer-
+    divide to µs (lossless — the generator emits µs-precision values);
+    TIMESTAMP_NTZ µs -> instant-preserving cast under the engine's fixed
+    UTC session timezone (session.py). Either way the cast stays inside
+    the scan's project — no extra pass over the data — and downstream
+    operators always see the same µs TimestampType DuckDB uses.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from an sf directory (events.ts normalized, see
+    ``normalize_events_ts``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

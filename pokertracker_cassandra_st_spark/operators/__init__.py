@@ -19,4 +19,6 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     behavior,
     graph,
     sqlapi,
+    statistics,
+    spatial,
 )

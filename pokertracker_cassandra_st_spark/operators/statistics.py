@@ -1,0 +1,215 @@
+"""Statistical aggregates: closed-form regression, entropy, crosstab.
+
+The reference's read model is a plain projection (PlayerResourceIT.java:
+131-139 asserts current state only), but any analytics engine serving
+that projection also gets asked "how does Y move with X" — these
+queries cover the descriptive-statistics tier: ordinary-least-squares
+fits from exact co-moments, Shannon entropy of categorical
+distributions, and contingency (crosstab) counts.
+
+Cross-engine determinism: the regression is NOT computed with the
+engines' regr_* aggregates (whose double accumulation order differs
+between Spark and DuckDB in the last ulps); both sides aggregate the
+five co-moments n, Σx, Σy, Σxy, Σxx in DECIMAL (exact, order
+independent — x is an integral quantity, y a 2-decimal price, so the
+products are exact 2-decimal values), then evaluate the identical
+closed-form slope/intercept/r² expression in double. Same inputs, same
+written expression tree => bit-identical IEEE results.
+
+Scale notes: all three are single-pass groupBy aggregations with
+map-side partial aggregation — the shuffle carries one row per group,
+not per input row; no UDFs, everything in whole-stage codegen. The
+crosstab pivot has a bounded column set (event types are an enum), so
+the pivot is a fixed-width conditional aggregation, not a dynamic
+explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.registry import register
+
+# Co-moment sums: l_quantity is an integer-valued double (1..50),
+# l_extendedprice a 2-decimal money value (< 1e6); x*y < 5e7 with 2
+# decimals, and 6M rows at sf1 keep Σxy < 3e14 — DECIMAL(28,4) sums
+# (Spark's promotion of DECIMAL(18,4)) have 10^24 headroom.
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "q_agg_regression",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+ORDER BY l_returnflag
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of extendedprice ~ quantity per return flag, from exact
+    decimal co-moments (slope, intercept, r²).
+
+    One pass, one shuffle carrying five numbers per group; the
+    closed-form arithmetic runs on bit-identical doubles in both
+    engines, so the compare is exact, not tolerance-based.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(_DEC))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(_DEC))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(22,4)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id % 10 AS cohort, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cp AS (
+  SELECT cohort, event_type,
+         CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cohort) AS p
+  FROM c
+), t AS (
+  SELECT cohort,
+         count(*) AS n_types,
+         list(p ORDER BY event_type) AS ps
+  FROM cp
+  GROUP BY cohort
+)
+SELECT cohort,
+       n_types,
+       round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ps),
+                          (acc, x) -> acc + x * ln(x)), 6) AS entropy
+FROM t
+ORDER BY cohort
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each cohort's event-type distribution.
+
+    Counts are exact longs; the -Σ p·ln p reduction runs over at most
+    |event_type| (an enum, 5 here) doubles, summed in event_type order
+    on BOTH sides — Spark folds a sorted collected struct array with
+    ``aggregate`` (deterministic left fold), DuckDB uses ordered-set
+    SUM(... ORDER BY) — so the float result is bit-identical, rounded
+    once for display. The bounded per-group array (enum-sized, not
+    row-sized) keeps this safe at any row count.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy((F.col("user_id") % 10).alias("cohort"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    t = c.groupBy("cohort").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_types"),
+        # entropy from a sorted, bounded (enum-sized) term list => the
+        # double additions happen in one defined order on both engines
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("terms"),
+    )
+    p = lambda cnt, total: cnt.cast("double") / total  # noqa: E731
+    return t.select(
+        "cohort",
+        "n_types",
+        F.round(
+            -F.aggregate(
+                "terms",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + p(s["cnt"], F.col("total")) * F.log(p(s["cnt"], F.col("total"))),
+            ),
+            6,
+        ).alias("entropy"),
+    ).orderBy("cohort")
+
+
+@register(
+    "q_agg_crosstab",
+    oracle="""
+SELECT event_type,
+       count(*) FILTER (WHERE value < 50) AS v_low,
+       count(*) FILTER (WHERE value >= 50 AND value < 150) AS v_mid,
+       count(*) FILTER (WHERE value >= 150 AND value < 300) AS v_high,
+       count(*) FILTER (WHERE value >= 300) AS v_top,
+       count(*) AS total
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table event_type × value band — the crosstab shape
+    as fixed-width conditional counts (exact, enum-bounded columns; a
+    dynamic pivot would make the schema data-dependent, which neither a
+    100 TB plan nor a stable API wants).
+    """
+    ev = table(spark, sf_dir, "events")
+    band = lambda lo, hi: F.count(  # noqa: E731
+        F.when(
+            (F.col("value") >= lo) & (F.col("value") < hi) if hi else F.col("value") >= lo,
+            1,
+        )
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") < 50, 1)).alias("v_low"),
+            band(50, 150).alias("v_mid"),
+            band(150, 300).alias("v_high"),
+            band(300, None).alias("v_top"),
+            F.count("*").alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -244,6 +244,13 @@ POST_ROTATION_R3: list[str] = [
     "q_ts_sliding_distinct",
     "q_agg_percentile_exact",
     "q_pipeline_dataset_card",
+    "q_tpch_q18_shape",
+    "q_graph_triangle_count",
+    "q_text_boilerplate",
+    "q_agg_regression",
+    "q_agg_entropy",
+    "q_agg_crosstab",
+    "q_join_spatial_grid",
 ]
 
 

@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 
 SCRATCH = "/root/repo/.scratch"
 
+def events_raw_schema(sf_dir: str) -> str:
+    """DDL schema for the raw events stream source, matching the on-disk
+    ts representation (int64 nanos in older driver layouts, TIMESTAMP µs
+    in newer ones — see catalog.events_ts_unit)."""
+    from pokertracker_cassandra_st_spark.catalog import events_ts_unit
+
+    ts_t = "long" if events_ts_unit(sf_dir) == "ns" else "timestamp_ntz"
+    return (
+        f"event_id long, ts {ts_t}, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+# Back-compat alias for the legacy nanos layout (tests import this name).
 EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
@@ -45,17 +59,22 @@ def stream_events(
     events OLDER than ones already seen — deterministic out-of-order
     arrival, for asserting that order-insensitive folds still converge.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pokertracker_cassandra_st_spark.catalog import (
+        events_ts_unit,
+        normalize_events_ts,
+    )
+
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file streaming source requires a directory; materialize the
     # event log as n time-ordered files under scratch (cached per sf/n).
     src = _split_events(spark, sf_dir, n_files, shuffled)
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
     )
-    df = reader.load(src)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(reader.load(src))
 
 
 def _split_events(
@@ -63,16 +82,22 @@ def _split_events(
 ) -> str:
     """Materialize events as n files (cached per sf/n/mode): contiguous
     time-ordered ranges by default, hash-scattered when ``shuffled``."""
+    from pokertracker_cassandra_st_spark.catalog import events_ts_unit
+
+    unit = events_ts_unit(sf_dir)
     mode = "shuf" if shuffled else "ord"
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_files}_{mode}"
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_files}_{mode}_{unit}"
     # v2: exact per-bucket files (repartitionByRange over a column with
     # only n_files distinct values derives boundaries by SAMPLING, so
     # two buckets could silently coalesce into one file — fewer
     # micro-batches than the out-of-order coverage claims)
-    out = f"{SCRATCH}/events_split_v2_{key}"
+    # v3: cache key carries the on-disk ts unit so a driver testdata
+    # regeneration (ns -> us layout) invalidates stale splits.
+    out = f"{SCRATCH}/events_split_v3_{key}"
     marker = f"{out}/_SUCCESS"
     if not os.path.exists(marker):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if unit == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import glob
         import shutil
         import time

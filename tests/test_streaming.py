@@ -228,17 +228,21 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, sf_dir, tmp_path):
     sink_dir = str(tmp_path / "sink")
 
     def run_once() -> None:
+        from pokertracker_cassandra_st_spark.catalog import (
+            events_ts_unit,
+            normalize_events_ts,
+        )
         from pokertracker_cassandra_st_spark.streaming.runner import (
-            EVENTS_RAW_SCHEMA,
+            events_raw_schema,
         )
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        if events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = normalize_events_ts(
+            spark.readStream.schema(events_raw_schema(sf_dir))
             .option("maxFilesPerTrigger", 1)
             .format("parquet")
             .load(staged)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
         agg = (
             ev.withWatermark("ts", "10 minutes")
