@@ -343,3 +343,51 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(kept, lambda s: s["seg_text"]), " ")
         ).alias("clean_hash"),
     )
+
+
+@register(
+    "q_text_bigrams",
+    oracle="""
+WITH bg AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM (SELECT string_split(text, ' ') AS tk FROM documents)
+)
+SELECT bigram, count(*) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+    tags=("llm", "text"),
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with counts (tie-broken by bigram text).
+
+    Spark builds each document's bigram list in ONE pass with
+    ``zip_with`` over two array slices — no positional self-join, no
+    UDF — then explodes and counts; the oracle builds the same pairs
+    via an index-range list comprehension so the engines arrive at the
+    same multiset independently. The n-gram LM / repetition-analysis
+    primitive over a corpus.
+
+    Scale notes: bigram construction is embarrassingly parallel
+    (per-document, inside codegen); the only shuffle carries (bigram,
+    partial count) pairs after map-side combine, and the top-20 is a
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )

@@ -306,3 +306,54 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_sink_compaction",
+    oracle="""
+SELECT 16 AS files_before,
+       2 AS files_after,
+       (SELECT count(*) FROM events) AS n_rows,
+       (SELECT count(DISTINCT event_id) FROM events) AS n_ids
+""",
+    tags=("sink",),
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every append-heavy
+    event log needs (the reference's command side appends row-at-a-time
+    through Cassandra, ``initial_db.sql:5-12``; a lake landing zone
+    accumulates the same fragmentation as thousands of tiny files):
+    write events fragmented into 16 files, compact to 2 with a
+    ``repartition`` rewrite, and prove both the file-count change and
+    content preservation (row + distinct-key counts) on read-back.
+
+    Scale notes: compaction is a full rewrite of ONE partition's worth
+    of data at a time in production — the repartition shuffle is sized
+    by target file size (here a fixed count for determinism;
+    production uses maxRecordsPerFile / AQE coalescing). Readers see
+    fewer, larger row groups => fewer scan tasks, better columnar
+    compression, pushdown over healthy-size footers.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    frag = f"{SCRATCH}/sink_compaction_frag"
+    compact = f"{SCRATCH}/sink_compaction_out"
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(16).write.mode("overwrite").parquet(frag)
+    files_before = len(
+        [f for f in os.listdir(frag) if f.startswith("part-") and f.endswith(".parquet")]
+    )
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(compact)
+    files_after = len(
+        [
+            f
+            for f in os.listdir(compact)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+    )
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.lit(files_before).alias("files_before"),
+        F.lit(files_after).alias("files_after"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )

@@ -411,3 +411,137 @@ def q_ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# EWMA horizon: 8 lags halves the weight each step, so the truncated
+# tail carries < 0.4% of total weight — a finite-window approximation
+# both engines can evaluate as the IDENTICAL closed-form expression
+# (recursive EWMA is a sequential scan neither SQL engine exposes
+# without order-sensitive aggregation whose float order differs).
+_EWMA_K = 8
+_EWMA_ALPHA = 0.5
+
+
+def _ewma_oracle() -> str:
+    a = _EWMA_ALPHA
+    num = " + ".join(
+        f"coalesce({a * (1 - a) ** j} * lag(value, {j}) OVER w, 0.0)"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+        f" THEN {a * (1 - a) ** j} ELSE 0.0 END)"
+        for j in range(_EWMA_K)
+    )
+    return f"""
+SELECT event_id, user_id,
+       round(({num}) / ({den}), 6) AS ewma
+FROM events
+WHERE event_type = 'click'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY row_number() OVER w <= 20
+ORDER BY user_id, event_id
+"""
+
+
+@register("q_ts_ewma", oracle=_ewma_oracle(), tags=("timeseries",))
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's click
+    values (α=0.5, 8-lag truncated horizon, renormalized over the lags
+    actually present so early rows aren't biased toward zero).
+
+    Both engines evaluate the same written sum of weighted ``lag``
+    terms in the same left-to-right order on identical doubles —
+    bit-deterministic, no tolerance needed. Output limited to each
+    user's first 20 clicks to keep the checked surface small; the plan
+    is one shuffle on user_id and K in-frame lags (no self-joins).
+
+    Scale notes: K lag columns over one sorted window = one sort per
+    partition of one shuffle; state is K doubles per row in flight.
+    The truncated-horizon form is what a feature-backfill job uses when
+    exact recursion would force a sequential scan.
+    """
+    from pyspark.sql import Window
+
+    a = _EWMA_ALPHA
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(_EWMA_K):
+        wj = F.lit(a * (1 - a) ** j)
+        lj = F.lag("value", j).over(w) if j else F.col("value")
+        term = F.coalesce(wj * lj, F.lit(0.0))
+        present = F.when(lj.isNotNull(), wj).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(num / den, 6).alias("ewma"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q_ts_anomaly",
+    oracle="""
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         avg(value)         OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         count(*)           OVER w AS n_hist
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       round(value, 2) AS value,
+       round((value - mu) / sigma, 2) AS z
+FROM scored
+WHERE n_hist >= 10 AND sigma > 0 AND abs(round((value - mu) / sigma, 2)) > 2.5
+ORDER BY user_id, event_id
+""",
+    tags=("timeseries",),
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags: each event's value scored as a
+    z-score against the PRECEDING 20 same-user events (current row
+    excluded — no self-leakage), emitted when |z| > 2.5 with at least
+    10 rows of history.
+
+    The frame contents are identical in both engines (deterministic
+    ts+event_id order), and z is rounded to 2 decimals — two orders of
+    magnitude above the float noise of windowed avg/stddev accumulation
+    order, and the 2.5 threshold sits far from any data z (verified by
+    the differential gate). One shuffle on user_id, frame state is 21
+    rows — the streaming-adjacent sliding aggregation shape that scales
+    per-key, not per-dataset.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 2).alias("z"),
+            F.count("*").over(w).alias("_n"),
+            F.stddev_samp("value").over(w).alias("_s"),
+        )
+        .filter((F.col("_n") >= 10) & (F.col("_s") > 0) & (F.abs(F.col("z")) > 2.5))
+        .select("event_id", "user_id", "value", "z")
+        .orderBy("user_id", "event_id")
+    )

@@ -251,6 +251,10 @@ POST_ROTATION_R3: list[str] = [
     "q_agg_entropy",
     "q_agg_crosstab",
     "q_join_spatial_grid",
+    "q_ts_ewma",
+    "q_ts_anomaly",
+    "q_text_bigrams",
+    "q_sink_compaction",
 ]
 
 
