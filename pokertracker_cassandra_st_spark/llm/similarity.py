@@ -308,3 +308,157 @@ def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d2").cast("long").alias("sse_scaled"),
         )
     )
+
+
+# ---- Product quantization (ADC) ------------------------------------
+# 64 dims split into 4 subspaces of 16; per-subspace codebook of 16
+# centroids "trained" deterministically as the subvectors of the first
+# 16 corpus vectors (same fixed-seed convention as q_sim_kmeans).
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 16
+_PQ_NQ = 5
+_PQ_TOPK = 5
+
+_PQ_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, {n}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _pq_oracle() -> str:
+    d2 = lambda a, b: _PQ_D2.format(n=_PQ_SUB + 1, a=a, b=b)  # noqa: E731
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, t.m, v[(1 + {_PQ_SUB} * t.m):({_PQ_SUB} * (t.m + 1))] AS sv
+  FROM e, (VALUES (0), (1), (2), (3)) AS t(m)
+), codes AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT s.vec_id, s.m, c.vec_id AS cent_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {d2("s.sv", "c.sv")}, c.vec_id) AS rn
+    FROM sub s JOIN sub c ON c.vec_id < {_PQ_K} AND c.m = s.m
+  ) WHERE rn = 1
+), parts AS (
+  SELECT q.vec_id AS qid, k.vec_id AS cid, k.m, {d2("q.sv", "c.sv")} AS dp
+  FROM codes k
+  JOIN sub c ON c.vec_id = k.cent_id AND c.m = k.m
+  JOIN sub q ON q.m = k.m AND q.vec_id < {_PQ_NQ}
+  WHERE q.vec_id <> k.vec_id
+), approx AS (
+  SELECT qid, cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dp ORDER BY m)),
+                     (acc, x) -> acc + x) AS ad2
+  FROM parts GROUP BY qid, cid
+), ranked AS (
+  SELECT qid, cid, ad2,
+         row_number() OVER (PARTITION BY qid ORDER BY ad2, cid) AS rk
+  FROM approx
+)
+SELECT qid, cid, round(ad2, 6) AS approx_d2, rk
+FROM ranked WHERE rk <= {_PQ_TOPK}
+"""
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)² as the same left fold the oracle writes."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("q_sim_pq", oracle=_pq_oracle(), tags=("llm", "similarity"))
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation): each
+    corpus vector is compressed to 4 centroid codes (one per 16-dim
+    subspace, nearest centroid by L2, tie-broken by centroid id); a
+    query's approximate distance to a corpus vector is the sum of its
+    exact subspace distances TO THE VECTOR'S CENTROIDS — the classic
+    IVFADC re-rank arithmetic, here over a deterministic codebook so
+    the DuckDB oracle reproduces it exactly.
+
+    Scale notes: the codebook is tiny (M·K subvectors) and broadcast;
+    encoding is one broadcast-join pass over the corpus (at 100 TB the
+    codes persist as a 4-byte-per-subspace column and amortize across
+    every query); the query fan-out touches M rows per corpus vector
+    with map-side arithmetic, and the top-k is a bounded per-qid
+    window. All float work is double HOFs inside codegen — no UDFs,
+    and every fold runs in the same written order as the oracle's
+    list_reduce, so results are bit-deterministic.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    darr = F.transform("embedding", lambda x: x.cast("double"))
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(darr, 1 + _PQ_SUB * m, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("m").alias("cm"),
+        F.col("sv").alias("cv"),
+    )
+    scored = subs.join(F.broadcast(cents), F.col("m") == F.col("cm")).select(
+        "vec_id",
+        "m",
+        "cent_id",
+        _sq_l2(F.col("sv"), F.col("cv")).alias("d2"),
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cent_id")
+    )
+    qsubs = subs.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("m").alias("qm"), F.col("sv").alias("qv")
+    )
+    cent_vecs = cents.select(
+        F.col("cent_id").alias("kc"), F.col("cm").alias("km"), F.col("cv")
+    )
+    parts = (
+        codes.join(
+            F.broadcast(cent_vecs),
+            (F.col("m") == F.col("km")) & (F.col("cent_id") == F.col("kc")),
+        )
+        .join(F.broadcast(qsubs), F.col("m") == F.col("qm"))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            "m",
+            _sq_l2(F.col("qv"), F.col("cv")).alias("dp"),
+        )
+    )
+    approx = parts.groupBy("qid", "cid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", "dp"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["dp"],
+        ).alias("ad2")
+    )
+    w_rank = Window.partitionBy("qid").orderBy("ad2", "cid")
+    return (
+        approx.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "qid",
+            "cid",
+            F.round("ad2", 6).alias("approx_d2"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -255,6 +255,7 @@ POST_ROTATION_R3: list[str] = [
     "q_ts_anomaly",
     "q_text_bigrams",
     "q_sink_compaction",
+    "q_sim_pq",
 ]
 
 

@@ -117,28 +117,31 @@ def _split_events(
         tagged = ev.withColumn("_b", bucket)
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
-        # one write per bucket => the file count IS n_files by
-        # construction (asserted below); each file sorted by event_id.
-        # n_files is tiny (<= 8) and the split is cached per sf/n/mode,
-        # so the per-bucket scan loop is a one-off test-harness cost.
+        # ONE job: hash-repartition on _b puts each bucket value wholly
+        # inside one task (hash of a value is deterministic — collisions
+        # merge tasks, never split a bucket), and the dynamic-partition
+        # write emits one file per partition value per task => exactly
+        # one file per bucket, asserted below. The explicit
+        # sortWithinPartitions(_b, event_id) pre-satisfies the writer's
+        # partition-column sort requirement, so rows land in each file
+        # in event_id order with no extra writer-side sort.
+        tmp = f"{out}/_tmp"
+        (
+            tagged.repartition(n_files, "_b")
+            .sortWithinPartitions("_b", "event_id")
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(tmp)
+        )
         for i in range(n_files):
-            tmp = f"{out}/_tmp"
-            (
-                tagged.filter(F.col("_b") == i)
-                .drop("_b")
-                .coalesce(1)
-                .sortWithinPartitions("event_id")
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            parts = glob.glob(f"{tmp}/part-*.parquet")
+            parts = glob.glob(f"{tmp}/_b={i}/part-*.parquet")
             if len(parts) != 1:
                 raise RuntimeError(
                     f"split bucket {i} of {n_files} produced {len(parts)} files "
                     f"(empty bucket?) — micro-batch structure would be broken"
                 )
             shutil.move(parts[0], f"{out}/chunk_{i:03d}.parquet")
-            shutil.rmtree(tmp)
+        shutil.rmtree(tmp)
         # The file stream source feeds files in modification-time order;
         # stamp mtimes to match chunk (= arrival) order.
         t0 = time.time()
