@@ -240,3 +240,70 @@ def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q7_shape",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(CAST(SUM({_REV}) AS BIGINT) AS DOUBLE) / 10000 AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("analytics",),
+)
+def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between two nations in
+    both directions, by supplier nation × customer nation × ship year.
+
+    Selectivity-first ordering, same doctrine as Q5: the two-nation
+    predicate reaches supplier AND customer through broadcast nation
+    joins BEFORE any fact join, so the lineitem probe is filtered by a
+    ~2/25 supplier subset and the orders→customer join by the matching
+    customer subset; the final OR-pair predicate runs on two ints.
+    Exact revenue via the scaled-long fast path (exprs.slong).
+
+    Scale notes: at 100 TB the nation-filtered supplier/customer sides
+    stay broadcastable (bounded dims); the only large shuffle is
+    lineitem⋈orders on orderkey, which AQE sizes. Year extraction is a
+    scan-level projection — no repartition by year needed for the
+    bounded (2 × years) output.
+    """
+    t = tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    pair = t.nation.filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+    supp = t.supplier.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("sk"),
+                                F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    cust = t.customer.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("ck"),
+                                F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    rev = _rev_col()
+    return (
+        t.lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

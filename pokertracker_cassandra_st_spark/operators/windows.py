@@ -251,3 +251,61 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w_all).cast("long").alias("decile"),
         F.ntile(4).over(w_seg).cast("long").alias("seg_quartile"),
     )
+
+
+@register(
+    "q_win_islands",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events
+)
+SELECT user_id, event_type,
+       count(*) AS run_len,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM r
+GROUP BY user_id, event_type, rn - rt
+HAVING count(*) >= 3
+ORDER BY user_id, first_event
+""",
+    tags=("window",),
+)
+def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (run length >= 3), via the classic two-row_number
+    difference — the group id ``rn - rt`` is constant exactly within a
+    run. The segmentation primitive behind "3 failed logins in a row" /
+    "consecutive days active" analyses, with no iterative logic.
+
+    Scale notes: two window functions over the SAME (user_id) shuffle —
+    Catalyst computes both in one sort pass since the partition keys
+    nest — then one partial-aggregable groupBy. No joins, no explode;
+    per-key state is one sort buffer.
+    """
+    ev = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select(
+            "user_id", "event_type", "run_len", "first_event", "last_event"
+        )
+        .orderBy("user_id", "first_event")
+    )

@@ -256,6 +256,8 @@ POST_ROTATION_R3: list[str] = [
     "q_text_bigrams",
     "q_sink_compaction",
     "q_sim_pq",
+    "q_win_islands",
+    "q_tpch_q7_shape",
 ]
 
 
