@@ -391,3 +391,87 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+# Char-bigram LM: log-probs are scaled to exact longs (ln agrees between
+# engines to ~1 ulp; rounding at 1e-6 makes the per-doc SUM exact and
+# order independent, same doctrine as exprs.slong).
+_CHARLM_SCALE = 1_000_000
+
+
+@register(
+    "q_text_charlm",
+    oracle=f"""
+WITH bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+  FROM documents
+), counts AS (
+  SELECT bg, count(*) AS cnt FROM bigrams GROUP BY bg
+), ctx AS (
+  SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot FROM counts GROUP BY c1
+), model AS (
+  SELECT bg,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * {_CHARLM_SCALE}) AS BIGINT)
+           AS logp_s
+  FROM counts JOIN ctx ON substr(bg, 1, 1) = c1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(CAST(SUM(m.logp_s) AS DOUBLE) / {_CHARLM_SCALE} / count(*), 4)
+         AS avg_logp
+FROM bigrams b JOIN model m ON b.bg = m.bg
+WHERE b.doc_id < 50
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model scoring (perplexity proxy): fit
+    unsmoothed bigram probabilities P(c₂|c₁) on the whole corpus, then
+    score each of the first 50 documents by its average log-probability
+    — the classic cheap quality/outlier signal a curation pipeline runs
+    before anything neural (wikipedia-LM perplexity filters in public
+    corpus pipelines use exactly this shape).
+
+    The model is two aggregations over exploded bigrams; scoring is a
+    broadcast join of the tiny model (bounded by charset², not data)
+    against per-doc bigrams. Log-probs travel as scaled longs so the
+    per-doc reduction is exact-integer — order independent under any
+    partitioning. No UDFs anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("bg").agg(F.count("*").alias("cnt"))
+    ctx = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("tot")
+    )
+    model = counts.join(
+        ctx, F.substring("bg", 1, 1) == F.col("c1")
+    ).select(
+        "bg",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("tot")) * _CHARLM_SCALE
+        )
+        .cast("long")
+        .alias("logp_s"),
+    )
+    return (
+        bigrams.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("logp_s").cast("double") / _CHARLM_SCALE / F.count("*"), 4
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

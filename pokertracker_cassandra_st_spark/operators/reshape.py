@@ -174,3 +174,58 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(picked, 1)).alias("n_sampled"),
         F.min(F.when(picked, F.col("doc_id"))).alias("min_sampled_id"),
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+WITH keyed AS (
+  SELECT event_id, user_id, value,
+         ((event_id * 2654435761) % 1000003 + 0.5) / 1000003.0 AS u
+  FROM events
+  WHERE value > 0
+), pri AS (
+  SELECT event_id, user_id, round(value, 2) AS value,
+         -ln(u) / value AS priority
+  FROM keyed
+)
+SELECT event_id, user_id, value
+FROM pri
+ORDER BY priority, event_id
+LIMIT 100
+""",
+    tags=("sample",),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (exponential-jitter /
+    A-ES): each row draws a deterministic pseudo-uniform u from a
+    Knuth-hash of its id and gets priority -ln(u)/w; the k smallest
+    priorities are a weighted sample without replacement — the
+    standard distributed trick (one scan + top-k, no sequential pass,
+    no rejection loop), here with value as the weight.
+
+    Determinism: u is exact integer arithmetic (id·2654435761 mod
+    1000003 stays far inside int64), identical in both engines; the
+    ln/divide is the same IEEE expression, and adjacent priorities in
+    a 10k-row pool are ~1e-8 apart — 7 orders of magnitude above
+    cross-engine libm noise — with event_id as the final tiebreak.
+
+    Scale notes: TakeOrderedAndProject keeps a k-row heap per
+    partition; no shuffle of the full data, no driver-side RNG state —
+    the sample is reproducible under any partitioning/AQE re-plan.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    u = (
+        (F.col("event_id") * F.lit(2654435761)) % F.lit(1000003) + F.lit(0.5)
+    ) / F.lit(1000003.0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            (-F.log(u) / F.col("value")).alias("priority"),
+        )
+        .orderBy("priority", "event_id")
+        .limit(100)
+        .select("event_id", "user_id", "value")
+    )

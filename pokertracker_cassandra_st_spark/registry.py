@@ -258,6 +258,8 @@ POST_ROTATION_R3: list[str] = [
     "q_sim_pq",
     "q_win_islands",
     "q_tpch_q7_shape",
+    "q_sample_weighted",
+    "q_text_charlm",
 ]
 
 
