@@ -462,3 +462,74 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def _recall_oracle() -> str:
+    # exact and cell-probed top-k as two instantiations of the same
+    # ranked CTE, then recall@k = |exact ∩ approx| / k per query
+    ranked = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {nq}
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb, label AS c_label
+  FROM embeddings
+), scored AS (
+  SELECT qid, cid, q_label, c_label,
+         round(list_dot_product(q_emb, c_emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))),
+               6) AS cosine
+  FROM q JOIN c ON qid <> cid
+), exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                        ORDER BY cosine DESC, cid) AS rk
+    FROM scored) WHERE rk <= {k}
+), approx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                        ORDER BY cosine DESC, cid) AS rk
+    FROM scored WHERE q_label = c_label) WHERE rk <= {k}
+)
+SELECT e.qid,
+       count(a.cid) AS n_matched,
+       round(count(a.cid) / CAST({k} AS DOUBLE), 2) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+GROUP BY e.qid
+ORDER BY e.qid
+"""
+    return ranked.format(nq=N_QUERIES, k=TOP_K)
+
+
+@register("q_sim_recall_eval", oracle=_recall_oracle(), tags=("llm", "similarity"))
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement AS a query: recall@5 of the IVF
+    cell-probe against the brute-force exact top-5, per query vector —
+    the evaluation loop every vector-index deployment runs before
+    trusting an approximate path, expressed as a join of the two
+    operators' own outputs (no third implementation to drift).
+
+    Scale notes: the exact side is the expensive one and exists only
+    for the (sampled) evaluation set — in production this runs over a
+    held-out query sample, not the full corpus; the join is on (qid,
+    cid) pairs, k rows per query each side.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    exact = _cosine_topk(emb, same_cell_only=False).select("qid", "cid")
+    approx = _cosine_topk(emb, same_cell_only=True).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid")
+    )
+    matched = exact.join(
+        F.broadcast(approx),
+        (F.col("qid") == F.col("aqid")) & (F.col("cid") == F.col("acid")),
+        "left",
+    )
+    return (
+        matched.groupBy("qid")
+        .agg(
+            F.count("acid").alias("n_matched"),
+            F.round(F.count("acid") / F.lit(float(TOP_K)), 2).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

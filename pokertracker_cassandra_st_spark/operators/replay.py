@@ -259,3 +259,68 @@ def q_replay_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_value",
         )
     )
+
+
+@register(
+    "q_replay_asof_snapshot",
+    oracle=f"""
+WITH cutoff AS (
+  SELECT min(epoch_us(ts))
+         + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS t_us
+  FROM events
+), ranked AS (
+  SELECT user_id, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events, cutoff WHERE epoch_us(ts) <= cutoff.t_us
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value,
+       event_id AS last_event_id
+FROM ranked
+WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+""",
+    tags=("replay", "tier-a"),
+)
+def q_replay_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the read model AS OF the midpoint of the log's time
+    range — replay the fold over only events at-or-before the cutoff.
+    The reference's read-your-writes projection (PlayerResourceIT.java:
+    131-139) generalized to "what did the projection say at time T",
+    i.e. the event-sourcing superpower the Cassandra log enables
+    (initial_db.sql:5-12 keeps every version).
+
+    Scale notes: the cutoff predicate prunes at the scan (row-group
+    min/max on ts); the fold itself is the same single-shuffle
+    WindowGroupLimit plan as q_replay_projection — snapshot cost is
+    proportional to |log ≤ T|, never to table count × versions. The
+    cutoff scalar is one tiny aggregate broadcast into the predicate.
+    """
+    ev = table(spark, sf_dir, "events")
+    # one global (min, max) scalar — computed by Spark, not the driver,
+    # then folded into the filter as a scalar subquery via crossJoin of
+    # a 1-row frame (keeps the whole plan lazy; no .first() roundtrip).
+    # Cutoff is exact integer epoch-MICROS in both engines (a
+    # timestamp->long cast would be seconds in Spark but µs interval
+    # math in DuckDB — off-by-subsecond row sets).
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.expr(
+            "min(unix_micros(ts))"
+            " + (max(unix_micros(ts)) - min(unix_micros(ts))) div 2"
+        ).alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(us <= F.col("t_us"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != TOMBSTONE))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )

@@ -260,6 +260,8 @@ POST_ROTATION_R3: list[str] = [
     "q_tpch_q7_shape",
     "q_sample_weighted",
     "q_text_charlm",
+    "q_replay_asof_snapshot",
+    "q_sim_recall_eval",
 ]
 
 
