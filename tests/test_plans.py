@@ -310,3 +310,40 @@ def test_dataset_card_text_dies_before_shuffle(spark, sf_dir):
     for line in simple.splitlines():
         if "text#" in line:
             assert "Expand" in line or "FileScan" in line, line
+
+
+def test_spatial_grid_join_is_equi_join(spark, sf_dir):
+    # the grid-cell bucketing must become a hash/broadcast EQUI-join on
+    # (cell_x, cell_y) — never a cross/nested-loop over all point pairs
+    plan = plan_of(spark, "q_join_spatial_grid", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_pq_codebook_joins_broadcast(spark, sf_dir):
+    # both codebook joins (encode + ADC) are broadcasts of the tiny
+    # centroid side; the corpus never shuffles for them
+    plan = plan_of(spark, "q_sim_pq", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_charlm_model_join_broadcast(spark, sf_dir):
+    # the bigram model (bounded by charset^2) must broadcast
+    plan = plan_of(spark, "q_text_charlm", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    # K in-frame lags over ONE user_id sort — exactly one Exchange
+    simple = plan_of(spark, "q_ts_ewma", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+
+
+def test_islands_windows_share_one_sort_pass(spark, sf_dir):
+    # both row_numbers partition by (a prefix of) user_id, and the
+    # grouping keys are a superset of the shuffle key: one Exchange
+    # for the windows + one for the final aggregation at most
+    simple = plan_of(spark, "q_win_islands", sf_dir, mode="simple")
+    assert simple.count("Exchange") <= 2
