@@ -652,3 +652,81 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+_SALT_N = 8  # salt fan-out for the hot-key join
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+WITH fact AS (
+  SELECT event_id,
+         CASE WHEN user_id < 75 THEN 0 ELSE user_id END AS hot_key,
+         value
+  FROM events
+), dim AS (
+  SELECT CASE WHEN user_id < 75 THEN 0 ELSE user_id END AS hot_key,
+         count(*) AS dim_n,
+         max(event_id) AS dim_last
+  FROM events
+  GROUP BY 1
+)
+SELECT f.hot_key,
+       count(*) AS n_joined,
+       max(d.dim_n) AS dim_n,
+       max(d.dim_last) AS dim_last
+FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+GROUP BY f.hot_key
+ORDER BY f.hot_key
+""",
+    tags=("join",),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: half the fact rows collapse onto one hot key
+    (user_id < 75 → 0), so a plain shuffle join would send them all to
+    one reducer. The salted form appends salt = hash(event_id) mod S to
+    the fact key and EXPLODES the dim side ×S, so the hot key's rows
+    spread across S reducers — identical result to the plain join (the
+    oracle IS the plain join), different physical distribution. The
+    manual recipe for hot keys beyond AQE's skew-join splitting (e.g.
+    null-heavy or celebrity keys known in advance), twin of
+    q_skew_salted_agg on the join side.
+
+    Scale notes: the dim replication is ×S of the SMALL side only; the
+    fact side shuffles once with no replication. S is sized to the
+    hottest key's row share (here 8; production: hot-rows / target-
+    partition-rows). The per-salt partial aggregation then combines —
+    no reducer ever holds the hot key's full row set.
+    """
+    ev = table(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") < 75, F.lit(0)).otherwise(F.col("user_id"))
+    fact = ev.select(
+        "event_id",
+        hot.alias("hot_key"),
+        (F.pmod(F.xxhash64("event_id"), F.lit(_SALT_N))).alias("salt"),
+    )
+    dim = (
+        ev.select(hot.alias("hot_key"), "event_id")
+        .groupBy("hot_key")
+        .agg(F.count("*").alias("dim_n"), F.max("event_id").alias("dim_last"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)])))
+    )
+    stage1 = (
+        fact.join(dim, ["hot_key", "salt"])
+        .groupBy("hot_key", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.max("dim_n").alias("pdim_n"),
+            F.max("dim_last").alias("pdim_last"),
+        )
+    )
+    return (
+        stage1.groupBy("hot_key")
+        .agg(
+            F.sum("pn").alias("n_joined"),
+            F.max("pdim_n").alias("dim_n"),
+            F.max("pdim_last").alias("dim_last"),
+        )
+        .orderBy("hot_key")
+    )

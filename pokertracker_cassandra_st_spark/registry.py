@@ -262,6 +262,7 @@ POST_ROTATION_R3: list[str] = [
     "q_text_charlm",
     "q_replay_asof_snapshot",
     "q_sim_recall_eval",
+    "q_join_salted",
 ]
 
 

@@ -56,6 +56,15 @@ TIMED = [
     "q_sim_lsh_hyperplane",
     "q_text_contamination",
     "q_pipeline_pack",
+    # late round 3 additions
+    "q_join_spatial_grid",
+    "q_ts_ewma",
+    "q_ts_anomaly",
+    "q_text_bigrams",
+    "q_text_charlm",
+    "q_win_islands",
+    "q_sample_weighted",
+    "q_replay_asof_snapshot",
 ]
 
 CHECKED = [
@@ -97,6 +106,22 @@ CHECKED = [
     "q_agg_heavy_hitters",
     "q_join_asof",  # tie-break change
     "q_stream_latedata",  # comparator change
+    # late round 3: new operators differentially re-proven at 10x
+    "q_agg_regression",
+    "q_agg_entropy",
+    "q_agg_crosstab",
+    "q_join_spatial_grid",
+    "q_ts_ewma",
+    "q_ts_anomaly",
+    "q_text_bigrams",
+    "q_text_charlm",
+    "q_sink_compaction",
+    "q_sim_pq",
+    "q_win_islands",
+    "q_tpch_q7_shape",
+    "q_sample_weighted",
+    "q_replay_asof_snapshot",
+    "q_sim_recall_eval",
 ]
 
 
