@@ -211,6 +211,64 @@ WINDOW_R3: list[str] = [
     "q_pipeline_curate",
 ]
 
+
+# Round-4 rotation (PRE-STAGED, not active until round 4): every query
+# added after the round-3 window was fixed (no driver row yet) + the
+# flagship + two core-family reps. Activate by setting WINDOW = WINDOW_R4
+# at round-4 start, after CORRECTNESS_r03.json is written against WINDOW_R3.
+WINDOW_R4: list[str] = [
+    "q_replay_projection",
+    "q_text_contamination",
+    "q_pipeline_pack",
+    "q_text_pii_scrub",
+    "q_join_interval_overlap",
+    "q_agg_heavy_hitters",
+    "q_agg_sketch_union",
+    "q_pipeline_shuffle",
+    "q_pipeline_mixture",
+    "q_text_chunk",
+    "q_text_repetition",
+    "q_sim_quantize",
+    "q_ts_funnel",
+    "q_ts_retention",
+    "q_graph_pagerank",
+    "q_sort_zorder",
+    "q_dedup_lines",
+    "q_sim_kmeans",
+    "q_sink_partition_overwrite",
+    "q_fn_struct",
+    "q_sink_merge",
+    "q_scan_dpp",
+    "q_source_schema_evolution",
+    "q_ts_interpolate",
+    "q_join_bucketed",
+    "q_ts_rollup_hierarchy",
+    "q_ts_sliding_distinct",
+    "q_agg_percentile_exact",
+    "q_pipeline_dataset_card",
+    "q_tpch_q18_shape",
+    "q_graph_triangle_count",
+    "q_text_boilerplate",
+    "q_agg_regression",
+    "q_agg_entropy",
+    "q_agg_crosstab",
+    "q_join_spatial_grid",
+    "q_ts_ewma",
+    "q_ts_anomaly",
+    "q_text_bigrams",
+    "q_sink_compaction",
+    "q_sim_pq",
+    "q_win_islands",
+    "q_tpch_q7_shape",
+    "q_sample_weighted",
+    "q_text_charlm",
+    "q_replay_asof_snapshot",
+    "q_sim_recall_eval",
+    "q_join_salted",
+    "q_agg_groupby",
+    "q_join_sortmerge",
+]
+
 WINDOW: list[str] = WINDOW_R3
 
 # Queries added AFTER the round-3 rotation was fixed — they have no
