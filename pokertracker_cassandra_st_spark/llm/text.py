@@ -443,10 +443,18 @@ def q_text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. No UDFs anywhere.
     """
     docs = table(spark, sf_dir, "documents")
+    # GUARD: Spark's sequence(a, b) runs DESCENDING when b < a, so a
+    # doc with length < 2 would fabricate bigrams from indices [1,0,-1]
+    # (DuckDB's range() is ascending-only and yields empty) — caught by
+    # the adversarial empty/single-char fixtures.
     bigrams = docs.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+            F.expr(
+                "CASE WHEN length(text) >= 2 THEN "
+                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)) "
+                "ELSE array() END"
+            )
         ).alias("bg"),
     )
     counts = bigrams.groupBy("bg").agg(F.count("*").alias("cnt"))

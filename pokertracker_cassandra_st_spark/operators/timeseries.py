@@ -437,7 +437,7 @@ def _ewma_oracle() -> str:
 SELECT event_id, user_id,
        round(({num}) / ({den}), 6) AS ewma
 FROM events
-WHERE event_type = 'click'
+WHERE event_type = 'click' AND value IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 QUALIFY row_number() OVER w <= 20
 ORDER BY user_id, event_id
@@ -464,8 +464,12 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     a = _EWMA_ALPHA
-    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # null-valued observations are excluded up front (an EWMA is over
+    # observed values; it also keeps the renormalizer strictly > 0)
     # materialize each lag ONCE (num and den both read it), then build
     # the weighted sums — keeps the Window node at K expressions and
     # the whole query on a single user_id Exchange (no presentation

@@ -53,6 +53,15 @@ EVENT_QUERIES = [
     "q_ts_sessionize",
     "q_join_asof_tolerance",
     "q_replay_cdc_diff",
+    # late round 3
+    "q_ts_ewma",
+    "q_ts_anomaly",
+    "q_win_islands",
+    "q_join_salted",
+    "q_replay_asof_snapshot",
+    "q_agg_entropy",
+    "q_agg_crosstab",
+    "q_sample_weighted",
 ]
 
 
@@ -123,6 +132,9 @@ DOC_QUERIES = [
     "q_dedup_editdist",
     "q_dedup_components",
     "q_sample_stratified",
+    # late round 3
+    "q_text_bigrams",
+    "q_text_charlm",
 ]
 
 

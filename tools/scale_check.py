@@ -171,6 +171,7 @@ def build() -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true", help="also run the DuckDB differential")
+    ap.add_argument("--skip-timing", action="store_true", help="differential only")
     ap.add_argument("--best-of", type=int, default=3)
     args = ap.parse_args()
 
@@ -190,7 +191,7 @@ def main() -> None:
     get_queries()
 
     results = {}
-    for name in TIMED:
+    for name in ([] if args.skip_timing else TIMED):
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).toPandas()  # warm (JIT, file listing)
         best = min(
