@@ -213,3 +213,79 @@ def q_agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_agg_ttest",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(22,4))) AS DOUBLE) AS sxx
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+  GROUP BY event_type
+), w AS (
+  SELECT
+    max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+    max(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+    max(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+    max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+    max(CASE WHEN event_type = 'view' THEN sx END) AS sx2,
+    max(CASE WHEN event_type = 'view' THEN sxx END) AS sxx2
+  FROM m
+)
+SELECT n1, n2,
+       round(sx1 / n1, 6) AS mean1,
+       round(sx2 / n2, 6) AS mean2,
+       round((sx1 / n1 - sx2 / n2)
+             / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                    + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2), 6) AS t_stat
+FROM w
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (click vs view values) from exact
+    decimal co-moments — the A/B-test primitive, computed in one pass
+    with map-side partial aggregation and evaluated as the identical
+    closed-form expression in both engines (bit-exact, no tolerance).
+
+    Scale notes: the shuffle carries three numbers per group; the pivot
+    to one row is a bounded conditional aggregate. The same shape
+    serves millions of experiment arms — group by (experiment, arm)
+    instead of the two literals.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(22,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    w = m.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "sx").alias("sx1"),
+        pick("click", "sxx").alias("sxx1"),
+        pick("view", "n").alias("n2"),
+        pick("view", "sx").alias("sx2"),
+        pick("view", "sxx").alias("sxx2"),
+    )
+    n1, sx1, sxx1 = F.col("n1"), F.col("sx1"), F.col("sxx1")
+    n2, sx2, sxx2 = F.col("n2"), F.col("sx2"), F.col("sxx2")
+    var1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+    var2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+    return w.select(
+        "n1",
+        "n2",
+        F.round(sx1 / n1, 6).alias("mean1"),
+        F.round(sx2 / n2, 6).alias("mean2"),
+        F.round((sx1 / n1 - sx2 / n2) / F.sqrt(var1 / n1 + var2 / n2), 6).alias(
+            "t_stat"
+        ),
+    )

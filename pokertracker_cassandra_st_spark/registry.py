@@ -265,8 +265,8 @@ WINDOW_R4: list[str] = [
     "q_replay_asof_snapshot",
     "q_sim_recall_eval",
     "q_join_salted",
+    "q_agg_ttest",
     "q_agg_groupby",
-    "q_join_sortmerge",
 ]
 
 WINDOW: list[str] = WINDOW_R3
@@ -321,6 +321,7 @@ POST_ROTATION_R3: list[str] = [
     "q_replay_asof_snapshot",
     "q_sim_recall_eval",
     "q_join_salted",
+    "q_agg_ttest",
 ]
 
 
