@@ -132,3 +132,84 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "q_pipeline_filter_report",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains(['the','a','of','and','to','in'], t)))
+              AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         n_tokens >= 20 AS pass_len,
+         n_tokens >= 20 AND stop_ratio >= 0.01 AS pass_quality,
+         n_tokens >= 20 AND stop_ratio >= 0.01
+           AND row_number() OVER (PARTITION BY fp, (n_tokens >= 20 AND stop_ratio >= 0.01)
+                                  ORDER BY doc_id) = 1 AS pass_dedup
+  FROM feats
+)
+SELECT count(*) AS n_input,
+       count(*) FILTER (WHERE pass_len) AS after_length_gate,
+       count(*) FILTER (WHERE pass_quality) AS after_quality_gate,
+       count(*) FILTER (WHERE pass_dedup) AS after_dedup,
+       count(*) - count(*) FILTER (WHERE pass_len) AS dropped_length,
+       count(*) FILTER (WHERE pass_len) - count(*) FILTER (WHERE pass_quality)
+         AS dropped_quality,
+       count(*) FILTER (WHERE pass_quality) - count(*) FILTER (WHERE pass_dedup)
+         AS dropped_dup
+FROM flags
+""",
+    tags=("llm", "pipeline"),
+)
+def q_pipeline_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: the keep/drop waterfall across the
+    pipeline's gates (length → quality → dedup) as ONE pass — how many
+    documents each stage dropped, the report every data-curation run
+    publishes next to its output (the per-stage retention table in
+    public corpus papers).
+
+    Flags are computed per-document (no early filtering), so one scan
+    yields every stage's survivor count via conditional aggregation;
+    the only shuffle is the fingerprint window for the dedup flag.
+    The dedup flag partitions by (fp, passed-prior-gates) so first-
+    occurrence is chosen among quality-passing docs only — matching
+    what the real pipeline (q_pipeline_curate) dedupes.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        / F.size(toks)
+    )
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    pass_len = n_tokens >= 20
+    pass_quality = pass_len & (stop_ratio >= 0.01)
+    feats = d.select(
+        "doc_id",
+        pass_len.alias("pass_len"),
+        pass_quality.alias("pass_quality"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp", "pass_quality").orderBy("doc_id")
+    flags = feats.withColumn(
+        "pass_dedup",
+        F.col("pass_quality") & (F.row_number().over(w) == 1),
+    )
+    cnt = lambda c: F.count(F.when(F.col(c), 1))  # noqa: E731
+    return flags.agg(
+        F.count("*").alias("n_input"),
+        cnt("pass_len").alias("after_length_gate"),
+        cnt("pass_quality").alias("after_quality_gate"),
+        cnt("pass_dedup").alias("after_dedup"),
+        (F.count("*") - cnt("pass_len")).alias("dropped_length"),
+        (cnt("pass_len") - cnt("pass_quality")).alias("dropped_quality"),
+        (cnt("pass_quality") - cnt("pass_dedup")).alias("dropped_dup"),
+    )

@@ -483,3 +483,55 @@ def q_text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[aeiou]+')) AS n_syll
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, lang, n_words, n_syll,
+       CAST(floor(CAST(206835 * n_words - 1015 * n_words * n_words
+                       - 84600 * n_syll AS DOUBLE)
+                  / (n_words * 10) + 0.5) AS DOUBLE) / 100 AS flesch_like
+FROM f
+""",
+    tags=("llm", "text"),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability score per document, with vowel-group
+    runs as the syllable proxy (the standard cheap approximation) and
+    each document scored as one sentence — a quality-gate feature the
+    curation stack uses alongside stopword/repetition ratios.
+
+    Both engines count the same integer features (token count, vowel
+    groups) and evaluate the identical linear form; the rounding is
+    display-only. Pure narrow scan — no shuffle at all.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_words = F.size(F.split("text", " "))
+    n_syll = F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)"))
+    # exact-integer numerator (score × 1000·n_words), ONE final double
+    # divide — the float result is bit-identical across engines, so the
+    # 2-decimal rounding can't straddle an ulp boundary (the multi-term
+    # float form differed in the last ulp at exactly .xx5 values)
+    nw = n_words.cast("long")
+    ns = n_syll.cast("long")
+    # floor(x·100 + 0.5)/100 instead of round(): Spark's round goes
+    # through BigDecimal.valueOf (decimal-string), DuckDB rounds the
+    # binary double — exact .xx5 quotients flip between them; floor of
+    # the identical double is engine-independent (exprs.slong doctrine)
+    num = F.lit(206835) * nw - F.lit(1015) * nw * nw - F.lit(84600) * ns
+    x100 = num.cast("double") / (nw * 10)
+    return d.select(
+        "doc_id",
+        "lang",
+        nw.alias("n_words"),
+        ns.alias("n_syll"),
+        (F.floor(x100 + F.lit(0.5)).cast("double") / 100).alias("flesch_like"),
+    )

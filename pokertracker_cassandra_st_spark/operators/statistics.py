@@ -26,7 +26,7 @@ explode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
@@ -288,4 +288,62 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sx1 / n1 - sx2 / n2) / F.sqrt(var1 / n1 + var2 / n2), 6).alias(
             "t_stat"
         ),
+    )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+         count(*) OVER () AS n
+  FROM spend
+)
+SELECT max(n) AS n_users,
+       round(CAST(SUM((2 * i - n - 1) * CAST(round(x * 10000) AS BIGINT))
+                  AS DOUBLE)
+             / (max(n) * SUM(CAST(round(x * 10000) AS BIGINT))), 6) AS gini
+FROM ranked
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total value — the concentration /
+    inequality measure behind "do 1% of users generate 90% of events"
+    capacity questions, via the exact rank formula
+    G = Σ (2i − n − 1)·xᵢ / (n·Σxᵢ) over ascending-ranked totals.
+
+    Per-user totals are exact decimal sums quantized to scaled longs,
+    so the big Σ runs in exact integers on both engines (order
+    independent); the single divide at the end is the only float op.
+    Ranking ties break on user_id.
+
+    Scale notes: one groupBy shuffle + one global rank. The global
+    row_number is the scale constraint — at billions of keys, switch to
+    the two-phase distributed rank (per-partition rank + offset
+    prefix-sum, the q_pipeline_shuffle machinery); the formula is
+    unchanged.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    xq = F.floor(F.col("x") * 10000 + F.lit(0.5)).cast("long")
+    return ranked.agg(
+        F.max("n").alias("n_users"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * xq).cast("double")
+            / (F.max("n") * F.sum(xq)),
+            6,
+        ).alias("gini"),
     )

@@ -213,6 +213,10 @@ WINDOW_R3: list[str] = [
 
 
 # Round-4 rotation (PRE-STAGED, not active until round 4): every query
+# NOTE: q_agg_gini / q_pipeline_filter_report / q_text_readability were
+# added after this draft — fold them in (swapping out the trailing
+# family reps) when activating at round-4 start, alongside anything
+# CORRECTNESS_r03.json reveals as still unchecked.
 # added after the round-3 window was fixed (no driver row yet) + the
 # flagship + two core-family reps. Activate by setting WINDOW = WINDOW_R4
 # at round-4 start, after CORRECTNESS_r03.json is written against WINDOW_R3.
@@ -322,6 +326,9 @@ POST_ROTATION_R3: list[str] = [
     "q_sim_recall_eval",
     "q_join_salted",
     "q_agg_ttest",
+    "q_agg_gini",
+    "q_pipeline_filter_report",
+    "q_text_readability",
 ]
 
 
