@@ -329,6 +329,7 @@ POST_ROTATION_R3: list[str] = [
     "q_agg_gini",
     "q_pipeline_filter_report",
     "q_text_readability",
+    "q_stream_ewma",
 ]
 
 

@@ -583,3 +583,91 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         )
     )
+
+
+_EWMA_OUT_SCHEMA = "user_id long, n_obs long, ewma double"
+_EWMA_STATE_SCHEMA = "n_obs long, ewma double"
+_EWMA_A = 0.5
+
+
+def _ewma_fold(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """True RECURSIVE EWMA per key: ewma ← α·x + (1−α)·ewma, folded in
+    event_id order, state carried across micro-batches. This is the
+    computation the batch engine can only approximate with a truncated
+    lag-sum (q_ts_ewma) — arbitrary stateful streaming does it exactly,
+    one float per key of state."""
+    (user_id,) = key
+    n_obs, ewma = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("event_id")
+        for x in pdf["value"]:
+            x = float(x)
+            if n_obs == 0:
+                ewma = x
+            else:
+                ewma = _EWMA_A * x + (1.0 - _EWMA_A) * ewma
+            n_obs += 1
+    state.update((n_obs, ewma))
+    yield pd.DataFrame({"user_id": [user_id], "n_obs": [n_obs], "ewma": [ewma]})
+
+
+@register(
+    "q_stream_ewma",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY event_id) AS xs
+  FROM events
+  WHERE event_type = 'click' AND value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS BIGINT) AS n_obs,
+       round(list_reduce(xs,
+             (acc, x) -> {_EWMA_A} * x + {1.0 - _EWMA_A} * acc), 6) AS ewma
+FROM ordered
+""",
+    tags=("stream",),
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive EWMA as arbitrary stateful streaming: each user's
+    click values fold through ewma ← α·x + (1−α)·ewma in event order,
+    with the running (count, ewma) carried in the state store across 4
+    micro-batches — the ONLINE feature-computation shape (decayed user
+    engagement, rolling risk score) that pure SQL cannot express
+    without a truncated horizon (contrast q_ts_ewma).
+
+    The oracle IS the exact recursion: DuckDB folds the same values in
+    the same order with the same IEEE ops (list_reduce seeds with the
+    first element, mirroring the n_obs==0 branch), so the streaming
+    result is bit-identical to the batch recomputation, rounded for
+    display only.
+
+    Scale notes: state is two numbers per key (bounded, no timeline);
+    per-batch work is one Arrow pass over the batch's rows per key.
+    At 100 TB/day this runs keyed on user with RocksDB state — the
+    exact pattern transformWithState productionizes.
+    """
+    ev = stream_events(spark, sf_dir, n_files=4).filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _ewma_fold,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(folded, "update")
+    # update-mode sink keeps one row per (key, batch); the final state
+    # per key is the row with the highest n_obs
+    return (
+        sink.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_obs", "ewma"), "n_obs").alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_obs").alias("n_obs"),
+            F.round("s.ewma", 6).alias("ewma"),
+        )
+    )
