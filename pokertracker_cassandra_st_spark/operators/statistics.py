@@ -347,3 +347,89 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_agg_chisq",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN value < 50 THEN 0 WHEN value < 150 THEN 1
+              WHEN value < 300 THEN 2 ELSE 3 END AS band,
+         count(*) AS o
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT SUM(o) AS n FROM cells
+), rows_ AS (
+  SELECT event_type, SUM(o) AS ro FROM cells GROUP BY event_type
+), cols_ AS (
+  SELECT band, SUM(o) AS co FROM cells GROUP BY band
+), terms AS (
+  SELECT c.event_type, c.band,
+         (CAST(c.o AS DOUBLE) - CAST(r.ro * co.co AS DOUBLE) / t.n)
+         * (CAST(c.o AS DOUBLE) - CAST(r.ro * co.co AS DOUBLE) / t.n)
+         / (CAST(r.ro * co.co AS DOUBLE) / t.n) AS term
+  FROM cells c
+  JOIN rows_ r USING (event_type)
+  JOIN cols_ co USING (band)
+  CROSS JOIN tot t
+), folded AS (
+  SELECT list(term ORDER BY event_type, band) AS ts,
+         count(*) AS n_cells
+  FROM terms
+)
+SELECT n_cells,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+                         (acc, x) -> acc + x), 6) AS chi_sq
+FROM folded
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event_type × value band:
+    observed counts are exact longs, expected = row·col/total evaluated
+    as the identical double expression, and the Σ(o−e)²/e reduction
+    folds a SORTED, grid-bounded term list — same addition order on
+    both engines, so the float result is bit-identical (the q_agg_ttest
+    / q_agg_entropy doctrine applied to a two-margin test).
+
+    Scale notes: three aggregations over the same cells CTE (cells,
+    row margins, column margins) — Catalyst reuses the scan; margins
+    are enum-bounded broadcasts. The fold is over ≤ |types|·|bands|
+    terms regardless of row count.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    band = (
+        F.when(F.col("value") < 50, 0)
+        .when(F.col("value") < 150, 1)
+        .when(F.col("value") < 300, 2)
+        .otherwise(3)
+    )
+    cells = ev.groupBy("event_type", band.alias("band")).agg(
+        F.count("*").alias("o")
+    )
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("ro"))
+    cols_ = cells.groupBy("band").agg(F.sum("o").alias("co"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = (F.col("ro") * F.col("co")).cast("double") / F.col("n")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    terms = (
+        cells.join(rows_, "event_type")
+        .join(F.broadcast(cols_), "band")
+        .crossJoin(F.broadcast(tot))
+        .select("event_type", "band", term.alias("term"))
+    )
+    folded = terms.agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "band", "term"))
+        ).alias("ts"),
+        F.count("*").alias("n_cells"),
+    )
+    return folded.select(
+        "n_cells",
+        F.round(
+            F.aggregate("ts", F.lit(0.0), lambda acc, s: acc + s["term"]),
+            6,
+        ).alias("chi_sq"),
+    )

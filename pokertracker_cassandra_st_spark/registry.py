@@ -330,6 +330,7 @@ POST_ROTATION_R3: list[str] = [
     "q_pipeline_filter_report",
     "q_text_readability",
     "q_stream_ewma",
+    "q_agg_chisq",
 ]
 
 
