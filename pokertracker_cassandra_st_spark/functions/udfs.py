@@ -246,3 +246,78 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         zscore, schema="event_id long, user_id long, z double"
     )
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(max(value) - min(value), 2) AS value_range,
+       max(event_id) AS last_event_id
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("udf",),
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 TABLE-argument UDTF: the UDTF consumes a whole
+    partitioned relation (``TABLE(...) PARTITION BY user_id ORDER BY
+    event_id``) instead of scalar columns — one eval() call per row,
+    terminate() emits the per-partition summary. This is the API tier
+    between a grouped-map pandas UDF and a custom aggregate: arbitrary
+    Python over an ordered key partition, declared IN SQL.
+
+    The Python computes streaming-style min/max/count (exact arithmetic
+    on 2-decimal inputs), so the result matches the plain SQL aggregate
+    oracle — proving the mechanism, not replacing the fast path.
+
+    Scale notes: PARTITION BY shuffles once on user_id, partitions
+    stream through each UDTF instance row-by-row (constant state per
+    key here). The built-in aggregate stays the hot path; the UDTF
+    tier exists for per-key logic SQL can't state (sequence parsers,
+    sessionized scoring with custom carry).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "user_id bigint, n_events bigint, value_range double, last_event_id bigint"
+    ))
+    class PerUserSummary:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.vmin = None
+            self.vmax = None
+            self.last_id = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            v = row["value"]
+            self.vmin = v if self.vmin is None else min(self.vmin, v)
+            self.vmax = v if self.vmax is None else max(self.vmax, v)
+            self.last_id = row["event_id"]
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (
+                    self.uid,
+                    self.n,
+                    round(self.vmax - self.vmin, 2),
+                    self.last_id,
+                )
+
+    spark.udtf.register("per_user_summary", PerUserSummary)
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev.createOrReplaceTempView("events_ta_udtf")
+    return spark.sql(
+        """
+        SELECT user_id, n_events, value_range, last_event_id
+        FROM per_user_summary(
+          TABLE(SELECT user_id, event_id, value FROM events_ta_udtf)
+          PARTITION BY user_id ORDER BY event_id
+        )
+        """
+    )

@@ -331,6 +331,7 @@ POST_ROTATION_R3: list[str] = [
     "q_text_readability",
     "q_stream_ewma",
     "q_agg_chisq",
+    "q_udtf_table_arg",
 ]
 
 
