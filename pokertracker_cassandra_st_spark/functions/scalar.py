@@ -591,3 +591,43 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         eq.alias("seg_is_building"),
         branch.getField("tag").alias("branch_tag"),
     )
+
+
+@register(
+    "q_fn_binary",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       to_base64(encode(substr(text, 1, 12))) AS head_b64,
+       lower(hex(encode(substr(text, 1, 6)))) AS head_hex,
+       substr(sha256(text), 1, 16) AS sha_prefix,
+       octet_length(encode(text)) - length(text) AS multibyte_overhead
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+    tags=("function",),
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary scalar-function surface over opaque payload bytes:
+    octet length, base64/hex encodings of byte slices, digest prefix,
+    and the utf-8 multibyte overhead (bytes − chars). The byte-level
+    toolkit multimodal metadata columns are built from; every function
+    stays JVM-side on BINARY values.
+
+    Both engines slice CHARACTERS then encode (substr-then-encode), so
+    multibyte boundaries are handled identically; hex is lowercased on
+    both sides (Spark uppercases, DuckDB doesn't).
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    enc = lambda c: F.encode(c, "utf-8")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.octet_length(enc(F.col("text"))).cast("long").alias("n_bytes"),
+        F.base64(enc(F.substring("text", 1, 12))).alias("head_b64"),
+        F.lower(F.hex(enc(F.substring("text", 1, 6)))).alias("head_hex"),
+        F.substring(F.sha2(enc(F.col("text")), 256), 1, 16).alias("sha_prefix"),
+        (F.octet_length(enc(F.col("text"))) - F.length("text"))
+        .cast("long")
+        .alias("multibyte_overhead"),
+    ).orderBy("doc_id")

@@ -172,3 +172,54 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle-expressible: n_frames = len//64, min_chunk = 64
         F.min(F.length("frame_chunk")).cast("long").alias("min_chunk"),
     )
+
+
+@register(
+    "q_multimodal_payload_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, sha256(text) AS payload_sha, octet_length(encode(text)) AS n_bytes
+  FROM documents
+), groups AS (
+  SELECT payload_sha,
+         count(*) AS n_copies,
+         min(doc_id) AS keeper,
+         min(n_bytes) AS n_bytes
+  FROM hashed GROUP BY payload_sha
+)
+SELECT payload_sha, n_copies, keeper, n_bytes
+FROM groups
+WHERE n_copies > 1
+ORDER BY payload_sha
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over OPAQUE BINARY payloads: sha-256 each
+    blob, group, report duplicate groups with the kept (lowest-id)
+    copy — exact dedup for images/audio where byte equality IS
+    identity (the first pass every multimodal ingest runs before any
+    decode; reference analogue: the event payloads in
+    initial_db.sql:10 are opaque to the store the same way).
+
+    Scale notes: the digest is computed scan-side so only (32-byte
+    hash, id) pairs shuffle — the payload bytes never leave the
+    mapper, exactly like q_dedup_exact for text. Dup groups are rare,
+    so the output is tiny regardless of corpus size.
+    """
+    p = _payloads(spark, sf_dir)
+    hashed = p.select(
+        "doc_id",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    return (
+        hashed.groupBy("payload_sha")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("payload_sha")
+    )

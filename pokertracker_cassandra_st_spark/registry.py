@@ -332,6 +332,8 @@ POST_ROTATION_R3: list[str] = [
     "q_stream_ewma",
     "q_agg_chisq",
     "q_udtf_table_arg",
+    "q_multimodal_payload_dedup",
+    "q_fn_binary",
 ]
 
 
