@@ -433,3 +433,69 @@ def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi_sq"),
     )
+
+
+@register(
+    "q_agg_mannwhitney",
+    oracle="""
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), mid AS (
+  -- tie-corrected midrank × 2 stays integral: 2·mid = 2·rank + (ties−1)
+  SELECT event_type,
+         2 * rank() OVER (ORDER BY value) - 1
+           + count(*) OVER (PARTITION BY value) AS midrank2
+  FROM s
+), u AS (
+  SELECT
+    count(*) FILTER (WHERE event_type = 'click') AS n1,
+    count(*) FILTER (WHERE event_type = 'view') AS n2,
+    SUM(midrank2) FILTER (WHERE event_type = 'click') AS r1x2
+  FROM mid
+)
+SELECT n1, n2,
+       CAST(r1x2 AS DOUBLE) / 2 AS rank_sum_click,
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_click
+FROM u
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) for click vs view values — the
+    nonparametric twin of q_agg_ttest. Tie groups get the textbook
+    midrank, carried as 2·midrank = 2·rank + (ties−1) so the whole
+    computation is EXACT INTEGERS until the final display divide; no
+    float comparison anywhere.
+
+    Scale notes: one global sort for the rank (the same caveat and
+    two-phase remedy as q_agg_gini), a value-partitioned count for tie
+    sizes sharing that sort, then a single conditional aggregate.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    w_rank = Window.orderBy("value")
+    w_tie = Window.partitionBy("value")
+    mid = ev.select(
+        "event_type",
+        (2 * F.rank().over(w_rank) - 1 + F.count("*").over(w_tie)).alias(
+            "midrank2"
+        ),
+    )
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
+    u = mid.agg(
+        cnt("click").alias("n1"),
+        cnt("view").alias("n2"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("midrank2"))).alias(
+            "r1x2"
+        ),
+    )
+    return u.select(
+        "n1",
+        "n2",
+        (F.col("r1x2").cast("double") / 2).alias("rank_sum_click"),
+        ((F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2).alias(
+            "u_click"
+        ),
+    )

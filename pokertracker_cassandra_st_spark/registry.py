@@ -334,6 +334,7 @@ POST_ROTATION_R3: list[str] = [
     "q_udtf_table_arg",
     "q_multimodal_payload_dedup",
     "q_fn_binary",
+    "q_agg_mannwhitney",
 ]
 
 
