@@ -499,3 +499,78 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u_click"
         ),
     )
+
+
+@register(
+    "q_agg_kstest",
+    oracle="""
+WITH s AS (
+  SELECT value, event_type = 'click' AS is1 FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), n AS (
+  SELECT count(*) FILTER (WHERE is1) AS n1,
+         count(*) FILTER (WHERE NOT is1) AS n2
+  FROM s
+), steps AS (
+  -- counts of each sample at-or-below every observed value via a
+  -- RANGE frame (ties fully included -> deterministic regardless of
+  -- intra-tie row order): D = max |c1*n2 - c2*n1| / (n1*n2), exact ints
+  SELECT value,
+         SUM(CASE WHEN is1 THEN 1 ELSE 0 END)
+           OVER (ORDER BY value RANGE UNBOUNDED PRECEDING) AS c1,
+         SUM(CASE WHEN is1 THEN 0 ELSE 1 END)
+           OVER (ORDER BY value RANGE UNBOUNDED PRECEDING) AS c2
+  FROM s
+)
+SELECT max(n1) AS n1, max(n2) AS n2,
+       round(CAST(max(abs(c1 * (SELECT n2 FROM n) - c2 * (SELECT n1 FROM n)))
+                  AS DOUBLE)
+             / ((SELECT n1 FROM n) * (SELECT n2 FROM n)), 6) AS ks_d
+FROM steps CROSS JOIN n
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (click vs view value
+    distributions): D = max |F̂₁ − F̂₂| over the pooled sorted sample,
+    computed as max |c₁·n₂ − c₂·n₁| / (n₁·n₂) — EXACT integers until
+    the one display divide, so no float comparison anywhere (same
+    doctrine as q_agg_mannwhitney). RANGE frames make every row carry
+    its full tie group's counts, so each row is a valid CDF evaluation
+    point and intra-tie row order cannot perturb the max.
+
+    Scale notes: one global sort (two-phase-rank remedy applies at
+    scale), running sums over it, one aggregate. The KS distance is
+    the standard distribution-drift monitor a feature pipeline runs
+    between snapshots.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    s = ev.select("value", (F.col("event_type") == "click").alias("is1"))
+    # RANGE frame: every row's count includes its ENTIRE tie group, so
+    # the result is deterministic whatever the intra-tie row order
+    w = Window.orderBy("value").rangeBetween(Window.unboundedPreceding, 0)
+    steps = s.select(
+        "value",
+        F.sum(F.when(F.col("is1"), 1).otherwise(0)).over(w).alias("c1"),
+        F.sum(F.when(F.col("is1"), 0).otherwise(1)).over(w).alias("c2"),
+    )
+    n = s.agg(
+        F.count(F.when(F.col("is1"), 1)).alias("n1"),
+        F.count(F.when(~F.col("is1"), 1)).alias("n2"),
+    )
+    return (
+        steps.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.round(
+                F.max(
+                    F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+                ).cast("double")
+                / (F.max("n1") * F.max("n2")),
+                6,
+            ).alias("ks_d"),
+        )
+    )

@@ -335,6 +335,7 @@ POST_ROTATION_R3: list[str] = [
     "q_multimodal_payload_dedup",
     "q_fn_binary",
     "q_agg_mannwhitney",
+    "q_agg_kstest",
 ]
 
 
