@@ -535,3 +535,90 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("n_syll"),
         (F.floor(x100 + F.lit(0.5)).cast("double") / 100).alias("flesch_like"),
     )
+
+
+@register(
+    "q_text_bpe_step",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+  FROM documents WHERE length(text) >= 2
+), top1 AS (
+  SELECT bg AS pair FROM chars GROUP BY bg
+  ORDER BY count(*) DESC, bg LIMIT 1
+), merged AS (
+  SELECT d.doc_id, replace(d.text, t.pair, '#') AS mtext, t.pair
+  FROM documents d CROSS JOIN top1 t
+  WHERE length(d.text) >= 2
+), post AS (
+  SELECT pair,
+         unnest(list_transform(range(1, length(mtext)),
+                               i -> substr(mtext, CAST(i AS INTEGER), 2))) AS bg
+  FROM merged
+)
+SELECT pair AS merged_pair, bg AS next_pair, count(*) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, bg) AS BIGINT)
+         AS merge_rank
+FROM post
+GROUP BY pair, bg
+ORDER BY n DESC, bg
+LIMIT 10
+""",
+    tags=("llm", "text"),
+)
+def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge iteration — the tokenizer-training
+    inner loop as a distributed query: count all character pairs,
+    pick the most frequent (tie-broken lexicographically), rewrite the
+    corpus replacing that pair with a fresh symbol ('#', leftmost
+    non-overlapping — identical replace semantics in the JVM and
+    DuckDB), and emit the next iteration's top-10 candidate pairs.
+    Real BPE runs this loop vocab-size times with the same dataflow.
+
+    The chosen pair flows through the plan as a broadcast scalar
+    (no .collect() — the iteration is expressible as one DAG), and
+    the post-merge counts see '#' as a single new alphabet symbol,
+    exactly how the next merge round would.
+
+    Scale notes: two bigram-count passes + one broadcast of a 1-row
+    relation; counts combine map-side. Production BPE over 100 TB
+    batches the loop (N merges per corpus pass, greedy re-scoring
+    within a batch) — the per-iteration plan is this one.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+
+    def bigrams(col):
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, length({col}) - 1),"
+                f" i -> substring({col}, i, 2))"
+            )
+        )
+
+    chars = docs.select(bigrams("text").alias("bg"))
+    top1 = (
+        chars.groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bg")
+        .limit(1)
+        .select(F.col("bg").alias("pair"))
+    )
+    merged = docs.crossJoin(F.broadcast(top1)).select(
+        "pair", F.replace(F.col("text"), F.col("pair"), F.lit("#")).alias("mtext")
+    )
+    post = merged.select("pair", bigrams("mtext").alias("bg"))
+    w = Window.orderBy(F.desc("n"), "next_pair")
+    return (
+        post.groupBy("pair", "bg")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("pair").alias("merged_pair"),
+            F.col("bg").alias("next_pair"),
+            "n",
+        )
+        .withColumn("merge_rank", F.row_number().over(w).cast("long"))
+        .orderBy(F.desc("n"), "next_pair")
+        .limit(10)
+    )

@@ -336,6 +336,7 @@ POST_ROTATION_R3: list[str] = [
     "q_fn_binary",
     "q_agg_mannwhitney",
     "q_agg_kstest",
+    "q_text_bpe_step",
 ]
 
 
