@@ -135,6 +135,11 @@ DOC_QUERIES = [
     # late round 3
     "q_text_bigrams",
     "q_text_charlm",
+    "q_text_readability",
+    "q_text_bpe_step",
+    "q_multimodal_payload_dedup",
+    "q_fn_binary",
+    "q_pipeline_filter_report",
 ]
 
 
