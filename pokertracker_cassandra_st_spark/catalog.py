@@ -51,16 +51,38 @@ def events_ts_unit(sf_dir: str) -> str:
     (driver-side, metadata-only) so both load identically. Returns
     ``"ns"`` (int64-nanos path) or ``"us"`` (native timestamp path).
     """
-    key = sf_dir
-    if key not in _TS_UNIT_CACHE:
+    return "ns" if ("ns" in _events_ts_type(sf_dir) or _events_ts_type(sf_dir) == "int64") else "us"
+
+
+def events_ts_tz_adjusted(sf_dir: str) -> bool:
+    """True if ``events.ts`` shipped as tz-adjusted parquet TIMESTAMP
+    (isAdjustedToUTC=true; pyarrow renders it ``timestamp[us, tz=UTC]``)
+    rather than the NTZ layout. Streaming's user-supplied source schema
+    must pick ``timestamp`` vs ``timestamp_ntz`` accordingly or a future
+    driver regeneration would fail the stream or shift instants."""
+    return "tz=" in _events_ts_type(sf_dir)
+
+
+def _events_ts_type(sf_dir: str) -> str:
+    """Raw pyarrow type string of events.ts, cached per (path, mtime,
+    size) — the driver is documented to REGENERATE testdata mid-round,
+    so a path-only cache could keep serving a stale unit to a long-lived
+    process. The footer probe is metadata-only; re-probing after a
+    regeneration costs microseconds."""
+    import os
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if key not in _TS_TYPE_CACHE:
         import pyarrow.parquet as pq
 
-        t = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-        _TS_UNIT_CACHE[key] = "ns" if ("ns" in t or t == "int64") else "us"
-    return _TS_UNIT_CACHE[key]
+        _TS_TYPE_CACHE[key] = str(
+            pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        )
+    return _TS_TYPE_CACHE[key]
 
 
-_TS_UNIT_CACHE: dict[str, str] = {}
+_TS_TYPE_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

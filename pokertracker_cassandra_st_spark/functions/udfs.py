@@ -253,7 +253,11 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        count(*) AS n_events,
-       round(max(value) - min(value), 2) AS value_range,
+       -- floor(x*100 + 0.5)/100, not round(): DuckDB rounds half away
+       -- from zero while Python's round() is banker's — the explicit
+       -- floor form (max-min is >= 0) is engine-neutral by construction
+       -- (same doctrine as q_text_readability)
+       floor((max(value) - min(value)) * 100 + 0.5) / 100 AS value_range,
        max(event_id) AS last_event_id
 FROM events
 WHERE value IS NOT NULL
@@ -302,10 +306,16 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def terminate(self):
             if self.uid is not None:
+                import math
+
+                # engine-neutral half-up (diff >= 0): Python round() is
+                # banker's, DuckDB's is half-away — only matched before
+                # because fixture deltas were 2-decimal exact
+                diff = self.vmax - self.vmin
                 yield (
                     self.uid,
                     self.n,
-                    round(self.vmax - self.vmin, 2),
+                    math.floor(diff * 100 + 0.5) / 100,
                     self.last_id,
                 )
 

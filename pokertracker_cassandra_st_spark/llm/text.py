@@ -90,14 +90,20 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n_docs = d.count()
+    # corpus size enters the plan as a broadcast 1-row aggregate frame —
+    # no driver-side d.count() roundtrip / extra scan-job (the same lazy
+    # literal-frame pattern as operators/replay.py's as-of snapshot)
+    n1 = d.agg(F.count("*").alias("n_docs"))
     w_df = Window.partitionBy("term")
     tfidf = F.round(
-        F.col("tf") * F.log((n_docs + 1.0) / (F.count("*").over(w_df) + 1.0)), 6
+        F.col("tf")
+        * F.log((F.col("n_docs") + 1.0) / (F.count("*").over(w_df) + 1.0)),
+        6,
     ).alias("tfidf")
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        tf.select("doc_id", "term", tfidf)
+        tf.crossJoin(F.broadcast(n1))
+        .select("doc_id", "term", tfidf)
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )

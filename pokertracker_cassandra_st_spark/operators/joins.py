@@ -554,13 +554,18 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sess_no")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
-    bounds = ev.agg(F.min("ts").alias("tmin"), F.max("ts").alias("tmax")).first()
-    t0 = bounds.tmin.replace(minute=0, second=0, microsecond=0)
+    # campaign calendar generated FROM the data's own time bounds, as a
+    # plan-side sequence off a 1-row aggregate frame — no driver-side
+    # .first() roundtrip, and the frame still broadcasts below
+    bounds = ev.agg(F.min("ts").alias("tmin"), F.max("ts").alias("tmax"))
     camp = (
-        spark.range(1)
-        .select(
+        bounds.select(
             F.posexplode(
-                F.sequence(F.lit(t0), F.lit(bounds.tmax), F.expr("INTERVAL 4 HOURS"))
+                F.sequence(
+                    F.date_trunc("hour", F.col("tmin")),
+                    F.col("tmax"),
+                    F.expr("INTERVAL 4 HOURS"),
+                )
             ).alias("campaign_k", "c_start")
         )
         .select(

@@ -218,11 +218,15 @@ def q_replay_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: both folds share one shuffle layout on user_id and the
     diff is a co-partitioned full outer join on the same key — three
-    same-key operations, no second shuffle key. The midpoint scalar is
-    one driver-side max() (same precedent as TF-IDF's n_docs).
+    same-key operations, no second shuffle key. The midpoint scalar
+    enters the plan as a broadcast 1-row aggregate frame (the lazy
+    literal-frame pattern of the as-of snapshot below) — no driver-side
+    .first() roundtrip, no extra job.
     """
     events = table(spark, sf_dir, "events")
-    split_id = events.agg(F.max("event_id")).first()[0] // 2
+    # Spark SQL `div` floors for non-negative ints, matching the
+    # oracle's `//` (CAST(x/2 AS BIGINT) would round half-even)
+    split = events.agg(F.expr("max(event_id) div 2").alias("split_id"))
 
     def model(ev: DataFrame) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
@@ -232,7 +236,11 @@ def q_replay_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_id", "value")
         )
 
-    old = model(events.filter(F.col("event_id") <= split_id)).select(
+    old = model(
+        events.crossJoin(F.broadcast(split))
+        .filter(F.col("event_id") <= F.col("split_id"))
+        .drop("split_id")
+    ).select(
         F.col("user_id").alias("o_user"),
         F.col("event_id").alias("old_event_id"),
     )

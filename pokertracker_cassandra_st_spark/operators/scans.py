@@ -14,6 +14,7 @@ shipdate filter additionally prunes entire partitions.
 from __future__ import annotations
 
 import os
+import shutil
 
 
 from pyspark.sql import DataFrame, SparkSession
@@ -311,8 +312,8 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sink_compaction",
     oracle="""
-SELECT 16 AS files_before,
-       2 AS files_after,
+SELECT CAST(LEAST(16, (SELECT count(*) FROM events)) AS BIGINT) AS files_before,
+       CAST(LEAST(2, (SELECT count(*) FROM events)) AS BIGINT) AS files_after,
        (SELECT count(*) FROM events) AS n_rows,
        (SELECT count(DISTINCT event_id) FROM events) AS n_ids
 """,
@@ -351,9 +352,19 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     back = spark.read.parquet(compact)
+    # the fragment copy is only an input to the (already finished)
+    # compact write — delete it now so the query doesn't leave two full
+    # copies of events in .scratch. The compact dir must outlive this
+    # function: the returned frame reads it lazily (next run overwrites).
+    shutil.rmtree(frag, ignore_errors=True)
+    # file counts are literals derived from the ACTUAL directory
+    # listing; the oracle mirrors them as LEAST(k, n_rows) — round-robin
+    # repartition(k) emits no file for an empty partition, so a sparse
+    # fixture (<16 rows, possible under adversarial testdata) yields
+    # n_rows files, not k, on BOTH sides instead of silently diverging.
     return back.agg(
-        F.lit(files_before).alias("files_before"),
-        F.lit(files_after).alias("files_after"),
+        F.lit(files_before).cast("long").alias("files_before"),
+        F.lit(files_after).cast("long").alias("files_after"),
         F.count("*").alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
     )

@@ -212,68 +212,100 @@ WINDOW_R3: list[str] = [
 ]
 
 
-# Round-4 rotation (PRE-STAGED, not active until round 4): every query
-# NOTE: q_agg_gini / q_pipeline_filter_report / q_text_readability were
-# added after this draft — fold them in (swapping out the trailing
-# family reps) when activating at round-4 start, alongside anything
-# CORRECTNESS_r03.json reveals as still unchecked.
-# added after the round-3 window was fixed (no driver row yet) + the
-# flagship + two core-family reps. Activate by setting WINDOW = WINDOW_R4
-# at round-4 start, after CORRECTNESS_r03.json is written against WINDOW_R3.
+# Round-4 rotation (ACTIVE): the driver gate holds 50 slots and the
+# never-driver-checked backlog (POST_ROTATION_R3, below) holds 59 names,
+# so EVERY slot goes to a never-checked query — no flagship / family-rep
+# slots this round (they all carry multiply-verified prior rows; the
+# cumulative-coverage invariant in tests/test_registry_window.py encodes
+# "every family has either a prior driver row or a window slot").
+# The 9 lowest-exposure names (variants inside families that already
+# hold several driver-green rows) are deferred to DEFERRED_R5 and must
+# lead the round-5 window. Ordered judge-priority-first: statistics,
+# time-series/behavior, sinks, DPP/bucketed-join, graph, stream_ewma,
+# q_udtf_table_arg, then the remainder of the backlog.
 WINDOW_R4: list[str] = [
-    "q_replay_projection",
-    "q_text_contamination",
-    "q_pipeline_pack",
-    "q_text_pii_scrub",
-    "q_join_interval_overlap",
-    "q_agg_heavy_hitters",
-    "q_agg_sketch_union",
-    "q_pipeline_shuffle",
-    "q_pipeline_mixture",
-    "q_text_chunk",
-    "q_text_repetition",
-    "q_sim_quantize",
-    "q_ts_funnel",
-    "q_ts_retention",
-    "q_graph_pagerank",
-    "q_sort_zorder",
-    "q_dedup_lines",
-    "q_sim_kmeans",
-    "q_sink_partition_overwrite",
-    "q_fn_struct",
-    "q_sink_merge",
-    "q_scan_dpp",
-    "q_source_schema_evolution",
-    "q_ts_interpolate",
-    "q_join_bucketed",
-    "q_ts_rollup_hierarchy",
-    "q_ts_sliding_distinct",
-    "q_agg_percentile_exact",
-    "q_pipeline_dataset_card",
-    "q_tpch_q18_shape",
-    "q_graph_triangle_count",
-    "q_text_boilerplate",
+    # statistics aggregates (8)
     "q_agg_regression",
     "q_agg_entropy",
     "q_agg_crosstab",
-    "q_join_spatial_grid",
+    "q_agg_gini",
+    "q_agg_chisq",
+    "q_agg_mannwhitney",
+    "q_agg_ttest",
+    "q_agg_kstest",
+    # time-series / behavior (9)
+    "q_ts_interpolate",
+    "q_ts_rollup_hierarchy",
+    "q_ts_sliding_distinct",
     "q_ts_ewma",
     "q_ts_anomaly",
-    "q_text_bigrams",
-    "q_sink_compaction",
-    "q_sim_pq",
+    "q_ts_funnel",
+    "q_ts_retention",
     "q_win_islands",
-    "q_tpch_q7_shape",
-    "q_sample_weighted",
-    "q_text_charlm",
     "q_replay_asof_snapshot",
-    "q_sim_recall_eval",
+    # sinks + scan (4)
+    "q_sink_partition_overwrite",
+    "q_sink_merge",
+    "q_sink_compaction",
+    "q_scan_dpp",
+    # joins (4)
+    "q_join_bucketed",
+    "q_join_interval_overlap",
+    "q_join_spatial_grid",
     "q_join_salted",
-    "q_agg_ttest",
-    "q_agg_groupby",
+    # graph (2)
+    "q_graph_pagerank",
+    "q_graph_triangle_count",
+    # streaming / udf (2)
+    "q_stream_ewma",
+    "q_udtf_table_arg",
+    # remaining aggregates (3)
+    "q_agg_heavy_hitters",
+    "q_agg_sketch_union",
+    "q_agg_percentile_exact",
+    # composites (2)
+    "q_tpch_q18_shape",
+    "q_tpch_q7_shape",
+    # text (5)
+    "q_text_contamination",
+    "q_text_pii_scrub",
+    "q_text_boilerplate",
+    "q_text_readability",
+    "q_text_bpe_step",
+    # pipeline (4)
+    "q_pipeline_pack",
+    "q_pipeline_mixture",
+    "q_pipeline_dataset_card",
+    "q_pipeline_filter_report",
+    # similarity (2)
+    "q_sim_kmeans",
+    "q_sim_pq",
+    # singletons (7)
+    "q_sort_zorder",
+    "q_dedup_lines",
+    "q_fn_struct",
+    "q_source_schema_evolution",
+    "q_sample_weighted",
 ]
 
-WINDOW: list[str] = WINDOW_R3
+# Never-driver-checked queries that do NOT fit the 50-slot round-4
+# window (59 backlog - 50 slots).  Chosen for lowest exposure: each is a
+# variant inside a family that already holds several driver-green rows
+# (text 6, scalar-fn 13, similarity 3, pipeline 1, multimodal 3).
+# These MUST lead the round-5 window.
+DEFERRED_R5: list[str] = [
+    "q_text_chunk",
+    "q_text_repetition",
+    "q_text_bigrams",
+    "q_text_charlm",
+    "q_fn_binary",
+    "q_sim_quantize",
+    "q_sim_recall_eval",
+    "q_pipeline_shuffle",
+    "q_multimodal_payload_dedup",
+]
+
+WINDOW: list[str] = WINDOW_R4
 
 # Queries added AFTER the round-3 rotation was fixed — they have no
 # driver row yet by construction and MUST lead the round-4 window.

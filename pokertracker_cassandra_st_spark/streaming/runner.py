@@ -27,11 +27,20 @@ SCRATCH = "/root/repo/.scratch"
 
 def events_raw_schema(sf_dir: str) -> str:
     """DDL schema for the raw events stream source, matching the on-disk
-    ts representation (int64 nanos in older driver layouts, TIMESTAMP µs
-    in newer ones — see catalog.events_ts_unit)."""
-    from pokertracker_cassandra_st_spark.catalog import events_ts_unit
+    ts representation: int64 nanos in older driver layouts, TIMESTAMP µs
+    in newer ones — tz-adjusted (isAdjustedToUTC=true -> ``timestamp``)
+    or NTZ (-> ``timestamp_ntz``), probed from the footer so a driver
+    regeneration flipping tz-adjustedness can neither fail the stream
+    nor shift instants (see catalog.events_ts_unit / _tz_adjusted)."""
+    from pokertracker_cassandra_st_spark.catalog import (
+        events_ts_tz_adjusted,
+        events_ts_unit,
+    )
 
-    ts_t = "long" if events_ts_unit(sf_dir) == "ns" else "timestamp_ntz"
+    if events_ts_unit(sf_dir) == "ns":
+        ts_t = "long"
+    else:
+        ts_t = "timestamp" if events_ts_tz_adjusted(sf_dir) else "timestamp_ntz"
     return (
         f"event_id long, ts {ts_t}, user_id long, event_type string, "
         "value double, props string"
@@ -108,13 +117,16 @@ def _split_events(
             # different chunks, so every chunk spans the full time range
             bucket = F.pmod(F.xxhash64("event_id"), F.lit(n_files))
         else:
-            # contiguous id ranges: event_id order ~ arrival order
-            max_id = ev.agg(F.max("event_id")).first()[0]
+            # contiguous id ranges: event_id order ~ arrival order; the
+            # max enters via a broadcast 1-row frame so the split stays
+            # one job (no separate driver-side max() scan)
+            mx = ev.agg(F.max("event_id").alias("_mx"))
+            ev = ev.crossJoin(F.broadcast(mx))
             bucket = F.least(
-                F.floor(F.col("event_id") * n_files / (max_id + 1)),
+                F.floor(F.col("event_id") * n_files / (F.col("_mx") + 1)),
                 F.lit(n_files - 1),
             )
-        tagged = ev.withColumn("_b", bucket)
+        tagged = ev.withColumn("_b", bucket).drop("_mx")
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
         # ONE job: hash-repartition on _b puts each bucket value wholly

@@ -540,10 +540,10 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: same state budget as the inner interval join (range +
     watermark bounded, co-partitioned on user_id); the outer semantics
-    only add the per-row "matched" bit to state. The horizon scalar is
-    one driver-side max() (same precedent as TF-IDF's n_docs).
+    only add the per-row "matched" bit to state. The horizon scalar
+    enters the plan as a broadcast 1-row aggregate frame — no
+    driver-side .first() roundtrip.
     """
-    import datetime
     ev = stream_events(spark, sf_dir, n_files=4)
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -571,10 +571,21 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     sink = run_to_table(joined, "append")
-    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    horizon = max_ts.replace(microsecond=0) - datetime.timedelta(minutes=40)
+    # the determinism horizon (rows old enough that the watermark
+    # provably closed their join window) enters the plan as a broadcast
+    # 1-row aggregate frame — no driver-side .first() roundtrip
+    hz = (
+        table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            (F.date_trunc("second", F.col("mx")) - F.expr("INTERVAL 40 MINUTES")).alias(
+                "horizon"
+            )
+        )
+    )
     return (
-        sink.filter(F.col("p_ts") < F.lit(horizon))
+        sink.crossJoin(F.broadcast(hz))
+        .filter(F.col("p_ts") < F.col("horizon"))
         .select(
             "purchase_id",
             "click_id",

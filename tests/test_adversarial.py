@@ -303,3 +303,35 @@ def test_fn_json_validity(spark, tmp_path_factory):
     by_id = dict(zip(pdf["event_id"], pdf["is_json"]))
     expect = [True, True, True, True, False, True, True, True, True, False, False, False]
     assert [bool(by_id[i]) for i in range(n)] == expect
+
+
+def test_salted_join_spreads_hot_key(spark, adv_dir):
+    """Mechanism check for q_join_salted on the adversarial fixture
+    (user 0 owns ~60% of all events -> hot_key 0 owns ~100% after the
+    <75 collapse): the salt must actually SPREAD the hot key's fact
+    rows across reducers — the whole point of salting — not just give
+    the right answer. Reconstruct the salted fact side exactly as the
+    query builds it and assert the hot key's rows land on every salt
+    with no salt holding more than 2x its fair share."""
+    from pyspark.sql import functions as F
+
+    from pokertracker_cassandra_st_spark.catalog import table
+    from pokertracker_cassandra_st_spark.operators.joins import _SALT_N
+
+    ev = table(spark, ADV, "events")
+    hot = F.when(F.col("user_id") < 75, F.lit(0)).otherwise(F.col("user_id"))
+    fact = ev.select(
+        hot.alias("hot_key"),
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALT_N)).alias("salt"),
+    )
+    per_salt = (
+        fact.filter(F.col("hot_key") == 0)
+        .groupBy("salt")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    assert len(per_salt) == _SALT_N, "hot key did not reach every salt bucket"
+    fair = per_salt["n"].sum() / _SALT_N
+    assert per_salt["n"].max() <= 2 * fair, (
+        f"salt skewed: max {per_salt['n'].max()} vs fair {fair:.0f}"
+    )

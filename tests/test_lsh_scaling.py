@@ -1,0 +1,101 @@
+"""Scale-adaptivity contracts for the banded-LSH queries.
+
+Round-3 verdict flagged q_dedup_simhash and q_sim_lsh_hyperplane as the
+only two queries whose plan would not survive 100x data: fixed 16-bit
+band/signature keys saturate at ~65k buckets, turning the bucket join
+quadratic. Round 4 derives the layout from corpus size IN-PLAN; these
+tests pin the ladder arithmetic (identically evaluated by DuckDB, the
+oracle engine) and the anchor-cap recall property the rework relies on.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pokertracker_cassandra_st_spark.llm.dedup import (
+    SIMHASH_BUCKET_CAP,
+    SIMHASH_LAYOUTS,
+    _simhash_wbits_sql,
+)
+from pokertracker_cassandra_st_spark.llm.similarity import (
+    MAX_PLANES,
+    PLANES_LADDER,
+    _plane_signs,
+    _planes_used_sql,
+)
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize(
+    ("n", "expect_w"),
+    [
+        (1_000, 16),  # test-SF regime: 4n <= 2^16 -> round-3 layout, hash-stable
+        (16_384, 16),  # boundary: 4n == 2^16 exactly
+        (16_385, 20),  # first count past the 16-bit rung
+        (100_000, 20),  # the 10x-sweep corpus lands here
+        (4_000_000, 24),
+        (60_000_000, 28),
+        (10**12, 32),  # 100 TB-corpus regime: widest rung, never saturates
+    ],
+)
+def test_simhash_band_ladder(n: int, expect_w: int) -> None:
+    """The band-width CASE picks the smallest w with 2^w >= 4n — the
+    candidate-rate-O(n) condition — and DuckDB (the oracle engine)
+    evaluates it to the same integer the Spark plan will."""
+    (w,) = duckdb.sql(f"SELECT {_simhash_wbits_sql(str(n))}").fetchone()
+    assert w == expect_w
+    assert any(w == lw for lw, _ in SIMHASH_LAYOUTS)
+
+
+@pytest.mark.parametrize(
+    ("n", "expect_p"),
+    [(1_000, 16), (2_000, 16), (16_385, 20), (100_000, 20), (10**12, 32)],
+)
+def test_hyperplane_planes_ladder(n: int, expect_p: int) -> None:
+    (p,) = duckdb.sql(f"SELECT {_planes_used_sql(str(n))}").fetchone()
+    assert p == expect_p
+    assert p in PLANES_LADDER
+
+
+def test_plane_family_is_prefix_stable() -> None:
+    """Adding planes must never change the low signature bits — the
+    ladder's rungs are prefixes of ONE seeded family, so the 16-plane
+    bucket at test SFs is bit-identical to the fixed-plane r3 output."""
+    signs = _plane_signs()
+    assert len(signs) == MAX_PLANES
+    assert all(len(s) == 64 and set(s) <= {-1, 1} for s in signs)
+    # regenerating must be deterministic (md5-seeded, no RNG state)
+    assert signs == _plane_signs()
+
+
+def test_simhash_anchor_cap_preserves_membership(spark) -> None:
+    """Anchor-side capping drops redundant intra-bucket edges, never
+    bucket MEMBERS: every doc that lands in an over-cap bucket must
+    still appear in at least one emitted candidate pair, so downstream
+    connected-components keeps whole duplicate clusters intact."""
+    from pokertracker_cassandra_st_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    pairs = REGISTRY["q_dedup_simhash"].fn(spark, SF001).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF001}/documents.parquet')"
+    )
+    oracle = REGISTRY["q_dedup_simhash"].oracle
+    # bucket membership straight from the oracle's own CTE chain
+    head = oracle[: oracle.rindex("SELECT DISTINCT")]
+    members = con.execute(
+        head
+        + f"""
+        SELECT DISTINCT c.doc_id
+        FROM capped c
+        JOIN (SELECT band, key FROM capped GROUP BY band, key
+              HAVING count(*) > {SIMHASH_BUCKET_CAP}) big
+          USING (band, key)"""
+    ).df()
+    assert len(members) > SIMHASH_BUCKET_CAP, "fixture no longer exercises the cap"
+    emitted = set(pairs["id_a"]) | set(pairs["id_b"])
+    lost = set(members["doc_id"]) - emitted
+    assert not lost, f"{len(lost)} over-cap bucket members lost all candidate edges"

@@ -51,13 +51,33 @@ def test_window_is_first_50_and_oracle_backed():
     assert not missing, f"window entries without an oracle: {missing}"
 
 
+def _driver_checked() -> set[str]:
+    """Union of every driver CORRECTNESS artifact written so far."""
+    import glob
+    import json
+
+    checked: set[str] = set()
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+        checked |= set(json.load(open(f)))
+    return checked
+
+
 def test_window_covers_every_family():
+    """Every §2.1 family must carry a driver signal: either a prior
+    driver-green CORRECTNESS row or a slot in the active window.
+
+    (Through round 3 the window itself covered every family; from round
+    4 on, every slot goes to a never-driver-checked query until the
+    backlog clears — VERDICT r3 'Next round #1' — so families whose
+    entries are all already driver-green are covered cumulatively.)
+    """
+    covered = set(WINDOW) | _driver_checked()
     uncovered = [
         fam
         for fam, prefixes in FAMILY_PREFIXES.items()
-        if not any(n.startswith(p) for p in prefixes for n in WINDOW)
+        if not any(n.startswith(p) for p in prefixes for n in covered)
     ]
-    assert not uncovered, f"families with no driver-window entry: {uncovered}"
+    assert not uncovered, f"families with no driver signal at all: {uncovered}"
 
 
 def test_every_query_registered_and_named():
@@ -65,21 +85,24 @@ def test_every_query_registered_and_named():
     assert all(n.startswith("q_") for n in REGISTRY)
 
 
-def test_round3_window_covers_never_driver_checked():
-    """The active (r3) window must contain every query with no driver
-    CORRECTNESS row from rounds 1-2."""
-    import json
-
-    from pokertracker_cassandra_st_spark.registry import POST_ROTATION_R3
+def test_round4_window_is_all_never_driver_checked():
+    """Round-4 rotation contract (VERDICT r3 'Next round #1'): every one
+    of the 50 slots goes to a query with NO driver CORRECTNESS row from
+    rounds 1-3, and the window + the declared round-5 deferral exactly
+    exhaust the never-checked backlog — nothing silently falls out."""
+    from pokertracker_cassandra_st_spark.registry import (
+        DEFERRED_R5,
+        POST_ROTATION_R3,
+    )
 
     qs = get_queries()
-    checked: set[str] = set()
-    for f in ("/root/repo/CORRECTNESS_r01.json", "/root/repo/CORRECTNESS_r02.json"):
-        checked |= set(json.load(open(f)))
-    # queries added after the r3 rotation was fixed are declared in
-    # POST_ROTATION_R3 (they must lead the r4 window instead)
-    never = [n for n in qs if n not in checked and n not in set(POST_ROTATION_R3)]
-    missing = [n for n in never if n not in set(WINDOW)]
-    assert not missing, f"never-driver-checked queries absent from WINDOW: {missing}"
+    checked = _driver_checked()
+    already = sorted(set(WINDOW) & checked)
+    assert not already, f"window slots wasted on driver-checked queries: {already}"
+    never = {n for n in qs if n not in checked}
+    leftover = sorted(never - set(WINDOW) - set(DEFERRED_R5))
+    assert not leftover, f"never-checked queries neither windowed nor deferred: {leftover}"
+    overlap = sorted(set(WINDOW) & set(DEFERRED_R5))
+    assert not overlap, f"queries both windowed and deferred: {overlap}"
     undeclared = [n for n in POST_ROTATION_R3 if n not in qs]
     assert not undeclared, f"POST_ROTATION_R3 names not registered: {undeclared}"

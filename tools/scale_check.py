@@ -21,6 +21,12 @@ Replication rules (keeping join semantics intact):
     is preserved per replica instead of exploding quadratically across
     replicas (which would time a different workload, duplicate-heavy
     corpora, not a bigger one).
+  * embeddings (v3): vec_id shifted; each replica's vectors are ROLLED
+    by the replica index (np.roll) — rotation preserves norms and all
+    within-replica dot products exactly (per-replica ANN/dedup structure
+    identical to 1x) while decorrelating replicas, the vector twin of
+    the disjoint-vocabulary rule above. Labels kept, so IVF cells get
+    10x deeper, which is the scale axis cell-probing must survive.
   * other tables copied unchanged.
 """
 
@@ -34,7 +40,7 @@ import time
 import pandas as pd
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/root/repo/.scratch/sf1x10_v2"
+DST = "/root/repo/.scratch/sf1x10_v3"
 REPLICAS = 10
 
 TIMED = [
@@ -65,68 +71,20 @@ TIMED = [
     "q_replay_asof_snapshot",
 ]
 
-CHECKED = [
-    "q_agg_groupby",
-    "q_agg_rollup",
-    "q_agg_histogram",
-    "q_agg_approx_distinct",
-    "q_agg_percentile_approx",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
-    "q_replay_projection",
-    "q_replay_cdc_diff",
-    "q_scd2_history",
-    "q_win_rank",
-    "q_win_running",
-    "q_ts_gapfill",
-    "q_ts_downsample",
-    "q_ts_sessionize",
-    "q_join_asof",
-    "q_join_asof_tolerance",
-    "q_join_sortmerge",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_components",
-    "q_text_tfidf",
-    "q_text_stats",
-    "q_udf_grouped_map",
-    "q_udf_pandas",
-    "q_sql_pricing_summary",
-    "q_sql_cte",
-    "q_sample_stratified",
-    # round 3: changed hash derivations + new curation operators.
-    # q_dedup_simhash / q_sim_lsh_hyperplane are NOT differentially
-    # checked at 10x: the replicated corpus's correlated vocabulary
-    # collapses their fixed-width band keys, so the candidate-pair
-    # output explodes combinatorially (>1 GiB of pairs — the collect
-    # itself becomes the bottleneck, not the engines). That IS the
-    # scale lesson (band width must grow with corpus size — see
-    # SCALE.md); their correctness evidence stays the sf0.01/sf0.1
-    # differential + adversarial fixtures.
-    "q_text_contamination",
-    "q_pipeline_pack",
-    "q_text_pii_scrub",
-    "q_join_interval_overlap",
-    "q_agg_heavy_hitters",
-    "q_join_asof",  # tie-break change
-    "q_stream_latedata",  # comparator change
-    # late round 3: new operators differentially re-proven at 10x
-    "q_agg_regression",
-    "q_agg_entropy",
-    "q_agg_crosstab",
-    "q_join_spatial_grid",
-    "q_ts_ewma",
-    "q_ts_anomaly",
-    "q_text_bigrams",
-    "q_text_charlm",
-    "q_sink_compaction",
-    "q_sim_pq",
-    "q_win_islands",
-    "q_tpch_q7_shape",
-    "q_sample_weighted",
-    "q_replay_asof_snapshot",
-    "q_sim_recall_eval",
-]
+# Differential coverage at 10x is REGISTRY-WIDE: every query either
+# runs the DuckDB differential on the replicated fixture or appears in
+# EXCLUDED_10X with its reason (SCALE.md publishes the same table).
+# Round 4 re-admitted q_dedup_simhash / q_sim_lsh_hyperplane — the two
+# round-3 exclusions — after their band layouts became corpus-size
+# adaptive (see llm/dedup.py SIMHASH_LAYOUTS, llm/similarity.py
+# PLANES_LADDER); their candidate volumes are printed for the record.
+EXCLUDED_10X: dict[str, str] = {}
+
+REPORT_VOLUME = {"q_dedup_simhash", "q_sim_lsh_hyperplane"}
+
+
+def checked_names(registry) -> list[str]:
+    return [n for n in registry if n not in EXCLUDED_10X]
 
 
 def build() -> str:
@@ -180,7 +138,22 @@ def build() -> str:
         )
     pd.concat(reps, ignore_index=True).to_parquet(f"{DST}/documents.parquet", index=False)
 
-    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+    import numpy as np
+
+    e = pd.read_parquet(f"{SRC}/embeddings.parquet")
+    vid_span = int(e["vec_id"].max()) + 1
+    ereps = []
+    for i in range(REPLICAS):
+        r = e.assign(vec_id=e["vec_id"] + i * vid_span)
+        if i:
+            # roll each vector by the replica index: norms and all
+            # within-replica dot products are EXACTLY preserved (same
+            # per-replica ANN/dedup structure), replicas decorrelated
+            r["embedding"] = r["embedding"].map(lambda v, k=i: np.roll(np.asarray(v), k))
+        ereps.append(r)
+    pd.concat(ereps, ignore_index=True).to_parquet(f"{DST}/embeddings.parquet", index=False)
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     open(f"{DST}/_DONE", "w").close()
     return DST
@@ -235,12 +208,27 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in CHECKED:
+        failures: list[str] = []
+        for name in checked_names(REGISTRY):
             q = REGISTRY[name]
-            pdf = q.fn(spark, sf_dir).toPandas()
-            assert_frames_match(pdf, con.execute(q.oracle).fetchdf(), f"{name}[10x]")
-            print(f"differential OK  {name}")
+            t0 = time.perf_counter()
+            try:
+                pdf = q.fn(spark, sf_dir).toPandas()
+                assert_frames_match(pdf, con.execute(q.oracle).fetchdf(), f"{name}[10x]")
+            except Exception as exc:  # keep sweeping; report all at once
+                failures.append(f"{name}: {exc}")
+                print(f"differential FAIL {name}: {exc}")
+                continue
+            vol = f"  candidates={len(pdf)}" if name in REPORT_VOLUME else ""
+            print(
+                f"differential OK  {name:28s} ({time.perf_counter() - t0:6.1f}s){vol}",
+                flush=True,
+            )
+        for name, why in EXCLUDED_10X.items():
+            print(f"differential SKIP {name}: {why}")
         con.close()
+        if failures:
+            raise SystemExit("10x differential failures:\n" + "\n".join(failures))
 
 
 def _timed(f) -> float:
