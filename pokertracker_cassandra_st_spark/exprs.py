@@ -122,3 +122,22 @@ def fmt_ts(col: str | Column) -> Column:
 def o_fmt_ts(expr: str) -> str:
     """DuckDB fragment mirroring :func:`fmt_ts`."""
     return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def md5_16bit(col: Column) -> Column:
+    """First 4 hex chars of md5(col) as an int in [0, 65536) — an
+    engine-portable 16-bit hash (DuckDB twin: :func:`o_md5_16bit`)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def o_md5_16bit(arg_sql: str) -> str:
+    """DuckDB fragment mirroring :func:`md5_16bit` (hex-digit fold —
+    DuckDB has no hex->int cast)."""
+    return "(" + " + ".join(
+        f"(strpos('{_HEXDIGITS}', substr(md5({arg_sql}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ) + ")"

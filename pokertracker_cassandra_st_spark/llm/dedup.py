@@ -718,3 +718,80 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---- exact duplicated-substring detection -------------------------- #
+_SUB_W = 8  # tokens per window (the dedup granularity)
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tk, r.i, r.i + {_SUB_W - 1}), ' ')) AS h
+  FROM toks, LATERAL unnest(range(1, len(tk) - {_SUB_W - 2})) AS r(i)
+  WHERE len(tk) >= {_SUB_W}
+), span AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(*) FILTER (WHERE s.nd > 1) AS n_dup_windows,
+       max(s.nd) AS max_span_docs
+FROM wins w JOIN span s USING (h)
+GROUP BY w.doc_id
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring detection at fixed token-window
+    granularity (the Lee et al. "Deduplicating Training Data Makes
+    Language Models Better" ExactSubstr shape, windowed): every 8-token
+    sliding window is hashed; a window whose hash occurs in >= 2
+    distinct documents is a duplicated span. Per document: window
+    count, duplicated-window count, and the widest span spread (how
+    many docs share its most-viral span) — the per-doc evidence a
+    span-removal pass consumes. Complements q_dedup_lines (segment
+    granularity needs a delimiter; token windows catch verbatim reuse
+    INSIDE segments) and q_dedup_ngram_jaccard (set overlap, not
+    position-exact spans). Docs shorter than one window have no spans
+    and are absent by construction.
+
+    Scale notes: windows are built with array HOFs (filter/sequence/
+    transform/slice) in one narrow pass — the suffix-array formulation
+    is sequential, the windowed one is embarrassingly parallel, which
+    is why production ExactSubstr at corpus scale shards exactly like
+    this. The only shuffles carry (16-byte-hash, doc_id) pairs — a
+    window's TEXT never leaves the map side (same doctrine as
+    q_dedup_lines); the span rollup is a partial-aggregated count
+    distinct, and the per-doc rollup joins hash-sized rows only. The
+    window fan-out is ~n_tokens rows/doc — linear, the same volume a
+    tokenizer pass emits.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("tk")
+    ).where(F.size("tk") >= _SUB_W)
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {_SUB_W - 1}),"
+                f" i -> md5(concat_ws(' ', slice(tk, i, {_SUB_W}))))"
+            )
+        ).alias("h"),
+    )
+    span = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        wins.join(span, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_dup_windows"),
+            F.max("nd").alias("max_span_docs"),
+        )
+    )

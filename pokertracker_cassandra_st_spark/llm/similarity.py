@@ -586,3 +586,151 @@ def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---- IVF + PQ (IVFADC) --------------------------------------------- #
+def _ivfpq_oracle() -> str:
+    d2 = lambda a, b: _PQ_D2.format(n=_PQ_SUB + 1, a=a, b=b)  # noqa: E731
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lab AS (
+  SELECT vec_id, label FROM embeddings
+), sub AS (
+  SELECT vec_id, t.m, v[(1 + {_PQ_SUB} * t.m):({_PQ_SUB} * (t.m + 1))] AS sv
+  FROM e, (VALUES (0), (1), (2), (3)) AS t(m)
+), codes AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT s.vec_id, s.m, c.vec_id AS cent_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {d2("s.sv", "c.sv")}, c.vec_id) AS rn
+    FROM sub s JOIN sub c ON c.vec_id < {_PQ_K} AND c.m = s.m
+  ) WHERE rn = 1
+), parts AS (
+  SELECT q.vec_id AS qid, k.vec_id AS cid, k.m, {d2("q.sv", "c.sv")} AS dp
+  FROM codes k
+  JOIN sub c ON c.vec_id = k.cent_id AND c.m = k.m
+  JOIN sub q ON q.m = k.m AND q.vec_id < {_PQ_NQ}
+  JOIN lab lq ON lq.vec_id = q.vec_id
+  JOIN lab lc ON lc.vec_id = k.vec_id
+  WHERE q.vec_id <> k.vec_id AND lq.label = lc.label
+), approx AS (
+  SELECT qid, cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dp ORDER BY m)),
+                     (acc, x) -> acc + x) AS ad2
+  FROM parts GROUP BY qid, cid
+), ranked AS (
+  SELECT qid, cid, ad2,
+         row_number() OVER (PARTITION BY qid ORDER BY ad2, cid) AS rk
+  FROM approx
+)
+SELECT qid, cid, round(ad2, 6) AS approx_d2, rk
+FROM ranked WHERE rk <= {_PQ_TOPK}
+"""
+
+
+@register("q_sim_ivf_pq", oracle=_ivfpq_oracle(), tags=("llm", "similarity"))
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the FAISS-style production ANN shape: the coarse IVF
+    quantizer (the ``label`` cell, as in q_sim_ivf) restricts each
+    query to its own cell's inverted list, and distances within the
+    cell are PQ asymmetric-distance computations against the corpus
+    vectors' 4-subspace codes (the q_sim_pq codebook) — index memory
+    is codes (4 small ints/vector), never raw vectors. This is the
+    standard two-level composition that serves billion-vector corpora:
+    cells bound the candidate count, codes bound the bytes per
+    candidate.
+
+    Scale notes: encoding is one broadcast-codebook pass (amortized:
+    codes persist as a column at ingest); the probe joins the
+    query's cell ONLY — at 100 TB cells are partition keys, so the
+    inverted-list read is a partition-pruned scan of code columns
+    (bytes ~ cell_size x 4 codes, not x dim floats). The ADC fan-out
+    is M rows per candidate with map-side arithmetic; per-query top-k
+    is a bounded window. All distance folds run in the oracle's
+    written order — bit-deterministic. Recall loss vs exact is
+    measured in-engine by q_sim_recall_eval's methodology (cell
+    restriction dominates; ADC adds quantization error bounded by
+    codebook fit).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    darr = F.transform("embedding", lambda x: x.cast("double"))
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(darr, 1 + _PQ_SUB * m, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("m").alias("cm"),
+        F.col("sv").alias("cv"),
+    )
+    scored = subs.join(F.broadcast(cents), F.col("m") == F.col("cm")).select(
+        "vec_id",
+        "m",
+        "cent_id",
+        _sq_l2(F.col("sv"), F.col("cv")).alias("d2"),
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cent_id")
+    )
+    lab = emb.select("vec_id", "label")
+    # codes ⋈ labels is key-co-located (both derive from the same scan)
+    coded = codes.join(lab, "vec_id").select(
+        F.col("vec_id").alias("cid"), "m", "cent_id", F.col("label").alias("c_label")
+    )
+    cent_vecs = cents.select(
+        F.col("cent_id").alias("kc"), F.col("cm").alias("km"), F.col("cv")
+    )
+    qsubs = (
+        subs.filter(F.col("vec_id") < _PQ_NQ)
+        .join(lab, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("m").alias("qm"),
+            F.col("sv").alias("qv"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    parts = (
+        coded.join(
+            F.broadcast(cent_vecs),
+            (F.col("m") == F.col("km")) & (F.col("cent_id") == F.col("kc")),
+        )
+        .join(
+            F.broadcast(qsubs),
+            (F.col("m") == F.col("qm")) & (F.col("c_label") == F.col("q_label")),
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "m", _sq_l2(F.col("qv"), F.col("cv")).alias("dp"))
+    )
+    approx = parts.groupBy("qid", "cid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", "dp"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["dp"],
+        ).alias("ad2")
+    )
+    w_rank = Window.partitionBy("qid").orderBy("ad2", "cid")
+    return (
+        approx.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "qid",
+            "cid",
+            F.round("ad2", 6).alias("approx_d2"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

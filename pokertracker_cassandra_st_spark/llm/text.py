@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
-from pokertracker_cassandra_st_spark.exprs import davg, o_davg
+from pokertracker_cassandra_st_spark.exprs import davg, md5_16bit, o_davg, o_md5_16bit
 from pokertracker_cassandra_st_spark.registry import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -627,4 +627,72 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("merge_rank", F.row_number().over(w).cast("long"))
         .orderBy(F.desc("n"), "next_pair")
         .limit(10)
+    )
+
+
+# ---- hashed linear quality classifier ------------------------------ #
+# fastText-style inference shape: token -> hash bucket -> weight; the
+# "model" here is a closed-form integer weight per bucket (Knuth
+# multiplicative mix) so the oracle reproduces it exactly — a trained
+# model swaps in a broadcast weight array, same plan.
+_HC_BUCKETS = 256
+_HC_MIX = 2654435761  # Knuth's 2^32 / phi multiplier
+
+
+@register(
+    "q_text_hash_classifier",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), feats AS (
+  SELECT doc_id,
+         (({o_md5_16bit('tok')} % {_HC_BUCKETS}) * {_HC_MIX}) % 1001 - 500
+           AS w
+  FROM toks
+)
+SELECT doc_id,
+       count(*) AS n_toks,
+       CAST(sum(w) AS BIGINT) AS weight_sum,
+       sum(w) > 0 AS label
+FROM feats
+GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier INFERENCE over hashed token features —
+    the fastText / hash-kernel shape every corpus quality filter
+    (pretraining "educational value", toxicity, domain routers) runs
+    at scale: token -> 16-bit md5 hash -> one of 256 buckets -> integer
+    weight; document score = Σ weights, label = score > 0. Weights
+    here are a deterministic function of the bucket (Knuth
+    multiplicative mix into [-500, 500]) so the DuckDB oracle rebuilds
+    the identical model; a real trained model is a 256-entry broadcast
+    array lookup in the same plan. Scores stay exact integers — no
+    float summation order, no sigmoid needed for the decision
+    boundary (monotone), so the label set is bit-deterministic.
+
+    Scale notes: tokenize + hash + weight is one narrow scan-parallel
+    pass (all Catalyst expressions, no UDF); the only shuffle carries
+    (doc_id, partial integer sum) via map-side combine. Model size is
+    O(buckets), broadcast — inference cost is independent of model
+    quality tier, which is why hashed linear models (not LLM judges)
+    gate the first 100 TB -> 10 TB cut of every pretraining pipeline.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = F.pmod(md5_16bit(F.col("tok")), F.lit(_HC_BUCKETS))
+    weight = F.pmod(bucket * F.lit(_HC_MIX), F.lit(1001)) - 500
+    return (
+        toks.select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w").cast("long").alias("weight_sum"),
+            (F.sum("w") > 0).alias("label"),
+        )
     )

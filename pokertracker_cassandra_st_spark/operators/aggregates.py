@@ -15,7 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
-from pokertracker_cassandra_st_spark.exprs import davg, dsum, o_davg, o_dsum, slong
+from pokertracker_cassandra_st_spark.exprs import (
+    davg,
+    dsum,
+    md5_16bit,
+    o_davg,
+    o_dsum,
+    o_md5_16bit,
+    slong,
+)
 from pokertracker_cassandra_st_spark.registry import register
 
 
@@ -656,4 +664,128 @@ def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("qv4", 0.25).cast("long").alias("p25_q4"),
         F.percentile("qv4", 0.50).cast("long").alias("p50_q4"),
         F.percentile("qv4", 0.75).cast("long").alias("p75_q4"),
+    )
+
+
+# ---- Count-Min sketch --------------------------------------------- #
+# Layout: depth x width counters; the hash family is engine-portable
+# (md5 of "j:key", first 4 hex chars folded to a 16-bit int, mod width)
+# so the DuckDB oracle rebuilds the identical sketch bit-for-bit.
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOP = 20
+
+
+def _cms_bucket(j: int, key: F.Column) -> F.Column:
+    return F.pmod(md5_16bit(F.concat_ws(":", F.lit(str(j)), key)), F.lit(_CMS_W))
+
+
+_CMS_ORACLE = f"""
+WITH t AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), truec AS (
+  SELECT tok, count(*) AS true_count FROM t GROUP BY tok
+), top AS (
+  SELECT tok, true_count FROM truec
+  ORDER BY true_count DESC, tok LIMIT {_CMS_TOP}
+), js AS (SELECT j FROM (VALUES (0), (1), (2), (3)) v(j)),
+sketch AS (
+  SELECT j, {o_md5_16bit("CAST(j AS VARCHAR) || ':' || tok")} % {_CMS_W} AS bucket,
+         count(*) AS cnt
+  FROM t CROSS JOIN js
+  GROUP BY 1, 2
+), est AS (
+  SELECT top.tok, min(s.cnt) AS cms_estimate
+  FROM top CROSS JOIN js
+  JOIN sketch s
+    ON s.j = js.j
+   AND s.bucket =
+       {o_md5_16bit("CAST(js.j AS VARCHAR) || ':' || top.tok")} % {_CMS_W}
+  GROUP BY top.tok
+)
+SELECT top.tok, top.true_count, est.cms_estimate,
+       est.cms_estimate - top.true_count AS overestimate
+FROM top JOIN est USING (tok)
+"""
+
+
+@register("q_agg_countmin", oracle=_CMS_ORACLE, tags=("agg", "sketch", "llm"))
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over corpus token frequencies: build a
+    4 x 64 counter array (independent md5-derived hash rows), then
+    estimate the count of the top-20 true-frequency tokens as the
+    MIN of their 4 bucket counters — reporting estimate, truth, and
+    the (provably non-negative) overestimate. The one-sided error
+    contract est >= true holds by construction, so the differential
+    also proves the sketch invariant, not just value equality.
+
+    Scale notes: THE streaming/mergeable counter structure for
+    unbounded key domains (token frequencies at 100 TB). The sketch
+    build is a partial-aggregated groupBy on (row, bucket): each map
+    task collapses its tokens into <= d*w = 256 partial counters
+    before the shuffle, so bytes shuffled are O(256 x tasks),
+    independent of corpus size — strictly better than exact per-token
+    counts (shuffle ~ distinct tokens) once the vocabulary outgrows
+    the sketch. Sketches from different partitions/days merge by
+    cell-wise addition (the groupBy IS the merge), the property that
+    makes CMS the pre-aggregation default for hot-key detection,
+    rate limiting, and frequency-capped sampling at cluster scale.
+    The estimate probe joins 20 keys against a <= 256-row broadcast
+    sketch. Hash family is engine-portable md5 (not xxhash64) so the
+    oracle reproduces the exact counters.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sketch = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cms_bucket(j, F.col("tok")).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("tok"))
+        .limit(_CMS_TOP)
+    )
+    probes = top.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(j, F.col("tok")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "true_count", "cell.j", "cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "tok",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        )
     )

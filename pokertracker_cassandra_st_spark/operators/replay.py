@@ -332,3 +332,78 @@ def q_replay_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
         )
     )
+
+
+@register(
+    "q_replay_bitemporal",
+    oracle=f"""
+WITH cuts AS (
+  SELECT max(event_id) // 2 AS s_cut,
+         min(epoch_us(ts))
+         + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS v_us
+  FROM events
+), ranked AS (
+  SELECT user_id, event_type, value, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events, cuts
+  WHERE event_id <= cuts.s_cut AND epoch_us(ts) <= cuts.v_us
+)
+SELECT user_id,
+       event_type AS believed_event_type,
+       round(value, 2) AS believed_value,
+       event_id AS system_seq,
+       {o_fmt_ts('ts')} AS valid_ts
+FROM ranked
+WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+""",
+    tags=("replay",),
+)
+def q_replay_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshot: "what did the system BELIEVE (as of system
+    sequence S) about each entity's state AS AT valid time V" — the
+    two-axis generalization of q_replay_asof_snapshot. System time is
+    the append sequence (event_id: which facts had been recorded),
+    valid time is the event timestamp (when the fact held in the
+    world); both cutoffs are the midpoints of their axes. Because the
+    log contains out-of-order arrivals (late facts recorded after
+    in-world time passed), the two filters prune DIFFERENT row sets —
+    the answer differs from either single-axis snapshot, which is the
+    point of bitemporal modeling (retroactive corrections are visible
+    only after their system time, applied at their valid time).
+
+    Scale notes: identical budget to the as-of snapshot — both cutoff
+    scalars ride one broadcast 1-row aggregate frame into a scan
+    predicate (event_id and ts row-group min/max both prune), then one
+    shuffle on the entity key with the rank-1 WindowGroupLimit fold.
+    A bitemporal table at 100 TB is just the append log plus this
+    query shape; no second storage copy of "current" vs "historic"
+    rows is ever maintained.
+    """
+    ev = table(spark, sf_dir, "events")
+    cuts = ev.agg(
+        F.expr("max(event_id) div 2").alias("s_cut"),
+        F.expr(
+            "min(unix_micros(ts))"
+            " + (max(unix_micros(ts)) - min(unix_micros(ts))) div 2"
+        ).alias("v_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .filter(
+            (F.col("event_id") <= F.col("s_cut"))
+            & (F.unix_micros(F.col("ts")) <= F.col("v_us"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != TOMBSTONE))
+        .select(
+            "user_id",
+            F.col("event_type").alias("believed_event_type"),
+            F.round("value", 2).alias("believed_value"),
+            F.col("event_id").alias("system_seq"),
+            fmt_ts("ts").alias("valid_ts"),
+        )
+    )

@@ -555,3 +555,48 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", "z")
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q_ts_ohlc",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+       (list(value ORDER BY event_id ASC))[1]  AS open,
+       max(value) AS high,
+       min(value) AS low,
+       (list(value ORDER BY event_id DESC))[1] AS close,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("timeseries",),
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsample: per (event_type, day), the first and last
+    observed value in version order (open/close) plus the bar extrema
+    (high/low) and tick count — the canonical financial/metrics
+    resample. Version order is the global event_id sequence (the same
+    per-aggregate ordering the replay fold relies on, SURVEY §1 A13),
+    so open/close are deterministic under any partitioning; high/low
+    are order-free extrema and n_events closes the bar.
+
+    Scale notes: one partial-aggregated shuffle — min_by/max_by carry
+    a single (value, event_id) candidate per group per map task, so
+    the shuffle moves 4 scalars per (type, day) per task regardless of
+    tick volume. This is the mergeable-state form of "first/last per
+    bucket" (contrast a window + row_number formulation, which would
+    shuffle every tick); at 100 TB the same plan emits per-day bars
+    from a date-partitioned fact with partition-local aggregation.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+    ).agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+        F.count("*").alias("n_events"),
+    )

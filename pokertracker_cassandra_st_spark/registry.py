@@ -305,6 +305,19 @@ DEFERRED_R5: list[str] = [
     "q_multimodal_payload_dedup",
 ]
 
+# Queries added AFTER the round-4 window was activated — no driver row
+# by construction.  WINDOW_R5 must hold DEFERRED_R5 + this list first
+# (15 names), then family reps for the remaining ~35 slots; with that,
+# cumulative driver coverage reaches 194/194 by round 5.
+POST_ROTATION_R4: list[str] = [
+    "q_agg_countmin",
+    "q_ts_ohlc",
+    "q_replay_bitemporal",
+    "q_text_hash_classifier",
+    "q_dedup_substring",
+    "q_sim_ivf_pq",
+]
+
 WINDOW: list[str] = WINDOW_R4
 
 # Queries added AFTER the round-3 rotation was fixed — they have no

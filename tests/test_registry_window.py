@@ -93,6 +93,7 @@ def test_round4_window_is_all_never_driver_checked():
     from pokertracker_cassandra_st_spark.registry import (
         DEFERRED_R5,
         POST_ROTATION_R3,
+        POST_ROTATION_R4,
     )
 
     qs = get_queries()
@@ -100,8 +101,12 @@ def test_round4_window_is_all_never_driver_checked():
     already = sorted(set(WINDOW) & checked)
     assert not already, f"window slots wasted on driver-checked queries: {already}"
     never = {n for n in qs if n not in checked}
-    leftover = sorted(never - set(WINDOW) - set(DEFERRED_R5))
+    leftover = sorted(
+        never - set(WINDOW) - set(DEFERRED_R5) - set(POST_ROTATION_R4)
+    )
     assert not leftover, f"never-checked queries neither windowed nor deferred: {leftover}"
+    r4_adds = [n for n in POST_ROTATION_R4 if n not in qs]
+    assert not r4_adds, f"POST_ROTATION_R4 names not registered: {r4_adds}"
     overlap = sorted(set(WINDOW) & set(DEFERRED_R5))
     assert not overlap, f"queries both windowed and deferred: {overlap}"
     undeclared = [n for n in POST_ROTATION_R3 if n not in qs]
