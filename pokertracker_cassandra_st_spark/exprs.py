@@ -141,3 +141,19 @@ def o_md5_16bit(arg_sql: str) -> str:
         f" * {16 ** (3 - i)}"
         for i in range(4)
     ) + ")"
+
+
+def md5_32bit(col: Column) -> Column:
+    """First 8 hex chars of md5(col) as an int in [0, 2^32) — the
+    wider twin of :func:`md5_16bit` for structures whose index space
+    outgrows 16 bits (e.g. adaptive Bloom bit arrays)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def o_md5_32bit(arg_sql: str) -> str:
+    """DuckDB fragment mirroring :func:`md5_32bit`."""
+    return "(" + " + ".join(
+        f"(strpos('{_HEXDIGITS}', substr(md5({arg_sql}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"

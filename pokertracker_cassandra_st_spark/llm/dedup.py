@@ -165,26 +165,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_dedup_near_minhash", oracle=_SHINGLE_ORACLE, tags=("llm", "dedup"))
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH candidate generation, exact-verified inside the
-    query (spark.ml MinHashLSH, seeded).
+    query (spark.ml MinHashLSH hash family, seeded).
 
-    shingle -> HashingTF sparse vector -> minhash signature -> banded
-    bucket join (approxSimilarityJoin) -> EXACT 5-gram Jaccard on the
-    candidate pairs only, keeping pairs >= 0.5. Because verification is
-    exact, the output is deterministic and oracle-checkable (same oracle
-    as q_dedup_ngram_jaccard); the LSH stage only has to achieve recall,
+    shingle -> HashingTF sparse vector -> seeded minhash signature
+    (spark.ml MinHashLSH, 16 tables) -> explicit banded bucket join on
+    (table, hash) -> EXACT 5-gram Jaccard on the candidate pairs only,
+    keeping pairs >= 0.5. Because verification is exact, the output is
+    deterministic and oracle-checkable (same oracle as
+    q_dedup_ngram_jaccard); the LSH stage only has to achieve recall,
     which 16 hash tables make a near-certainty (miss probability
     (1-s)^16 <= 1.5e-5 at s=0.5, and the seed pins the hash family).
-    The LSH prefilter runs at vector-Jaccard 0.4 — slack below the 0.5
-    verify threshold — so HashingTF bucket collisions can't evict a
-    borderline true pair before exact verification.
 
     Scale notes: this is THE scalable near-dup path — candidate cost is
     O(n · hashes) plus a bucket-join whose fan-out the band width
     controls, and the exact verification touches only candidate pairs —
-    never all-pairs. The same tiering as q_dedup_ngram_jaccard's
-    docstring describes, here fused into one job.
+    never all-pairs. The bucket join is OUR DataFrame plan rather than
+    model.approxSimilarityJoin: the ml helper carries each doc's full
+    feature/shingle payload through its exploded self-join, and at the
+    10x sweep the planner turned that into a 7 GiB broadcast (the
+    exploded side's size estimate is unknowable pre-execution). Here
+    ONLY (doc_id, table_idx, hash) rows — 24 bytes/row — enter the
+    self-join; shingle arrays are re-joined BY ID strictly after the
+    candidate set exists, so shuffled bytes track candidate count, not
+    corpus text size. Same hash family, same recall, scale-safe plan.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
     corpus = augmented_corpus(spark, sf_dir)
     toks = F.split("text", " ")
@@ -204,25 +210,38 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    vecs = tf.transform(sh)
+    vecs = tf.transform(sh).select("doc_id", "features")
     lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
     model = lsh.fit(vecs)
+    # (doc_id, table, hash) — MinHash values are integers below the
+    # 2^31 prime modulus, exact in long; the slim triple is ALL that
+    # shuffles through the candidate self-join
+    buckets = (
+        model.transform(vecs)
+        .select("doc_id", F.posexplode("sig").alias("t", "hv"))
+        .select("doc_id", "t", vector_to_array("hv")[0].cast("long").alias("h"))
+    )
     cand = (
-        model.approxSimilarityJoin(vecs, vecs, 0.6, distCol="jaccard_dist")
-        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetA.shingles").alias("sh_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.col("datasetB.shingles").alias("sh_b"),
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - n_common
     )
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= 0.5)
         .select("id_a", "id_b", "jaccard")
     )

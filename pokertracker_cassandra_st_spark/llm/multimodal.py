@@ -223,3 +223,153 @@ def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("payload_sha")
     )
+
+
+# ---- perceptual-hash near-duplicate detection ---------------------- #
+# The near-dup twin of q_multimodal_payload_dedup: exact digest dedup
+# catches bit-identical payloads only; real image/video pipelines dedup
+# on a PERCEPTUAL hash (pHash/aHash) so re-encoded or trivially edited
+# assets collapse too. The hash here is an aHash-shaped stub over the
+# payload's codepoint stream (64 cells, bit = cell mean > global mean,
+# exact integer cross-multiply) — deterministic, engine-portable, and
+# the same banded-Hamming join the real thing uses.
+_PHASH_HAM_MAX = 6
+_PHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit signature
+
+
+def _phash_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """STUB perceptual hasher (no image codecs in this container).
+
+    Real implementation: decode image, resize to 8x8 luma grid, bit =
+    cell > mean (aHash). Here the "luma grid" is the mean codepoint of
+    64 equal character slices of the payload — same signature shape,
+    same downstream join, fully oracle-checkable.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = bytes(payload).decode("utf-8")
+            vals = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+            L = len(vals)
+            cells = (np.arange(L, dtype=np.int64) * 64) // L
+            sums = np.zeros(64, dtype=np.int64)
+            counts = np.zeros(64, dtype=np.int64)
+            np.add.at(sums, cells, vals)
+            np.add.at(counts, cells, 1)
+            total = int(vals.sum())
+            bits = (sums * L) > (total * counts)
+            keys = [
+                int(sum(int(bits[16 * b + j]) << j for j in range(16)))
+                for b in range(_PHASH_BANDS)
+            ]
+            out.append((doc_id, *keys))
+        yield pd.DataFrame(out, columns=["doc_id", "k0", "k1", "k2", "k3"])
+
+
+def _phash_oracle() -> str:
+    from pokertracker_cassandra_st_spark.llm.dedup import _AUG_ORACLE
+
+    key_cols = ",\n         ".join(
+        "SUM(CASE WHEN cell // 16 = "
+        f"{b} THEN bit << (cell % 16) ELSE 0 END) AS k{b}"
+        for b in range(_PHASH_BANDS)
+    )
+    band_or = " OR ".join(f"a.k{b} = b.k{b}" for b in range(_PHASH_BANDS))
+    ham = " + ".join(f"bit_count(xor(a.k{b}, b.k{b}))" for b in range(_PHASH_BANDS))
+    return f"""
+WITH corpus AS ({_AUG_ORACLE}),
+chars AS (
+  SELECT doc_id,
+         (t.p - 1) * 64 // length(text) AS cell,
+         ascii(substr(text, CAST(t.p AS INTEGER), 1)) AS v
+  FROM corpus, LATERAL unnest(range(1, length(text) + 1)) AS t(p)
+  WHERE length(text) > 0
+), cells AS (
+  SELECT doc_id, cell, SUM(v) AS s, count(*) AS n
+  FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(s) AS total, SUM(n) AS L FROM cells GROUP BY 1
+), bits AS (
+  SELECT c.doc_id, c.cell,
+         CASE WHEN c.s * t.L > t.total * c.n THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (doc_id)
+), keys AS (
+  SELECT doc_id,
+         {key_cols}
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM keys a JOIN keys b
+  ON a.doc_id < b.doc_id AND ({band_or})
+WHERE {ham} <= {_PHASH_HAM_MAX}
+"""
+
+
+@register("q_multimodal_phash_dedup", oracle=_phash_oracle(), tags=("llm", "multimodal", "dedup"))
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over binary payloads: a stubbed
+    aHash (64-cell mean-threshold grid, exact integer rule) extracted
+    with mapInPandas, then the standard banded-Hamming LSH join (4 x
+    16-bit bands, candidates share >= 1 exact band) verified by full
+    popcount(xor) <= 6 — run on the augmented corpus so true
+    near-dup payloads exist and survive to the output.
+
+    Scale notes: the hash extraction is the decode pass itself
+    (embarrassingly parallel mapInPandas over Arrow batches — at
+    100 TB this is where the real image decode already runs, so the
+    signature is free); after it, ONLY (doc_id, 4 x 16-bit keys) ever
+    shuffles — 40 bytes/doc regardless of payload size. The band join
+    is the same bucketed candidate generation as q_dedup_simhash
+    (adaptive layouts there; fixed 4 x 16 here matches the production
+    pHash-band convention), and the Hamming verify runs in JVM bit
+    ops on the candidate set only. Exact-dup (digest) and near-dup
+    (this) tiers compose: digest dedup first shrinks the corpus, pHash
+    catches the re-encoded survivors.
+    """
+    from pokertracker_cassandra_st_spark.llm.dedup import augmented_corpus
+
+    corpus = augmented_corpus(spark, sf_dir)
+    payloads = corpus.filter(F.length("text") > 0).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    phash = payloads.mapInPandas(
+        _phash_batch, schema="doc_id long, k0 long, k1 long, k2 long, k3 long"
+    )
+    bands = phash.select(
+        "doc_id",
+        *[F.col(f"k{b}") for b in range(_PHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("key"))
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "k0", "k1", "k2", "k3", "bk.band", "bk.key")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"k{b}").alias(f"a{b}") for b in range(_PHASH_BANDS)],
+        "band",
+        "key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"k{b}").alias(f"b{b}") for b in range(_PHASH_BANDS)],
+        "band",
+        "key",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        for b in range(_PHASH_BANDS)
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAM_MAX)
+        .distinct()
+    )

@@ -734,3 +734,72 @@ def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---- range (radius) search ---------------------------------------- #
+# The other half of the vector-query API: not "top-k nearest" but
+# "everything within cosine >= tau of the probe" — the shape dedup
+# sweeps and contamination scans use (a match is a match; the count is
+# data-dependent, not fixed at k).
+_RANGE_TAU = 0.20
+
+
+_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb, label AS c_label
+  FROM embeddings
+), scored AS (
+  SELECT qid, cid,
+         round(list_dot_product(q_emb, c_emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))),
+               6) AS cosine
+  FROM q JOIN c ON qid <> cid AND q_label = c_label
+)
+SELECT qid, cid, cosine
+FROM scored
+WHERE cosine >= {_RANGE_TAU}
+"""
+
+
+@register("q_sim_range_search", oracle=_RANGE_ORACLE, tags=("llm", "similarity"))
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query: every same-cell vector with cosine >= tau of each
+    probe vector — the data-dependent-cardinality twin of q_sim_topk
+    (no window/rank stage at all: the threshold is a plain filter).
+
+    Scale notes: identical candidate-generation shape to q_sim_ivf
+    (broadcast the tiny probe side, restrict to the probe's coarse
+    cell), but the post-join operator is a pure narrow FILTER instead
+    of a per-key window sort — no shuffle after the join, so the radius
+    sweep is strictly cheaper than top-k at the same probe set. At
+    100 TB the cell restriction IS the index (cells = partition keys;
+    a probe touches only its cell's files), and tau bounds the output
+    before anything wide happens. This is the primitive behind
+    "find every near-duplicate of this known-bad document" abuse
+    sweeps and targeted decontamination.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qid") != F.col("cid")) & (F.col("q_label") == F.col("c_label")))
+        .select("qid", "cid", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _RANGE_TAU)
+    )

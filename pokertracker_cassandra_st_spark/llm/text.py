@@ -615,6 +615,9 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair", F.replace(F.col("text"), F.col("pair"), F.lit("#")).alias("mtext")
     )
     post = merged.select("pair", bigrams("mtext").alias("bg"))
+    # top-10 FIRST via orderBy+limit (TakeOrdered: per-partition heaps,
+    # no single-partition shuffle), THEN rank — the partition-less
+    # window runs on a <= 10-row frame, bounded by construction
     w = Window.orderBy(F.desc("n"), "next_pair")
     return (
         post.groupBy("pair", "bg")
@@ -624,9 +627,9 @@ def q_text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bg").alias("next_pair"),
             "n",
         )
-        .withColumn("merge_rank", F.row_number().over(w).cast("long"))
         .orderBy(F.desc("n"), "next_pair")
         .limit(10)
+        .withColumn("merge_rank", F.row_number().over(w).cast("long"))
     )
 
 

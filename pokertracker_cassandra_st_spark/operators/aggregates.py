@@ -19,9 +19,11 @@ from pokertracker_cassandra_st_spark.exprs import (
     davg,
     dsum,
     md5_16bit,
+    md5_32bit,
     o_davg,
     o_dsum,
     o_md5_16bit,
+    o_md5_32bit,
     slong,
 )
 from pokertracker_cassandra_st_spark.registry import register
@@ -787,5 +789,164 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_count",
             "cms_estimate",
             (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+    )
+
+
+# ---- Bloom filter -------------------------------------------------- #
+# Completes the mergeable-sketch trio (HLL rollup: q_agg_sketch_union;
+# Count-Min: q_agg_countmin; membership: here). Bit array size is
+# chosen IN-PLAN from the insert-set size (m = smallest power of two
+# with m >= 16*n -> fill <= 1-exp(-k/16) ~ 0.22 at k=4, fp ~ 2e-3)
+# so the structure survives corpus growth — the same adaptive-ladder
+# doctrine as SIMHASH_LAYOUTS / PLANES_LADDER.
+_BLOOM_K = 4
+_BLOOM_LADDER = [4096, 8192, 16384, 32768, 65536, 131072]
+
+
+def _bloom_m_sql(count_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN 16 * ({count_expr}) <= {m} THEN {m}" for m in _BLOOM_LADDER[:-1]
+    )
+    return f"CASE {cases} ELSE {_BLOOM_LADDER[-1]} END"
+
+
+def _bloom_oracle() -> str:
+    bit = o_md5_32bit("CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    return f"""
+WITH ins AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+), params AS (
+  SELECT {_bloom_m_sql("count(*)")} AS m FROM ins
+), js AS (SELECT j FROM (VALUES (0), (1), (2), (3)) v(j)),
+bits AS (
+  SELECT DISTINCT {bit} % m AS bit
+  FROM ins CROSS JOIN js CROSS JOIN params
+), probes AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), probe_bits AS (
+  SELECT k, {bit} % m AS bit
+  FROM probes CROSS JOIN js CROSS JOIN params
+), hits AS (
+  SELECT k, count(*) = {_BLOOM_K} AS bloom_hit
+  FROM probe_bits JOIN bits USING (bit) GROUP BY k
+), flags AS (
+  SELECT p.k,
+         coalesce(h.bloom_hit, FALSE) AS bloom_hit,
+         p.k IN (SELECT k FROM ins) AS is_member
+  FROM probes p LEFT JOIN hits h ON p.k = h.k
+)
+SELECT CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_inserted,
+       CAST((SELECT max(m) FROM params) AS BIGINT) AS m_bits,
+       CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS true_members,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_positives,
+       CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_positives,
+       CAST(sum(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_negatives
+FROM flags
+"""
+
+
+@register("q_agg_bloom", oracle=_bloom_oracle(), tags=("agg", "sketch"))
+def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch: insert one market segment's
+    custkeys (k=4 engine-portable md5 hashes into an adaptively sized
+    power-of-two bit array), probe every orders custkey, and report the
+    filter's confusion counts in one row — with false_negatives
+    provably 0 (the Bloom contract) checked by the differential.
+
+    Scale notes: the build is explode(k bits) + distinct — partial
+    aggregation collapses each map task to <= m flags before the
+    shuffle, so shuffle bytes are O(m x tasks), independent of insert
+    count; the probe side joins against the <= m-row bit table
+    broadcast. This is exactly the semi-join-reduction structure
+    Spark's own runtime bloom joins inject (test_plans.py asserts the
+    native BloomFilterAggregate elsewhere); building it as a first-
+    class query makes the sketch REUSABLE — persisted bit tables merge
+    across shards by union (bitwise OR == distinct of bit positions),
+    the property that lets a 1000-executor cluster build per-partition
+    filters and OR them in one reduce. m scales with n in-plan (1-row
+    params frame, no driver round-trip), holding fp ~ 2e-3 at any SF.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    ins = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    params = ins.agg(F.count("*").alias("n_ins")).select(
+        "n_ins", F.expr(_bloom_m_sql("n_ins")).alias("m")
+    )
+    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+
+    def bloom_bits(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(params))
+            .select(
+                "k",
+                "m",
+                F.explode(js).alias("j"),
+            )
+            .select(
+                "k",
+                F.pmod(
+                    md5_32bit(
+                        F.concat_ws(
+                            ":", F.col("j").cast("string"), F.col("k").cast("string")
+                        )
+                    ),
+                    F.col("m"),
+                ).alias("bit"),
+            )
+        )
+
+    bits = bloom_bits(ins).select("bit").distinct()
+    probes = o.select(F.col("o_custkey").alias("k")).distinct()
+    hits = (
+        bloom_bits(probes)
+        .join(F.broadcast(bits), "bit")
+        .groupBy("k")
+        .agg((F.count("*") == _BLOOM_K).alias("bloom_hit"))
+    )
+    flags = (
+        probes.join(hits, "k", "left")
+        .withColumn("bloom_hit", F.coalesce("bloom_hit", F.lit(False)))
+        # ground-truth side NOT hinted: the insert set is unbounded at
+        # scale (the bit table, capped at m rows, is the broadcast side;
+        # the truth join is the audit tier and AQE picks its strategy)
+        .join(ins.withColumn("is_member", F.lit(True)), "k", "left")
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    )
+    n_ins = ins.agg(F.count("*").cast("long").alias("n_inserted"))
+    m_bits = params.select(F.col("m").cast("long").alias("m_bits"))
+    n_bits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    return (
+        flags.agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(F.col("is_member").cast("long")).alias("true_members"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("bloom_positives"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("is_member")).cast("long")
+            ).alias("false_positives"),
+            F.sum(
+                (F.col("is_member") & ~F.col("bloom_hit")).cast("long")
+            ).alias("false_negatives"),
+        )
+        .crossJoin(F.broadcast(n_ins))
+        .crossJoin(F.broadcast(m_bits))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_inserted",
+            "m_bits",
+            "n_bits_set",
+            "n_probes",
+            "true_members",
+            "bloom_positives",
+            "false_positives",
+            "false_negatives",
         )
     )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.dist_rank import range_prefix, range_row_number
 from pokertracker_cassandra_st_spark.registry import register
 
 # Co-moment sums: l_quantity is an integer-valued double (1..50),
@@ -322,21 +323,20 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent); the single divide at the end is the only float op.
     Ranking ties break on user_id.
 
-    Scale notes: one groupBy shuffle + one global rank. The global
-    row_number is the scale constraint — at billions of keys, switch to
-    the two-phase distributed rank (per-partition rank + offset
-    prefix-sum, the q_pipeline_shuffle machinery); the formula is
-    unchanged.
+    Scale notes: one groupBy shuffle, then the global rank runs as the
+    TWO-PHASE distributed row_number (dist_rank.range_row_number:
+    range-repartition on (x, user_id), 32-way parallel local ranks,
+    broadcast bucket offsets) — no single-partition window anywhere;
+    the total count rides a broadcast 1-row frame. Survives billions
+    of keys with the cost profile of one extra small shuffle.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     spend = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast(_DEC)).cast("double").alias("x")
     )
-    w = Window.orderBy("x", "user_id")
-    ranked = spend.select(
-        "x",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    n_row = spend.agg(F.count("*").alias("n"))
+    ranked = range_row_number(spend, ["x", "user_id"], "i").crossJoin(
+        F.broadcast(n_row)
     )
     xq = F.floor(F.col("x") * 10000 + F.lit(0.5)).cast("long")
     return ranked.agg(
@@ -468,28 +468,29 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation is EXACT INTEGERS until the final display divide; no
     float comparison anywhere.
 
-    Scale notes: one global sort for the rank (the same caveat and
-    two-phase remedy as q_agg_gini), a value-partitioned count for tie
-    sizes sharing that sort, then a single conditional aggregate.
+    Scale notes: NO row-level global sort — the sample first collapses
+    to per-distinct-value counts (c_click, c_total: one partial-agg
+    shuffle), and rank() of a tie group is just 1 + (rows strictly
+    below), a distributed prefix sum over the value-ordered count frame
+    (dist_rank.range_prefix, two-phase, 32-way parallel). The rank-sum
+    is then Σ c_click(v) · midrank2(v) — a plain aggregate. Shuffled
+    bytes track DISTINCT values, not sample size.
     """
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     )
-    w_rank = Window.orderBy("value")
-    w_tie = Window.partitionBy("value")
-    mid = ev.select(
-        "event_type",
-        (2 * F.rank().over(w_rank) - 1 + F.count("*").over(w_tie)).alias(
-            "midrank2"
-        ),
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.count("*").alias("ct"),
     )
-    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
-    u = mid.agg(
-        cnt("click").alias("n1"),
-        cnt("view").alias("n2"),
-        F.sum(F.when(F.col("event_type") == "click", F.col("midrank2"))).alias(
-            "r1x2"
-        ),
+    # rows strictly below each value -> rank = before + 1;
+    # 2·midrank = 2·rank − 1 + ties = 2·before + 1 + ties
+    pre = range_prefix(g, ["value"], {"ct": "before"}, inclusive=False)
+    midrank2 = 2 * F.col("before") + 1 + F.col("ct")
+    u = pre.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * midrank2).alias("r1x2"),
     )
     return u.select(
         "n1",
@@ -539,26 +540,28 @@ def q_agg_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
     its full tie group's counts, so each row is a valid CDF evaluation
     point and intra-tie row order cannot perturb the max.
 
-    Scale notes: one global sort (two-phase-rank remedy applies at
-    scale), running sums over it, one aggregate. The KS distance is
-    the standard distribution-drift monitor a feature pipeline runs
-    between snapshots.
+    Scale notes: NO row-level global sort — the pooled sample first
+    collapses to per-distinct-value counts (one partial-agg shuffle:
+    each value is its own tie group, so the grouped frame IS the set of
+    valid CDF evaluation points), then both running counts come from
+    ONE two-phase distributed prefix sum over the value order
+    (dist_rank.range_prefix, 32-way parallel). Shuffled bytes track
+    DISTINCT values, not sample size. The KS distance is the standard
+    distribution-drift monitor a feature pipeline runs between
+    snapshots.
     """
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     )
     s = ev.select("value", (F.col("event_type") == "click").alias("is1"))
-    # RANGE frame: every row's count includes its ENTIRE tie group, so
-    # the result is deterministic whatever the intra-tie row order
-    w = Window.orderBy("value").rangeBetween(Window.unboundedPreceding, 0)
-    steps = s.select(
-        "value",
-        F.sum(F.when(F.col("is1"), 1).otherwise(0)).over(w).alias("c1"),
-        F.sum(F.when(F.col("is1"), 0).otherwise(1)).over(w).alias("c2"),
+    g = s.groupBy("value").agg(
+        F.sum(F.when(F.col("is1"), 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("is1"), 0).otherwise(1)).alias("d2"),
     )
-    n = s.agg(
-        F.count(F.when(F.col("is1"), 1)).alias("n1"),
-        F.count(F.when(~F.col("is1"), 1)).alias("n2"),
+    steps = range_prefix(g, ["value"], {"d1": "c1", "d2": "c2"}, inclusive=True)
+    n = g.agg(
+        F.sum("d1").alias("n1"),
+        F.sum("d2").alias("n2"),
     )
     return (
         steps.crossJoin(F.broadcast(n))

@@ -600,3 +600,104 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "event_id").alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---- lagged cross-correlation -------------------------------------- #
+_XCORR_LAGS = 4  # hours 0..3
+
+
+@register(
+    "q_ts_cross_correlation",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), x AS (SELECT hb, c FROM h WHERE event_type = 'click'),
+y AS (SELECT hb, c FROM h WHERE event_type = 'purchase'),
+lags AS (SELECT k FROM (VALUES (0), (1), (2), (3)) v(k)),
+pairs AS (
+  SELECT k, x.c AS xv, y.c AS yv
+  FROM lags CROSS JOIN x JOIN y ON y.hb = x.hb + k
+), m AS (
+  SELECT k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(xv) AS BIGINT) AS sx,
+         CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+         CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+         CAST(SUM(yv * yv) AS BIGINT) AS syy
+  FROM pairs GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS lag_hours,
+       n AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+FROM m
+ORDER BY lag_hours
+""",
+    tags=("timeseries", "statistics"),
+)
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event-type activity series:
+    hourly click counts vs purchase counts k hours later, Pearson r at
+    lags 0..3 — the signal-alignment probe behind "does metric A lead
+    metric B" questions (and feature/label leakage checks in training
+    pipelines).
+
+    Scale notes: the series are built in ONE partial-aggregated
+    groupBy over (type, hour) — integer counts, so every co-moment
+    (sx, sxy, sxx, ...) is exact int64 arithmetic on BOTH engines and
+    the only float op is the final divide (round 6). The lag join
+    explodes the 4 lags on the x side and equi-joins on shifted hour —
+    a narrow broadcast-size series at any SF (hours, not events), so
+    the whole correlation costs one scan of events plus a toy join.
+    At 100 TB the hourly rollup is exactly the continuous-aggregate
+    tier (q_ts_rollup_hierarchy) — cross-correlation then runs on the
+    rollup, never the raw log.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 3600").alias("hb"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    x = hourly.filter(F.col("event_type") == "click").select(
+        F.col("hb").alias("xhb"), F.col("c").alias("xv")
+    )
+    y = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("hb").alias("yhb"), F.col("c").alias("yv")
+    )
+    lagged = x.select(
+        "xhb", "xv", F.explode(F.array(*[F.lit(k) for k in range(_XCORR_LAGS)])).alias("k")
+    )
+    m = (
+        lagged.join(y, F.col("yhb") == F.col("xhb") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xv").alias("sx"),
+            F.sum("yv").alias("sy"),
+            F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+            F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+            F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("k").cast("long").alias("lag_hours"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            num.cast("double") / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            6,
+        ).alias("xcorr"),
+    ).orderBy("lag_hours")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.dist_rank import range_row_number
 from pokertracker_cassandra_st_spark.exprs import o_fmt_ts
 from pokertracker_cassandra_st_spark.registry import register
 
@@ -239,16 +240,35 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-segment quartiles (ntile), tie-broken by the unique key so
     bucket assignment is deterministic.
 
-    Scale notes: the global ntile is a single-partition window — fine
-    for ranked reporting output, but the partitioned form (seg_quartile)
-    is the scalable shape; at 100 TB replace a global ntile with
-    approx-quantile cutpoints + a broadcast range lookup."""
+    Scale notes: the global decile does NOT use a single-partition
+    ntile window — the global rank comes from the two-phase
+    distributed row_number (dist_rank.range_row_number: range
+    repartition, 32-way local ranks, broadcast offsets), the total
+    count from a broadcast 1-row frame, and the decile from ntile's
+    exact integer rule (first n mod k buckets take ceil(n/k) rows) —
+    bit-identical to the built-in at any scale. The per-segment
+    quartile keeps the ordinary partitioned window, the shape that
+    parallelizes natively."""
     c = table(spark, sf_dir, "customer")
-    w_all = Window.orderBy("c_acctbal", "c_custkey")
+    n_row = c.agg(F.count("*").alias("n"))
+    ranked = range_row_number(c, ["c_acctbal", "c_custkey"], "rk").crossJoin(
+        F.broadcast(n_row)
+    )
+    # exact ntile(k): bq = n div k, m = n mod k; the first m buckets
+    # hold bq+1 rows. When bq = 0 every rank is <= m·(bq+1) = n, so
+    # the ELSE branch (divide by bq) is unreachable. All integer ops.
+    bq = F.expr("n DIV 10")
+    m = F.expr("n % 10")
+    decile = F.when(
+        F.col("rk") <= m * (bq + 1),
+        F.expr("(rk - 1) DIV (n DIV 10 + 1) + 1"),
+    ).otherwise(
+        m + F.expr("(rk - n % 10 * (n DIV 10 + 1) - 1) DIV (n DIV 10) + 1")
+    )
     w_seg = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    return ranked.select(
         "c_custkey",
-        F.ntile(10).over(w_all).cast("long").alias("decile"),
+        decile.cast("long").alias("decile"),
         F.ntile(4).over(w_seg).cast("long").alias("seg_quartile"),
     )
 

@@ -307,8 +307,8 @@ DEFERRED_R5: list[str] = [
 
 # Queries added AFTER the round-4 window was activated — no driver row
 # by construction.  WINDOW_R5 must hold DEFERRED_R5 + this list first
-# (15 names), then family reps for the remaining ~35 slots; with that,
-# cumulative driver coverage reaches 194/194 by round 5.
+# (19 names), then family reps for the remaining ~31 slots; with that,
+# cumulative driver coverage reaches 198/198 by round 5.
 POST_ROTATION_R4: list[str] = [
     "q_agg_countmin",
     "q_ts_ohlc",
@@ -316,6 +316,10 @@ POST_ROTATION_R4: list[str] = [
     "q_text_hash_classifier",
     "q_dedup_substring",
     "q_sim_ivf_pq",
+    "q_sim_range_search",
+    "q_agg_bloom",
+    "q_ts_cross_correlation",
+    "q_multimodal_phash_dedup",
 ]
 
 WINDOW: list[str] = WINDOW_R4

@@ -164,6 +164,7 @@ def main() -> None:
     ap.add_argument("--check", action="store_true", help="also run the DuckDB differential")
     ap.add_argument("--skip-timing", action="store_true", help="differential only")
     ap.add_argument("--best-of", type=int, default=3)
+    ap.add_argument("--only", default="", help="comma-separated query names: restrict the differential (for re-checking changed queries)")
     args = ap.parse_args()
 
     sf_dir = build()
@@ -209,7 +210,11 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
         failures: list[str] = []
-        for name in checked_names(REGISTRY):
+        names = checked_names(REGISTRY)
+        if args.only:
+            keep = set(args.only.split(","))
+            names = [n for n in names if n in keep]
+        for name in names:
             q = REGISTRY[name]
             t0 = time.perf_counter()
             try:
