@@ -91,7 +91,8 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
+                    # greatest(...,1): totality guard (see llm/dedup.py)
+                    F.sequence(F.lit(1), F.greatest(F.size("t") - (_NGRAM - 1), F.lit(1))),
                     lambda i: F.array_join(F.slice("t", i, _NGRAM), " "),
                 )
             ).alias("sh"),

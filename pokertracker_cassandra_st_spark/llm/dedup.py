@@ -134,7 +134,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 4),
+                    # greatest(...,1): totality guard — the optimizer
+                    # may evaluate this projection on rows the size>=5
+                    # filter excludes (PushProjectionThroughUnion), and
+                    # sequence(1, n<=0) descends through 0, which makes
+                    # slice() throw; clamped rows are filtered anyway
+                    F.sequence(F.lit(1), F.greatest(F.size("t") - 4, F.lit(1))),
                     lambda i: F.array_join(F.slice("t", i, 5), " "),
                 )
             ).alias("sh"),
@@ -203,7 +208,12 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 4),
+                    # greatest(...,1): totality guard — the optimizer
+                    # may evaluate this projection on rows the size>=5
+                    # filter excludes (PushProjectionThroughUnion), and
+                    # sequence(1, n<=0) descends through 0, which makes
+                    # slice() throw; clamped rows are filtered anyway
+                    F.sequence(F.lit(1), F.greatest(F.size("t") - 4, F.lit(1))),
                     lambda i: F.array_join(F.slice("t", i, 5), " "),
                 )
             ).alias("shingles"),
@@ -799,7 +809,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(tk) - {_SUB_W - 1}),"
+                f"transform(sequence(1, greatest(size(tk) - {_SUB_W - 1}, 1)),"
                 f" i -> md5(concat_ws(' ', slice(tk, i, {_SUB_W}))))"
             )
         ).alias("h"),

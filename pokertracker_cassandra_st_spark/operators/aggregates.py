@@ -823,7 +823,10 @@ bits AS (
   SELECT DISTINCT {bit} % m AS bit
   FROM ins CROSS JOIN js CROSS JOIN params
 ), probes AS (
-  SELECT DISTINCT o_custkey AS k FROM orders
+  -- membership is undefined for NULL keys (Spark's concat_ws SKIPS
+  -- nulls while SQL || nulls out: the hash families would diverge);
+  -- a Bloom probe set is null-free by contract
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
 ), probe_bits AS (
   SELECT k, {bit} % m AS bit
   FROM probes CROSS JOIN js CROSS JOIN params
@@ -905,7 +908,12 @@ def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bits = bloom_bits(ins).select("bit").distinct()
-    probes = o.select(F.col("o_custkey").alias("k")).distinct()
+    # null keys excluded by contract (see oracle comment)
+    probes = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
     hits = (
         bloom_bits(probes)
         .join(F.broadcast(bits), "bit")

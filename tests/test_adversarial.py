@@ -62,6 +62,13 @@ EVENT_QUERIES = [
     "q_agg_entropy",
     "q_agg_crosstab",
     "q_sample_weighted",
+    # round 4
+    "q_ts_cross_correlation",
+    "q_agg_gini",
+    "q_agg_mannwhitney",
+    "q_agg_kstest",
+    "q_ts_ohlc",
+    "q_replay_bitemporal",
 ]
 
 
@@ -140,6 +147,12 @@ DOC_QUERIES = [
     "q_multimodal_payload_dedup",
     "q_fn_binary",
     "q_pipeline_filter_report",
+    # round 4
+    "q_multimodal_phash_dedup",
+    "q_agg_countmin",
+    "q_dedup_substring",
+    "q_text_hash_classifier",
+    "q_dedup_near_minhash",
 ]
 
 
@@ -203,6 +216,8 @@ REL_QUERIES = [
     "q_sql_window",
     "q_sql_exists",
     "q_sql_cte",
+    # round 4: null o_custkey probes + null c_mktsegment insert rows
+    "q_agg_bloom",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)
