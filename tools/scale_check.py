@@ -87,22 +87,38 @@ def checked_names(registry) -> list[str]:
     return [n for n in registry if n not in EXCLUDED_10X]
 
 
-def build() -> str:
-    if os.path.exists(f"{DST}/_DONE"):
-        return DST
-    os.makedirs(DST, exist_ok=True)
+def build(dst: str = DST, replicas: int = REPLICAS) -> str:
+    if os.path.exists(f"{dst}/_DONE"):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def stream(path, frames):
+        """Write an iterator of same-schema pandas frames as one parquet
+        file, one row group per frame — replicas never co-reside in
+        memory, so 100x fixtures build in 1x memory."""
+        w = None
+        for f in frames:
+            t = pa.Table.from_pandas(f, preserve_index=False)
+            if w is None:
+                w = pq.ParquetWriter(path, t.schema)
+            w.write_table(t)
+        if w is not None:
+            w.close()
 
     li = pd.read_parquet(f"{SRC}/lineitem.parquet")
     o = pd.read_parquet(f"{SRC}/orders.parquet")
     okey_span = int(max(li["l_orderkey"].max(), o["o_orderkey"].max())) + 1
-    pd.concat(
-        [li.assign(l_orderkey=li["l_orderkey"] + i * okey_span) for i in range(REPLICAS)],
-        ignore_index=True,
-    ).to_parquet(f"{DST}/lineitem.parquet", index=False)
-    pd.concat(
-        [o.assign(o_orderkey=o["o_orderkey"] + i * okey_span) for i in range(REPLICAS)],
-        ignore_index=True,
-    ).to_parquet(f"{DST}/orders.parquet", index=False)
+    stream(
+        f"{dst}/lineitem.parquet",
+        (li.assign(l_orderkey=li["l_orderkey"] + i * okey_span) for i in range(replicas)),
+    )
+    stream(
+        f"{dst}/orders.parquet",
+        (o.assign(o_orderkey=o["o_orderkey"] + i * okey_span) for i in range(replicas)),
+    )
 
     ev = pd.read_parquet(f"{SRC}/events.parquet")
     eid_span = int(ev["event_id"].max()) + 1
@@ -114,49 +130,53 @@ def build() -> str:
     # batch oracle could never match; a longer history preserves the
     # near-in-order arrival a real log has.
     ts_span = (ev["ts"].max() - ev["ts"].min()) + pd.Timedelta(hours=1)
-    pd.concat(
-        [
+    stream(
+        f"{dst}/events.parquet",
+        (
             ev.assign(
                 event_id=ev["event_id"] + i * eid_span,
                 ts=ev["ts"] + i * ts_span,
             )
-            for i in range(REPLICAS)
-        ],
-        ignore_index=True,
-    ).to_parquet(f"{DST}/events.parquet", index=False)
+            for i in range(replicas)
+        ),
+    )
 
     d = pd.read_parquet(f"{SRC}/documents.parquet")
     did_span = int(d["doc_id"].max()) + 1
-    reps = []
-    for i in range(REPLICAS):
-        tag = f"_r{i}"
-        reps.append(
-            d.assign(
+
+    def doc_reps():
+        for i in range(replicas):
+            tag = f"_r{i}"
+            yield d.assign(
                 doc_id=d["doc_id"] + i * did_span,
                 text=d["text"].str.replace(" ", f"{tag} ", regex=False) + tag,
             )
-        )
-    pd.concat(reps, ignore_index=True).to_parquet(f"{DST}/documents.parquet", index=False)
+
+    stream(f"{dst}/documents.parquet", doc_reps())
 
     import numpy as np
 
     e = pd.read_parquet(f"{SRC}/embeddings.parquet")
     vid_span = int(e["vec_id"].max()) + 1
-    ereps = []
-    for i in range(REPLICAS):
-        r = e.assign(vec_id=e["vec_id"] + i * vid_span)
-        if i:
-            # roll each vector by the replica index: norms and all
-            # within-replica dot products are EXACTLY preserved (same
-            # per-replica ANN/dedup structure), replicas decorrelated
-            r["embedding"] = r["embedding"].map(lambda v, k=i: np.roll(np.asarray(v), k))
-        ereps.append(r)
-    pd.concat(ereps, ignore_index=True).to_parquet(f"{DST}/embeddings.parquet", index=False)
+
+    def emb_reps():
+        for i in range(replicas):
+            r = e.assign(vec_id=e["vec_id"] + i * vid_span)
+            if i:
+                # roll each vector by the replica index: norms and all
+                # within-replica dot products are EXACTLY preserved (same
+                # per-replica ANN/dedup structure), replicas decorrelated
+                r["embedding"] = r["embedding"].map(
+                    lambda v, k=i: np.roll(np.asarray(v), k % len(v))
+                )
+            yield r
+
+    stream(f"{dst}/embeddings.parquet", emb_reps())
 
     for t in ("region", "nation", "customer", "supplier", "part"):
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
-    open(f"{DST}/_DONE", "w").close()
-    return DST
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    open(f"{dst}/_DONE", "w").close()
+    return dst
 
 
 def main() -> None:
@@ -164,10 +184,13 @@ def main() -> None:
     ap.add_argument("--check", action="store_true", help="also run the DuckDB differential")
     ap.add_argument("--skip-timing", action="store_true", help="differential only")
     ap.add_argument("--best-of", type=int, default=3)
-    ap.add_argument("--only", default="", help="comma-separated query names: restrict the differential (for re-checking changed queries)")
+    ap.add_argument("--only", default="", help="comma-separated query names: restrict the timing AND differential sets (for re-checking changed queries, or bounded 100x spot-checks)")
+    ap.add_argument("--replicas", type=int, default=REPLICAS, help="replication factor (10 = the standard sweep; 100 = spot-check)")
+    ap.add_argument("--dst", default="", help="fixture directory (defaults to the standard 10x path)")
     args = ap.parse_args()
 
-    sf_dir = build()
+    dst = args.dst or (DST if args.replicas == REPLICAS else f"/root/repo/.scratch/sf1x{args.replicas}")
+    sf_dir = build(dst, args.replicas)
 
     from pyspark.sql import SparkSession
 
@@ -185,8 +208,10 @@ def main() -> None:
 
     get_queries()
 
+    only = set(args.only.split(",")) if args.only else None
     results = {}
-    for name in ([] if args.skip_timing else TIMED):
+    timed = [n for n in TIMED if only is None or n in only]
+    for name in ([] if args.skip_timing else timed):
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).toPandas()  # warm (JIT, file listing)
         best = min(
@@ -194,7 +219,7 @@ def main() -> None:
         )
         results[name] = round(best, 3)
         print(f"{name:28s} {best:7.3f} s")
-    print({"sf": "sf0.1 x10", "queries": results})
+    print({"sf": f"sf0.1 x{args.replicas}", "queries": results})
 
     if args.check:
         import duckdb
@@ -211,9 +236,8 @@ def main() -> None:
             )
         failures: list[str] = []
         names = checked_names(REGISTRY)
-        if args.only:
-            keep = set(args.only.split(","))
-            names = [n for n in names if n in keep]
+        if only is not None:
+            names = [n for n in names if n in only]
         for name in names:
             q = REGISTRY[name]
             t0 = time.perf_counter()
