@@ -803,3 +803,105 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", cos.alias("cosine"))
         .filter(F.col("cosine") >= _RANGE_TAU)
     )
+
+
+# ---- Matryoshka / adaptive retrieval ------------------------------- #
+# Two-tier scoring with ONE embedding column: a cheap coarse pass over
+# the first _MRL_DIM dimensions (Matryoshka-style truncation) selects
+# _MRL_CAND candidates per probe, then the full-dimension exact cosine
+# reranks them to top-5. The production "adaptive retrieval" shape:
+# prefix dims are 4x cheaper to score and the rerank touches only the
+# shortlist.
+_MRL_DIM = 16
+_MRL_CAND = 20
+
+
+_MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb, label AS c_label
+  FROM embeddings
+), coarse AS (
+  SELECT qid, cid, q_emb, c_emb,
+         round(list_dot_product(q_emb[1:{_MRL_DIM}], c_emb[1:{_MRL_DIM}]) /
+               (sqrt(list_dot_product(q_emb[1:{_MRL_DIM}], q_emb[1:{_MRL_DIM}])) *
+                sqrt(list_dot_product(c_emb[1:{_MRL_DIM}], c_emb[1:{_MRL_DIM}]))),
+               6) AS ccos
+  FROM q JOIN c ON qid <> cid AND q_label = c_label
+), shortlist AS (
+  SELECT qid, cid, q_emb, c_emb,
+         row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+  FROM coarse
+), reranked AS (
+  SELECT qid, cid,
+         round(list_dot_product(q_emb, c_emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) *
+                sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+  FROM shortlist WHERE crk <= {_MRL_CAND}
+)
+SELECT qid, cid, cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM reranked
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_sim_matryoshka", oracle=_MRL_ORACLE, tags=("llm", "similarity"))
+def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style adaptive retrieval: score the 16-dim embedding
+    PREFIX to shortlist 20 candidates per probe (cell-restricted), then
+    rerank the shortlist with the exact full-dimension cosine to top-5.
+
+    Scale notes: the coarse pass is the same broadcast-probe /
+    cell-restricted join shape as q_sim_ivf but touches only dim/4 of
+    each vector — at 100 TB this is the difference between streaming
+    16 floats and 64 (or 256 vs 3072 for production embedding sizes)
+    through the scoring loop, and prefix dims need no separate index
+    because Matryoshka training orders information by dimension. The
+    rerank tier reads full vectors for candidates ONLY (bounded at
+    probes x 20 rows), so full-width vectors never enter a wide join.
+    Both tiers are JVM higher-order functions; the per-probe windows
+    rank frames bounded by the candidate cap.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    qp = F.slice("q_emb", 1, _MRL_DIM)
+    cp = F.slice("c_emb", 1, _MRL_DIM)
+    ccos = F.round(
+        _dot(qp, cp) / (F.sqrt(_dot(qp, qp)) * F.sqrt(_dot(cp, cp))), 6
+    )
+    coarse = (
+        F.broadcast(q)
+        .join(c, (F.col("qid") != F.col("cid")) & (F.col("q_label") == F.col("c_label")))
+        .select("qid", "cid", "q_emb", "c_emb", ccos.alias("ccos"))
+    )
+    w_c = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), "cid")
+    shortlist = (
+        coarse.withColumn("crk", F.row_number().over(w_c))
+        .filter(F.col("crk") <= _MRL_CAND)
+    )
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        6,
+    )
+    w_r = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return (
+        shortlist.select("qid", "cid", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_r).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -701,3 +701,63 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     ).orderBy("lag_hours")
+
+
+# ---- seasonal decomposition ---------------------------------------- #
+@register(
+    "q_ts_seasonal",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1
+), profile AS (
+  SELECT hb % 24 AS hod,
+         CAST(SUM(n) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS nh
+  FROM hourly GROUP BY 1
+)
+SELECT h.hb AS hour_bucket,
+       h.hb % 24 AS hod,
+       h.n AS observed,
+       round(CAST(p.tot AS DOUBLE) / p.nh, 6) AS seasonal,
+       round(h.n - CAST(p.tot AS DOUBLE) / p.nh, 6) AS residual
+FROM hourly h JOIN profile p ON h.hb % 24 = p.hod
+""",
+    tags=("timeseries", "statistics"),
+)
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition of the hourly click series: the
+    hour-of-day profile (mean hourly count across all days) is the
+    seasonal component; residual = observed − seasonal. The anomaly
+    detector's front stage — q_ts_anomaly's z-scores run better on
+    residuals than raw counts once traffic has a daily cycle.
+
+    Scale notes: two partial-aggregated shuffles (events → hourly,
+    hourly → 24-row profile) and a broadcast join of the 24-row
+    profile back onto the hourly frame — no window, no global sort;
+    everything after the first rollup is bounded by hours, not events.
+    Integer counts keep both engines exact until the one profile
+    divide (round 6, identical int64→double path)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    hourly = ev.groupBy(
+        F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 3600").alias("hb")
+    ).agg(F.count("*").alias("n"))
+    profile = hourly.groupBy(F.pmod("hb", F.lit(24)).alias("hod")).agg(
+        F.sum("n").alias("tot"), F.count("*").alias("nh")
+    )
+    seasonal = F.round(F.col("tot").cast("double") / F.col("nh"), 6)
+    return (
+        hourly.withColumn("hod", F.pmod("hb", F.lit(24)))
+        .join(F.broadcast(profile), "hod")
+        .select(
+            F.col("hb").alias("hour_bucket"),
+            "hod",
+            F.col("n").alias("observed"),
+            seasonal.alias("seasonal"),
+            F.round(F.col("n") - F.col("tot").cast("double") / F.col("nh"), 6).alias(
+                "residual"
+            ),
+        )
+    )

@@ -307,8 +307,8 @@ DEFERRED_R5: list[str] = [
 
 # Queries added AFTER the round-4 window was activated — no driver row
 # by construction.  WINDOW_R5 must hold DEFERRED_R5 + this list first
-# (19 names), then family reps for the remaining ~31 slots; with that,
-# cumulative driver coverage reaches 198/198 by round 5.
+# (21 names), then family reps for the remaining ~29 slots; with that,
+# cumulative driver coverage reaches 200/200 by round 5.
 POST_ROTATION_R4: list[str] = [
     "q_agg_countmin",
     "q_ts_ohlc",
@@ -320,6 +320,8 @@ POST_ROTATION_R4: list[str] = [
     "q_agg_bloom",
     "q_ts_cross_correlation",
     "q_multimodal_phash_dedup",
+    "q_sim_matryoshka",
+    "q_ts_seasonal",
 ]
 
 WINDOW: list[str] = WINDOW_R4

@@ -69,6 +69,7 @@ EVENT_QUERIES = [
     "q_agg_kstest",
     "q_ts_ohlc",
     "q_replay_bitemporal",
+    "q_ts_seasonal",
 ]
 
 
