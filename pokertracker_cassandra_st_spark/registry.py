@@ -324,6 +324,73 @@ POST_ROTATION_R4: list[str] = [
     "q_ts_seasonal",
 ]
 
+# Round-5 rotation (PRE-STAGED at round-4 close — activate by setting
+# WINDOW = WINDOW_R5 at the START of round 5, after confirming
+# CORRECTNESS_r04.json landed for the round-4 window).  Layout:
+#   * slots 1-21: every query with no driver row after round 4 —
+#     exactly DEFERRED_R5 + POST_ROTATION_R4 (validated by
+#     tests/test_registry_window.py::test_round5_window_is_staged_correctly,
+#     which FAILS if any new query registers without joining this list);
+#     with these, cumulative driver coverage reaches 200/200.
+#   * slots 22-50: family representatives whose newest driver row is
+#     from ROUND 1 (the stalest greens in the fleet — joins, core aggs,
+#     windows, filters, scans, setops, SCD2) so every family regains a
+#     current-era signal.
+WINDOW_R5: list[str] = [
+    # never-driver-checked (21): deferred-from-r4 + post-rotation adds
+    "q_text_chunk",
+    "q_text_repetition",
+    "q_text_bigrams",
+    "q_text_charlm",
+    "q_fn_binary",
+    "q_sim_quantize",
+    "q_sim_recall_eval",
+    "q_pipeline_shuffle",
+    "q_multimodal_payload_dedup",
+    "q_agg_countmin",
+    "q_ts_ohlc",
+    "q_replay_bitemporal",
+    "q_text_hash_classifier",
+    "q_dedup_substring",
+    "q_sim_ivf_pq",
+    "q_sim_range_search",
+    "q_agg_bloom",
+    "q_ts_cross_correlation",
+    "q_multimodal_phash_dedup",
+    "q_sim_matryoshka",
+    "q_ts_seasonal",
+    # stalest family reps (29): newest driver row is round 1
+    "q_scan_project",
+    "q_sink_roundtrip",
+    "q_filter_range",
+    "q_filter_in_like_null",
+    "q_join_inner_hash",
+    "q_join_broadcast",
+    "q_join_sortmerge",
+    "q_join_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_nullsafe",
+    "q_join_band",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_stats",
+    "q_agg_maxby",
+    "q_win_laglead",
+    "q_win_running",
+    "q_win_moving",
+    "q_win_range_frame",
+    "q_win_pct",
+    "q_topk",
+    "q_set_except",
+    "q_scd2_history",
+]
+
 WINDOW: list[str] = WINDOW_R4
 
 # Queries added AFTER the round-3 rotation was fixed — they have no

@@ -111,3 +111,47 @@ def test_round4_window_is_all_never_driver_checked():
     assert not overlap, f"queries both windowed and deferred: {overlap}"
     undeclared = [n for n in POST_ROTATION_R3 if n not in qs]
     assert not undeclared, f"POST_ROTATION_R3 names not registered: {undeclared}"
+
+
+def test_round5_window_is_staged_correctly():
+    """WINDOW_R5 pre-staging contract (avoids the round-3 mistake of a
+    window drafted before late additions landed): the leading 21 slots
+    must be EXACTLY the never-driver-checked set as of round-4 close
+    (DEFERRED_R5 + POST_ROTATION_R4) — so if any query registers after
+    this draft without joining POST_ROTATION_R4 AND WINDOW_R5, this
+    test fails loudly instead of the slot arithmetic silently rotting.
+    All 50 slots must be distinct, registered, and oracle-backed."""
+    from pokertracker_cassandra_st_spark.registry import (
+        DEFERRED_R5,
+        POST_ROTATION_R4,
+        WINDOW_R5,
+    )
+
+    qs = get_queries()
+    oracles = get_oracles()
+    assert len(WINDOW_R5) == 50 == len(set(WINDOW_R5))
+    unreg = [n for n in WINDOW_R5 if n not in qs]
+    assert not unreg, f"WINDOW_R5 names not registered: {unreg}"
+    no_oracle = [n for n in WINDOW_R5 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R5 entries without an oracle: {no_oracle}"
+
+    must_lead = set(DEFERRED_R5) | set(POST_ROTATION_R4)
+    lead = WINDOW_R5[: len(must_lead)]
+    assert set(lead) == must_lead, (
+        f"leading slots must be exactly the never-checked backlog; "
+        f"missing={sorted(must_lead - set(lead))} extra={sorted(set(lead) - must_lead)}"
+    )
+    # every query never driver-checked must be in the leading slots —
+    # i.e. nothing registered after the draft without bookkeeping
+    checked = _driver_checked()
+    never = {n for n in qs if n not in checked}
+    stranded = sorted(never - must_lead - set(WINDOW))
+    assert not stranded, (
+        f"queries registered after the round-5 draft without joining "
+        f"POST_ROTATION_R4 + WINDOW_R5: {stranded}"
+    )
+    # the 29 rep slots must all carry a prior driver row (they trade a
+    # window slot for freshness, not first-time coverage)
+    reps = WINDOW_R5[len(must_lead):]
+    unchecked_reps = sorted(set(reps) - checked)
+    assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
