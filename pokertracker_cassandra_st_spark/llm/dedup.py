@@ -231,10 +231,15 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode("sig").alias("t", "hv"))
         .select("doc_id", "t", vector_to_array("hv")[0].cast("long").alias("h"))
     )
+    # shuffle_hash hints: every frame here descends from the ml
+    # transform, whose output size the planner cannot estimate — left
+    # alone it broadcasts whole signature/shingle tables (the
+    # approxSimilarityJoin failure shape). Shuffled hash joins on the
+    # bucket key / doc id are the scale-correct plans.
     cand = (
         buckets.alias("a")
         .join(
-            buckets.alias("b"),
+            buckets.alias("b").hint("shuffle_hash"),
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -243,8 +248,18 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            ).hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (
@@ -815,8 +830,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     span = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    # shuffle_hash: span's cardinality is ~distinct windows (corpus
+    # scale); broadcasting it is only viable at test SF
     return (
-        wins.join(span, "h")
+        wins.join(span.hint("shuffle_hash"), "h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),

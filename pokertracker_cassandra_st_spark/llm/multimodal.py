@@ -366,8 +366,14 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
         for b in range(_PHASH_BANDS)
     )
+    # shuffle_hash hint: both sides are mapInPandas output, whose size
+    # the planner cannot estimate — left to itself it broadcasts the
+    # whole banded signature frame (fine at test SF, wrong at 100 TB;
+    # the exact failure q_dedup_near_minhash hit inside
+    # approxSimilarityJoin). A shuffled hash join on (band, key) is the
+    # scale-correct shape and costs one bounded-width shuffle here.
     return (
-        left.join(right, ["band", "key"])
+        left.join(right.hint("shuffle_hash"), ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_HAM_MAX)
