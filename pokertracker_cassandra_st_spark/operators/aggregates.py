@@ -958,3 +958,74 @@ def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_negatives",
         )
     )
+
+
+@register(
+    "q_agg_hll_intersection",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT (SELECT count(*) FROM a) AS exact_a,
+       (SELECT count(*) FROM b) AS exact_b,
+       (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_intersection,
+       true AS within_tolerance
+""",
+    tags=("agg", "sketch"),
+)
+def q_agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user OVERLAP between two event types estimated from
+    mergeable HLL sketches by inclusion-exclusion:
+    est(A∩B) = est(A) + est(B) - est(A∪B), with the union sketch from
+    hll_union_agg — the composition dashboards use to answer "how many
+    users did BOTH X and Y" from pre-built per-segment sketches without
+    re-scanning the fact table.
+
+    Correctness contract (same as q_agg_sketch_union): the estimate is
+    sketch-implementation-specific, so the checked output is the exact
+    |A|, |B|, |A∩B| plus a deterministic within-tolerance boolean on
+    the inclusion-exclusion estimate. Tolerance is 10% + an absolute
+    floor of 8 because subtraction compounds the ~1.6% per-sketch RSE.
+
+    Scale: sketches aggregate map-side (bytes per group, not rows);
+    the exact sides shuffle only distinct user_ids. At 100 TB the
+    per-type sketches are ingest-time partials and this query touches
+    only sketch bytes.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_type = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+    )
+    est = per_type.agg(
+        F.sum(F.hll_sketch_estimate("sk")).alias("sum_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+        F.max(F.when(F.col("event_type") == "view", F.col("exact"))).alias(
+            "exact_a"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("exact"))).alias(
+            "exact_b"
+        ),
+    )
+    a = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    inter = a.join(b, "user_id").agg(
+        F.count("*").alias("exact_intersection")
+    )
+    return est.crossJoin(F.broadcast(inter)).select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        (
+            F.abs(
+                (F.col("sum_est") - F.col("union_est"))
+                - F.col("exact_intersection")
+            )
+            <= F.greatest(
+                0.10 * F.col("exact_intersection"), F.lit(8.0)
+            )
+        ).alias("within_tolerance"),
+    )

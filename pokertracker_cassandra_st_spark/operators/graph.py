@@ -201,3 +201,123 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "partkey")
         .limit(20)
     )
+
+
+@register(
+    "q_graph_degree_hist",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), deg AS (
+  SELECT c, count(*) AS degree FROM edges GROUP BY c
+)
+SELECT degree,
+       count(*) AS n_nodes,
+       CAST(SUM(count(*)) OVER (ORDER BY degree) AS BIGINT) AS cum_nodes
+FROM deg
+GROUP BY degree
+ORDER BY degree
+""",
+    tags=("graph",),
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer->supplier trade graph:
+    out-degree per customer, histogrammed, with a cumulative count —
+    the first diagnostic run on any production graph (skew detection
+    before choosing join strategies).
+
+    Scale: edges shuffle once to dedup, once to count per node; the
+    histogram is an agg over |distinct degrees| rows and its cumulative
+    window orders over that tiny frame only (bounded by max degree,
+    never by node count).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count("*").alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("long").alias("cum_nodes"),
+    ).orderBy("degree")
+
+
+@register(
+    "q_graph_jaccard",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), deg AS (
+  SELECT s, count(*) AS d FROM edges GROUP BY s
+), common AS (
+  SELECT e1.s AS s1, e2.s AS s2, count(*) AS common
+  FROM edges e1 JOIN edges e2 ON e1.c = e2.c AND e1.s < e2.s
+  GROUP BY e1.s, e2.s
+)
+SELECT c.s1, c.s2, c.common,
+       CAST(c.common * 1000000 // (d1.d + d2.d - c.common) AS BIGINT)
+         AS jaccard_ppm
+FROM common c JOIN deg d1 ON c.s1 = d1.s JOIN deg d2 ON c.s2 = d2.s
+ORDER BY jaccard_ppm DESC, c.s1, c.s2
+LIMIT 20
+""",
+    tags=("graph",),
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard similarity between supplier pairs (the
+    link-prediction primitive): two suppliers are similar when the
+    customer sets they trade with overlap. jaccard = |N1 ∩ N2| /
+    |N1 ∪ N2|, kept exact as parts-per-million integer division.
+
+    Scale shape: pair generation is keyed on the SHARED NEIGHBOR (the
+    customer) — a self-join on c, never supplier × supplier. Per-key
+    fan-out is the customer's supplier count, bounded by its order
+    count (constant as the corpus grows: TPC-H-style data adds
+    customers, not orders-per-customer), so candidate pairs grow O(n).
+    A hot customer inflates its own block quadratically — the salting
+    remedy of q_join_salted applies unchanged. Degrees join in as two
+    small broadcasts; the top-20 is a TakeOrdered, no global sort.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("c").alias("c1"), F.col("s").alias("s1"))
+    e2 = edges.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    common = (
+        e1.join(e2, (F.col("c1") == F.col("c2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            # integer DIV, not double /: both engines floor exact int64
+            # quotients, so no float rounding can shave a ppm off.
+            F.expr("common * 1000000L DIV (d1 + d2 - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "s1", "s2")
+        .limit(20)
+    )

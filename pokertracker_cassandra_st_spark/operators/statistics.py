@@ -577,3 +577,72 @@ def q_agg_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+@register(
+    "q_agg_skewkurt",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                       AS DECIMAL(22,4))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                       AS DECIMAL(26,4))) AS DOUBLE) AS s4
+  FROM lineitem
+  GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n,
+         s2 - s1 * s1 / n AS m2c,
+         s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n) AS m3c,
+         s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n)
+            - 3 * s1 * s1 * s1 * s1 / (n * n * n) AS m4c
+  FROM m
+)
+SELECT l_returnflag, n,
+       round((m3c / n) / pow(m2c / n, 1.5), 6) AS skewness,
+       round(n * m4c / (m2c * m2c) - 3, 6) AS excess_kurtosis
+FROM c
+ORDER BY l_returnflag
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of l_quantity per return flag from
+    exact decimal raw moments (same doctrine as q_agg_regression: the
+    engines' own skewness/kurtosis aggregates accumulate doubles in
+    different orders AND disagree on sample-vs-population definitions,
+    so both sides sum s1..s4 exactly in DECIMAL and evaluate the
+    identical central-moment closed form in double — bit-identical).
+
+    Scale: one pass, one shuffle carrying four decimal sums + a count
+    per group (map-side partial agg); q^4 <= 6.25e6 with 2 decimals, so
+    DECIMAL(26,4) holds the sf1e5 sum with orders of magnitude to spare.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(18,4)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(22,4)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(26,4)")).cast("double").alias("s4"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    m2c = s2 - s1 * s1 / n
+    m3c = s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)
+    m4c = (
+        s4
+        - 4 * s1 * s3 / n
+        + 6 * s1 * s1 * s2 / (n * n)
+        - 3 * s1 * s1 * s1 * s1 / (n * n * n)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round((m3c / n) / F.pow(m2c / n, F.lit(1.5)), 6).alias("skewness"),
+        F.round(n * m4c / (m2c * m2c) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")

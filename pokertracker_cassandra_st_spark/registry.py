@@ -322,6 +322,14 @@ POST_ROTATION_R4: list[str] = [
     "q_multimodal_phash_dedup",
     "q_sim_matryoshka",
     "q_ts_seasonal",
+    "q_fn_variant",
+    "q_fn_url",
+    "q_fn_regexp2",
+    "q_agg_listagg",
+    "q_agg_skewkurt",
+    "q_agg_hll_intersection",
+    "q_graph_degree_hist",
+    "q_graph_jaccard",
 ]
 
 # Round-5 rotation (PRE-STAGED at round-4 close — activate by setting
@@ -359,32 +367,32 @@ WINDOW_R5: list[str] = [
     "q_multimodal_phash_dedup",
     "q_sim_matryoshka",
     "q_ts_seasonal",
-    # stalest family reps (29): newest driver row is round 1
+    "q_fn_variant",
+    "q_fn_url",
+    "q_fn_regexp2",
+    "q_agg_listagg",
+    "q_agg_skewkurt",
+    "q_agg_hll_intersection",
+    "q_graph_degree_hist",
+    "q_graph_jaccard",
+    # stalest family reps: newest driver row is round 1
     "q_scan_project",
     "q_sink_roundtrip",
     "q_filter_range",
-    "q_filter_in_like_null",
     "q_join_inner_hash",
     "q_join_broadcast",
     "q_join_sortmerge",
     "q_join_outer",
-    "q_join_semi",
-    "q_join_anti",
     "q_join_theta",
-    "q_join_nullsafe",
-    "q_join_band",
     "q_agg_global",
     "q_agg_groupby",
     "q_agg_distinct",
     "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_having",
     "q_agg_stats",
     "q_agg_maxby",
     "q_win_laglead",
     "q_win_running",
     "q_win_moving",
-    "q_win_range_frame",
     "q_win_pct",
     "q_topk",
     "q_set_except",
