@@ -453,3 +453,92 @@ def q_sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sse_e12"),
     )
+
+
+# ---------------------------------------------------------------- #
+# deterministic source interleaving                                 #
+# ---------------------------------------------------------------- #
+
+_ILV_SEED = "ilv42"
+
+_INTERLEAVE_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) AS src_idx,
+         md5('{_ILV_SEED}:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), ns AS (
+  SELECT count(DISTINCT src_idx) AS n_src, max(src_idx) AS max_idx FROM k
+), r AS (
+  SELECT doc_id, source, src_idx, key,
+         row_number() OVER (PARTITION BY source ORDER BY key, doc_id) - 1
+           AS src_rank
+  FROM k
+)
+SELECT r.doc_id, r.source, r.src_rank,
+       r.src_rank * (ns.max_idx + 1) + r.src_idx AS pos
+FROM r, ns
+"""
+
+
+@register(
+    "q_pipeline_interleave", oracle=_INTERLEAVE_ORACLE, tags=("llm", "pipeline")
+)
+def q_pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleaving of sources into one
+    training order: document i of every source lands before document
+    i+1 of any source (pos = src_rank * n_slots + src_idx), with the
+    within-source order seeded-shuffled — the epoch layout that keeps
+    a mixture's domains evenly spread instead of concatenated.
+
+    Scale notes: the per-source rank is two-phase like
+    q_pipeline_shuffle — rows window-rank within (source, first hex
+    digit of the md5 key) buckets, and a (sources x 16)-row offset
+    table (an aggregate, broadcast back) lifts local ranks to
+    per-source ranks. No global sort, no single-partition window; the
+    slot count comes from a 1-row broadcast aggregate, keeping the
+    plan fully lazy.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("long").alias("src_idx"),
+        F.md5(
+            F.concat(F.lit(f"{_ILV_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("key"),
+    ).withColumn("b", F.substring("key", 1, 1))
+
+    local_rn = F.row_number().over(
+        Window.partitionBy("source", "b").orderBy("key", "doc_id")
+    )
+    ranked = keyed.withColumn("local_rn", local_rn)
+
+    counts = keyed.groupBy("source", "b").agg(F.count("*").alias("c"))
+    off = counts.select(
+        "source",
+        "b",
+        F.coalesce(
+            F.sum("c").over(
+                Window.partitionBy("source")
+                .orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+
+    slots = d.agg((F.max(F.substring("source", 4, 10).cast("long")) + 1).alias("n_slots"))
+    return (
+        ranked.join(F.broadcast(off), ["source", "b"])
+        .crossJoin(F.broadcast(slots))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("off") + F.col("local_rn") - 1).alias("src_rank"),
+            (
+                (F.col("off") + F.col("local_rn") - 1) * F.col("n_slots")
+                + F.col("src_idx")
+            ).alias("pos"),
+        )
+    )

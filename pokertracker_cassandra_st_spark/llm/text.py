@@ -699,3 +699,194 @@ def q_text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w") > 0).alias("label"),
         )
     )
+
+
+# winnowing (MOSS) parameters: k-token grams, window of w consecutive
+# gram hashes; every window contributes its minimum hash. Guarantee:
+# any shared run of >= k + w - 1 tokens between two documents yields at
+# least one shared fingerprint — the document-level robustness that a
+# single rolling hash (q_text_fingerprint) doesn't give.
+_WIN_K = 3
+_WIN_W = 4
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {_WIN_K}
+              THEN list_transform(range(1, len(tk) - {_WIN_K - 1} + 1),
+                   i -> substr(md5(array_to_string(
+                            list_slice(tk, i, i + {_WIN_K - 1}), ' ')), 1, 12))
+              ELSE [] END AS kg
+  FROM t
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(kg) >= {_WIN_W}
+              THEN list_sort(list_distinct(list_transform(
+                       range(1, len(kg) - {_WIN_W - 1} + 1),
+                       j -> list_min(list_slice(kg, j, j + {_WIN_W - 1})))))
+              ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id,
+       len(fps) AS n_fps,
+       fps[1] AS first_fp,
+       fps[len(fps)] AS last_fp
+FROM w
+WHERE len(fps) > 0
+"""
+
+
+@register("q_text_winnow", oracle=_WINNOW_ORACLE, tags=("llm", "text"))
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    {k}-token gram, slide a {w}-wide window over the gram hashes, keep
+    each window's minimum — the selected-fingerprint set that
+    guarantees detection of any shared token run of length >= k+w-1
+    while storing ~2/(w+1) of the hashes.
+
+    Entirely narrow higher-order functions (sequence/transform/slice/
+    array_min on the token array) — ZERO shuffles: fingerprinting is a
+    map over the corpus, which is exactly why it scales to 100 TB as an
+    ingest-time step. Output is the per-doc fingerprint-set summary
+    (count, lexicographic first/last of the sorted distinct set); the
+    full set feeds an exact-dedup bucket join downstream (same shape as
+    q_dedup_lines). Hashes are md5 hex prefixes — identical strings in
+    both engines; docs too short to fill one window emit nothing, the
+    contract stated by the WHERE in both plans.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("doc_id", tk.alias("tk"))
+    kg = F.when(
+        F.size("tk") >= _WIN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (_WIN_K - 1)),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice("tk", i, _WIN_K), " ")), 1, 12
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", kg.alias("kg"))
+    fps = F.when(
+        F.size("kg") >= _WIN_W,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("kg") - (_WIN_W - 1)),
+                    lambda j: F.array_min(F.slice("kg", j, _WIN_W)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = g.select("doc_id", fps.alias("fps"))
+    return w.where(F.size("fps") > 0).select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.element_at("fps", 1).alias("first_fp"),
+        F.element_at("fps", F.size("fps")).alias("last_fp"),
+    )
+
+
+_PMI_VOCAB = 30
+
+_PMI_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, u.tok
+  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       AS u(tok)
+), vocab AS (
+  SELECT tok, count(*) AS df
+  FROM dt GROUP BY tok
+  ORDER BY df DESC, tok
+  LIMIT {_PMI_VOCAB}
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), pairs AS (
+  SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_pair
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  JOIN vocab v1 ON a.tok = v1.tok
+  JOIN vocab v2 ON b.tok = v2.tok
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_pair, v1.df AS df1, v2.df AS df2,
+       CAST(CAST(p.n_pair AS HUGEINT) * nd.n_docs * 1000000
+            // (CAST(v1.df AS HUGEINT) * v2.df) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN vocab v1 ON p.t1 = v1.tok
+JOIN vocab v2 ON p.t2 = v2.tok
+CROSS JOIN nd
+ORDER BY lift_ppm DESC, p.t1, p.t2
+LIMIT 20
+"""
+
+
+@register("q_text_cooccurrence", oracle=_PMI_ORACLE, tags=("llm", "text"))
+def q_text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (the integer core of PMI) over the
+    top-{vocab} vocabulary: for token pairs sharing a document,
+    lift = P(t1,t2) / (P(t1)·P(t2)) = n_pair·n_docs / (df1·df2),
+    reported as exact parts-per-million (PMI itself is just log(lift);
+    the log is monotone, so ranking by integer lift IS ranking by PMI
+    with no float in sight).
+
+    Scale shape: the vocabulary (top-30 by document frequency,
+    deterministic tie-break) broadcasts; pair generation self-joins the
+    distinct (doc, vocab-token) incidence ON THE DOCUMENT KEY, so
+    per-doc fan-out is bounded by vocab² (constant), total pairs O(n).
+    The lift arithmetic runs in DECIMAL(38)/HUGEINT so n_pair·n_docs·1e6
+    stays exact far past int64 (good to ~1e13 docs); n_docs arrives via
+    a broadcast 1-row aggregate — no driver-side count.
+    """
+    d = table(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "tok"
+            ),
+        )
+        .distinct()
+    )
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(_PMI_VOCAB)
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    a = dt.join(F.broadcast(vocab.select("tok")), "tok").select(
+        "doc_id", F.col("tok").alias("t1")
+    )
+    b = dt.join(F.broadcast(vocab.select("tok")), "tok").select(
+        "doc_id", F.col("tok").alias("t2")
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    v1 = vocab.select(F.col("tok").alias("t1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("tok").alias("t2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(v1), "t1")
+        .join(F.broadcast(v2), "t2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "t1",
+            "t2",
+            "n_pair",
+            "df1",
+            "df2",
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_docs * 1000000)"
+                " DIV (CAST(df1 AS DECIMAL(38,0)) * df2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "t1", "t2")
+        .limit(20)
+    )

@@ -761,3 +761,87 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+WITH hc AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, h, x,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS run,
+         SUM(x) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS t
+  FROM hc
+), c AS (
+  SELECT event_type, h, n,
+         CAST(abs(n * run - t * total) AS BIGINT) AS cusum_scaled,
+         CAST(max(abs(n * run - t * total))
+              OVER (PARTITION BY event_type) AS BIGINT) AS mx
+  FROM s
+)
+SELECT event_type, n AS n_hours,
+       min(h) FILTER (WHERE cusum_scaled = mx) AS changepoint_hour,
+       max(cusum_scaled) AS max_cusum_scaled
+FROM c
+GROUP BY event_type, n
+ORDER BY event_type
+""",
+    tags=("timeseries",),
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type over the hourly count
+    series: the hour where the cumulative deviation from the series
+    mean peaks — the standard single-changepoint estimator.
+
+    Exact integers throughout: the mean is never materialized as a
+    float; CUSUM_t = sum_{i<=t}(x_i - mean) is scaled by n to
+    n*run_t - t*total (pure int64), so both engines agree bit-for-bit.
+    Ties break to the EARLIEST hour (min(h) over the rows attaining the
+    per-type max — identical FILTER/when forms in both engines).
+
+    Scale: the hourly rollup shrinks events to (types x hours) rows
+    before any window runs; the per-type running sum orders a series
+    bounded by wall-clock hours, not event count — the same contract
+    as q_ts_rollup_hierarchy.
+    """
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "h"
+        ),
+    ).agg(F.count("*").alias("x"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("h")
+    s = hc.select(
+        "event_type",
+        "h",
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.sum("x").over(wt).alias("total"),
+        F.count("*").over(wt).alias("n"),
+        F.row_number().over(wo).alias("t"),
+    )
+    c = s.select(
+        "event_type",
+        "h",
+        "n",
+        F.abs(F.col("n") * F.col("run") - F.col("t") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+    ).withColumn("mx", F.max("cusum_scaled").over(wt))
+    best = c.groupBy("event_type", F.col("n").alias("n_hours")).agg(
+        F.min(F.when(F.col("cusum_scaled") == F.col("mx"), F.col("h"))).alias(
+            "changepoint_hour"
+        ),
+        F.max("cusum_scaled").alias("max_cusum_scaled"),
+    )
+    return best.select(
+        "event_type", "n_hours", "changepoint_hour", "max_cusum_scaled"
+    ).orderBy("event_type")
