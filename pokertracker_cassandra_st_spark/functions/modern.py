@@ -133,7 +133,10 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        len(regexp_extract_all(text, 'merge')) AS n_merge,
-       CASE WHEN text LIKE '%join%'
+       -- NULL-propagating like Spark's regexp_instr (NULL text -> NULL,
+       -- not 0); the ELSE 0 branch covers only present-but-no-match
+       CASE WHEN text IS NULL THEN NULL
+            WHEN text LIKE '%join%'
             THEN length(regexp_replace(text, 'join.*$', '', 's')) + 1
             ELSE 0 END AS join_pos,
        nullif(regexp_extract(text, 'j[a-z]+'), '') AS first_jword,

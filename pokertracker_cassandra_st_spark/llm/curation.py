@@ -255,3 +255,100 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.substring(clean, 1, 40).alias("clean_head"),
     )
+
+
+# ---------------------------------------------------------------- #
+# per-source token budget cap                                       #
+# ---------------------------------------------------------------- #
+
+_CAP_BUDGET = 3000  # tokens admitted per source
+_CAP_SEED = "cap7"
+
+_CAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n,
+         md5('{_CAP_SEED}:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY key, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS tokens_before
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE tokens_before < {_CAP_BUDGET}) AS n_kept,
+       count(*) FILTER (WHERE tokens_before >= {_CAP_BUDGET}) AS n_dropped,
+       CAST(SUM(n) FILTER (WHERE tokens_before < {_CAP_BUDGET}) AS BIGINT)
+         AS tokens_kept,
+       CAST(SUM(n) AS BIGINT) AS tokens_total
+FROM c
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_pipeline_budget_cap", oracle=_CAP_ORACLE, tags=("llm", "pipeline"))
+def q_pipeline_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget admission — the mixture-building stage
+    that caps every domain's contribution (a source stops admitting
+    documents once {budget} tokens are taken, in a seeded-random but
+    DETERMINISTIC priority order, so over-represented domains are
+    down-sampled by truncation rather than rate): per source, the
+    admission waterfall n_docs / n_kept / n_dropped / tokens.
+
+    A doc is admitted iff the EXCLUSIVE running token count before it
+    is still under budget (so the crossing document is kept — the
+    budget is a low-water admission mark, matching q_pipeline_pack's
+    shard-cut rule).
+
+    Scale notes: the running count is the same two-phase distributed
+    prefix sum as q_pipeline_pack, but partitioned per source: phase 1
+    aggregates per (source, 16 md5-digit buckets); phase 2's exclusive
+    cumsum windows over 16 rows PER SOURCE (bounded, never corpus-
+    sized); phase 3 cumsums locally within each bucket and adds the
+    broadcast offset. No global or per-source full-width window ever
+    materializes.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+        F.md5(
+            F.concat(F.lit(f"{_CAP_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("key"),
+    ).withColumn("b", F.substring("key", 1, 1))
+    sums = d.groupBy("source", "b").agg(F.sum("n").alias("bn"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sums.select(
+        "source", "b", (F.sum("bn").over(wb) - F.col("bn")).alias("off")
+    )
+    wl = (
+        Window.partitionBy("source", "b")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.join(F.broadcast(offsets), ["source", "b"])
+        .withColumn(
+            "tokens_before", F.col("off") + F.sum("n").over(wl) - F.col("n")
+        )
+    )
+    kept = F.col("tokens_before") < _CAP_BUDGET
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.count(F.when(~kept, 1)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n"))).alias("tokens_kept"),
+            F.sum("n").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )

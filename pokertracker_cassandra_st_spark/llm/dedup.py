@@ -841,3 +841,149 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nd").alias("max_span_docs"),
         )
     )
+
+
+# ---- URL canonicalization dedup ------------------------------------
+
+_URL_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, source, doc_id % 7 AS target,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || source || '.example.com/page/'
+                       || CAST(doc_id % 7 AS VARCHAR)
+           WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/page/'
+                       || CAST(doc_id % 7 AS VARCHAR)
+           WHEN 2 THEN 'https://' || source || '.example.com:443/page/'
+                       || CAST(doc_id % 7 AS VARCHAR) || '/'
+           ELSE 'https://' || source || '.example.com/page/'
+                || CAST(doc_id % 7 AS VARCHAR)
+                || '?utm_source=news&utm_medium=social#top'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS proto,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host,
+         regexp_replace(
+           coalesce(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1), ''),
+           '/+$', '') AS path,
+         coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+  FROM raw
+), canon AS (
+  SELECT doc_id, url,
+         proto || '://' || host || path ||
+         CASE WHEN len(kept) > 0
+              THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical
+  FROM (
+    SELECT *, list_filter(string_split(query, '&'),
+                          p -> p <> '' AND p NOT LIKE 'utm_%') AS kept
+    FROM parts
+  )
+)
+SELECT canonical,
+       count(*) AS n_docs,
+       count(DISTINCT url) AS n_forms,
+       min(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical
+ORDER BY canonical
+"""
+
+
+@register("q_dedup_url", oracle=_URL_ORACLE, tags=("llm", "dedup"))
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-pipeline tier that runs
+    BEFORE any content hashing (CommonCrawl-style corpora carry the
+    same page under scheme/host case variants, explicit default ports,
+    trailing slashes, tracking parameters, and fragments): canonicalize
+    (lowercase scheme+host, strip :443, strip trailing slash, drop
+    utm_* params, drop fragment, keep real params), then keep the
+    first doc per canonical URL.
+
+    The variant forms are synthesized deterministically from doc_id
+    (4 variant classes over a doc_id%7 target space, so collisions are
+    guaranteed); both engines canonicalize with the SAME regex pulls —
+    the differential pins the canonicalization semantics themselves.
+
+    Scale shape: canonicalization is a pure narrow map (regexes +
+    higher-order filter, all codegen); the only shuffle is the
+    final groupBy on the canonical string — exactly the exact-dedup
+    shuffle profile, with the canonical key hashed map-side. At
+    100 TB this key should be pre-hashed (xxhash64) so the exchange
+    carries 8 bytes, not the URL text; kept as text here because the
+    canonical string IS the output.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    t = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/page/"), t,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper("source"),
+                F.lit(".EXAMPLE.COM/page/"), t,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com:443/page/"), t, F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/page/"), t,
+                F.lit("?utm_source=news&utm_medium=social#top"),
+            )
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    parts = raw.select(
+        "doc_id",
+        "url",
+        F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1)).alias("proto"),
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#:]+)", 1)).alias(
+            "host"
+        ),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+(/[^?#]*)", 1),
+            r"/+$",
+            "",
+        ).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+    )
+    kept = F.filter(
+        F.split("query", "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    canon = parts.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("proto"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(
+                F.size(kept) > 0,
+                F.concat(F.lit("?"), F.array_join(kept, "&")),
+            ).otherwise(F.lit("")),
+        ).alias("canonical"),
+    )
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_forms"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical")
+    )

@@ -379,3 +379,68 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PHASH_HAM_MAX)
         .distinct()
     )
+
+
+@register(
+    "q_multimodal_gate",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 256 + 1 AS width,
+         octet_length(encode(text)) // 256 % 256 + 1 AS height,
+         greatest(1, octet_length(encode(text)) // 64) AS n_frames
+  FROM documents
+), g AS (
+  SELECT *,
+         width * height >= 1024 AS pass_res,
+         greatest(width, height) <= 4 * least(width, height) AS pass_aspect,
+         n_frames >= 2 AS pass_frames
+  FROM f
+)
+SELECT count(*) AS n_total,
+       count(*) FILTER (WHERE NOT pass_res) AS drop_resolution,
+       count(*) FILTER (WHERE pass_res AND NOT pass_aspect) AS drop_aspect,
+       count(*) FILTER (WHERE pass_res AND pass_aspect AND NOT pass_frames)
+         AS drop_frames,
+       count(*) FILTER (WHERE pass_res AND pass_aspect AND pass_frames)
+         AS n_kept
+FROM g
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata quality gate for multimodal corpora — the waterfall
+    every image/video pipeline runs BEFORE decode (min resolution,
+    aspect-ratio bound, min frame count), with ordered drop attribution
+    (each gate counts only rows that survived the previous ones, so the
+    waterfall sums to n_total — q_pipeline_filter_report's contract on
+    the multimodal axis).
+
+    Feature columns come from the stubbed decode (byte-length-derived,
+    see _decode_batch) so the differential is exact; in production the
+    gates read STORED metadata columns and prune parquet row groups
+    before a single payload byte is fetched — the gate is a pure
+    column-predicate scan, the decode only ever touches survivors.
+
+    Scale: one mapInPandas pass (the stub stand-in for stored
+    metadata) feeding a single conditional aggregate — one row out, no
+    shuffle beyond the 1-row agg.
+    """
+    p = _payloads(spark, sf_dir)
+    feats = p.mapInPandas(
+        _decode_batch,
+        schema="doc_id long, byte_len long, width long, height long, n_frames long",
+    )
+    pass_res = F.col("width") * F.col("height") >= 1024
+    pass_aspect = F.greatest("width", "height") <= 4 * F.least(
+        "width", "height"
+    )
+    pass_frames = F.col("n_frames") >= 2
+    cnt = lambda c: F.count(F.when(c, 1))
+    return feats.agg(
+        F.count("*").alias("n_total"),
+        cnt(~pass_res).alias("drop_resolution"),
+        cnt(pass_res & ~pass_aspect).alias("drop_aspect"),
+        cnt(pass_res & pass_aspect & ~pass_frames).alias("drop_frames"),
+        cnt(pass_res & pass_aspect & pass_frames).alias("n_kept"),
+    )

@@ -464,19 +464,21 @@ _ILV_SEED = "ilv42"
 _INTERLEAVE_ORACLE = f"""
 WITH k AS (
   SELECT doc_id, source,
-         CAST(substr(source, 4) AS BIGINT) AS src_idx,
          md5('{_ILV_SEED}:' || CAST(doc_id AS VARCHAR)) AS key
   FROM documents
+), sdim AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx
+  FROM (SELECT DISTINCT source FROM documents)
 ), ns AS (
-  SELECT count(DISTINCT src_idx) AS n_src, max(src_idx) AS max_idx FROM k
+  SELECT count(*) AS n_src FROM sdim
 ), r AS (
-  SELECT doc_id, source, src_idx, key,
-         row_number() OVER (PARTITION BY source ORDER BY key, doc_id) - 1
+  SELECT k.doc_id, k.source, sdim.src_idx, key,
+         row_number() OVER (PARTITION BY k.source ORDER BY key, doc_id) - 1
            AS src_rank
-  FROM k
+  FROM k JOIN sdim USING (source)
 )
 SELECT r.doc_id, r.source, r.src_rank,
-       r.src_rank * (ns.max_idx + 1) + r.src_idx AS pos
+       r.src_rank * ns.n_src + r.src_idx AS pos
 FROM r, ns
 """
 
@@ -495,15 +497,25 @@ def q_pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_pipeline_shuffle — rows window-rank within (source, first hex
     digit of the md5 key) buckets, and a (sources x 16)-row offset
     table (an aggregate, broadcast back) lifts local ranks to
-    per-source ranks. No global sort, no single-partition window; the
-    slot count comes from a 1-row broadcast aggregate, keeping the
-    plan fully lazy.
+    per-source ranks. No global sort, no single-partition window over
+    the data; the slot index comes from a dense rank over the DISTINCT
+    sources (a tiny dim — its single-partition window is bounded by
+    the source count, not the corpus), so the layout is independent of
+    how sources are NAMED (round-5 fix: the old substr-parse of
+    'srcN' silently NULLed on other naming schemes).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sdim = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+    )
     keyed = d.select(
         "doc_id",
         "source",
-        F.substring("source", 4, 10).cast("long").alias("src_idx"),
         F.md5(
             F.concat(F.lit(f"{_ILV_SEED}:"), F.col("doc_id").cast("string"))
         ).alias("key"),
@@ -528,9 +540,10 @@ def q_pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("off"),
     )
 
-    slots = d.agg((F.max(F.substring("source", 4, 10).cast("long")) + 1).alias("n_slots"))
+    slots = sdim.agg(F.count("*").alias("n_slots"))
     return (
         ranked.join(F.broadcast(off), ["source", "b"])
+        .join(F.broadcast(sdim), "source")
         .crossJoin(F.broadcast(slots))
         .select(
             "doc_id",

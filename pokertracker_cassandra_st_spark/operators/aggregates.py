@@ -1029,3 +1029,63 @@ def q_agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_tolerance"),
     )
+
+
+_BITMAP_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN user_id <= 0 THEN 0
+              ELSE (user_id - 1) // 32768 + 1 END AS bkt,
+         user_id
+  FROM events
+)
+SELECT event_type,
+       count(DISTINCT user_id) AS n_distinct_users,
+       count(DISTINCT bkt) AS n_buckets
+FROM b
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_agg_bitmap", oracle=_BITMAP_ORACLE, tags=("agg", "sketch"))
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4's bitmap aggregates — the
+    mergeable middle ground between COUNT(DISTINCT) (whose Expand
+    doubles the shuffle) and HLL sketches (approximate): each user_id
+    maps to (bucket, bit position), per-(group, bucket) bitmaps build
+    with bitmap_construct_agg (32 KiB dense bitsets), and the group's
+    exact distinct count is the SUM of per-bucket popcounts.
+
+    The oracle recomputes both the distinct count AND the bucket count
+    (mirroring Spark's bucket rule: 0 for id<=0, ceil(id/32768)
+    otherwise) with plain DISTINCT aggregation — agreement proves the
+    bitmap path loses nothing.
+
+    Scale notes: this is how exact-distinct rollups survive 100 TB —
+    per-bucket bitmaps are MERGEABLE (bitmap_or_agg), so partial
+    aggregation combines map-side, the shuffle carries (group, bucket,
+    32KiB-max bitmap) rows instead of every distinct value, and
+    incremental/rollup re-aggregation ORs stored bitmaps without
+    touching raw data (the exact twin of q_agg_sketch_union's HLL
+    contract). Key-space density decides the bitmap-vs-HLL tradeoff;
+    dense int keys (ids) favor bitmaps.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"),
+            F.count("*").alias("n_buckets"),
+        )
+        .orderBy("event_type")
+    )

@@ -251,6 +251,42 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("degree")
 
 
+def common_neighbor_pairs(edges: DataFrame, salt_n: int = 1) -> DataFrame:
+    """Count common neighbors per (s1, s2) pair from an (c, s) edge
+    table via a self-join keyed on the shared neighbor ``c``.
+
+    ``salt_n=1`` is the plain form the registered query uses (per-key
+    fan-out is bounded on the driver fixture, and AQE's skew-join
+    splitter handles moderate hot keys at runtime). ``salt_n>1`` is the
+    documented hot-key remedy — the same doctrine as q_join_salted,
+    adapted to a self-join: the LEFT side keys each edge with
+    ``salt = hash(s) % salt_n`` so the hot neighbor's rows spread over
+    ``salt_n`` reducers, and the RIGHT side replicates each edge to all
+    salts so every (s1, s2) pair still meets exactly once. Correctness
+    is salt-invariant (asserted on a hot-key fixture in
+    tests/test_adversarial.py::test_jaccard_salted_pairgen_spreads_hot_neighbor);
+    cost is an extra ``salt_n``x replication of ONE side, which is why
+    it is the escalation path rather than the default."""
+    e1 = edges.select(F.col("c").alias("c1"), F.col("s").alias("s1"))
+    e2 = edges.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    if salt_n > 1:
+        e1 = e1.withColumn("salt", F.pmod(F.xxhash64("s1"), F.lit(salt_n)))
+        e2 = e2.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+        ).withColumn("salt", F.col("salt").cast("long"))
+        joined = e1.join(
+            e2,
+            (F.col("c1") == F.col("c2"))
+            & (e1["salt"] == e2["salt"])
+            & (F.col("s1") < F.col("s2")),
+        )
+    else:
+        joined = e1.join(
+            e2, (F.col("c1") == F.col("c2")) & (F.col("s1") < F.col("s2"))
+        )
+    return joined.groupBy("s1", "s2").agg(F.count("*").alias("common"))
+
+
 @register(
     "q_graph_jaccard",
     oracle="""
@@ -296,13 +332,7 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("s").agg(F.count("*").alias("d"))
-    e1 = edges.select(F.col("c").alias("c1"), F.col("s").alias("s1"))
-    e2 = edges.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
-    common = (
-        e1.join(e2, (F.col("c1") == F.col("c2")) & (F.col("s1") < F.col("s2")))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("common"))
-    )
+    common = common_neighbor_pairs(edges)
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
     return (
@@ -320,4 +350,93 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard_ppm"), "s1", "s2")
         .limit(20)
+    )
+
+
+_KCORE_K = 3
+
+_KCORE_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e1 AS (
+  SELECT e.c, e.s
+  FROM edges e
+  JOIN (SELECT c FROM edges GROUP BY c HAVING count(*) >= {_KCORE_K}) dc
+    ON e.c = dc.c
+  JOIN (SELECT s FROM edges GROUP BY s HAVING count(*) >= {_KCORE_K}) ds
+    ON e.s = ds.s
+), e2 AS (
+  SELECT e.c, e.s
+  FROM e1 e
+  JOIN (SELECT c FROM e1 GROUP BY c HAVING count(*) >= {_KCORE_K}) dc
+    ON e.c = dc.c
+  JOIN (SELECT s FROM e1 GROUP BY s HAVING count(*) >= {_KCORE_K}) ds
+    ON e.s = ds.s
+)
+SELECT * FROM (
+  SELECT 0 AS round, count(*) AS n_edges,
+         count(DISTINCT c) AS n_customers, count(DISTINCT s) AS n_suppliers
+  FROM edges
+  UNION ALL
+  SELECT 1, count(*), count(DISTINCT c), count(DISTINCT s) FROM e1
+  UNION ALL
+  SELECT 2, count(*), count(DISTINCT c), count(DISTINCT s) FROM e2
+) ORDER BY round
+"""
+
+
+@register("q_graph_kcore", oracle=_KCORE_ORACLE, tags=("graph",))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peeling rounds of {k}-core decomposition on the customer-
+    supplier trade graph: drop every node with degree < {k}, recompute
+    degrees on the surviving subgraph, drop again — reporting edge and
+    node counts per round (round 0 = the raw graph). The k-core is the
+    standard dense-substructure filter run before community detection
+    or embedding training; peeling converges when a round removes
+    nothing.
+
+    Scale shape: each round is degrees (groupBy per side) + two
+    semi-join filters back onto the edge list — the same Pregel-as-
+    joins doctrine as q_graph_pagerank, unrolled so both rounds fuse
+    into ONE Catalyst plan. Degree frames are per-node aggregates
+    (shuffle carries one row per node); the edge table reshuffles on
+    the filtered key each round. A full peel at 100 TB would loop
+    until fixpoint with lineage checkpoints every few rounds; the
+    per-round plan is exactly this shape.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    def peel(e: DataFrame) -> DataFrame:
+        keep_c = e.groupBy("c").agg(F.count("*").alias("dc")).filter(
+            F.col("dc") >= _KCORE_K
+        )
+        keep_s = e.groupBy("s").agg(F.count("*").alias("ds")).filter(
+            F.col("ds") >= _KCORE_K
+        )
+        return e.join(keep_c.select("c"), "c", "left_semi").join(
+            keep_s.select("s"), "s", "left_semi"
+        )
+
+    def summary(e: DataFrame, rnd: int) -> DataFrame:
+        return e.agg(
+            F.lit(rnd).cast("int").alias("round"),
+            F.count("*").alias("n_edges"),
+            F.countDistinct("c").alias("n_customers"),
+            F.countDistinct("s").alias("n_suppliers"),
+        )
+
+    e1 = peel(edges)
+    e2 = peel(e1)
+    return (
+        summary(edges, 0)
+        .unionAll(summary(e1, 1))
+        .unionAll(summary(e2, 2))
+        .orderBy("round")
     )

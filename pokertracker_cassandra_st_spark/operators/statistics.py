@@ -646,3 +646,99 @@ def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((m3c / n) / F.pow(m2c / n, F.lit(1.5)), 6).alias("skewness"),
         F.round(n * m4c / (m2c * m2c) - 3, 6).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle="""
+WITH m AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS spd
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+)
+SELECT p.x_col, p.y_col, m.n,
+       round((m.n * p.sxy - p.sx * p.sy)
+             / sqrt((m.n * p.sxx - p.sx * p.sx) * (m.n * p.syy - p.sy * p.sy)),
+             6) AS pearson_r
+FROM m, LATERAL (
+  VALUES ('quantity', 'extendedprice', sq, sp, sqq, spp, sqp),
+         ('quantity', 'discount',      sq, sd, sqq, sdd, sqd),
+         ('extendedprice', 'discount', sp, sd, spp, sdd, spd)
+) AS p(x_col, y_col, sx, sy, sxx, syy, sxy)
+ORDER BY p.x_col, p.y_col
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem measures
+    (quantity, extendedprice, discount) — the feature-correlation
+    diagnostic run before any model fit, computed like q_agg_regression
+    from exact decimal co-moments instead of the engines' corr()
+    (whose double accumulation order diverges cross-engine in the last
+    ulps).
+
+    Scale shape: ONE pass over the fact table aggregating 9 co-moment
+    sums + n into a single row (map-side partials, codegen), then the
+    3 pair rows are unpivoted from that broadcast-size frame and the
+    closed-form r evaluates per pair — adding measures grows the
+    aggregate row quadratically (k²/2 sums) but never adds a pass or a
+    shuffle. NULL rows are excluded wholesale (listwise deletion) so
+    every pair sees the same n, as an adversarial fixture with NULLs
+    requires.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    dec = lambda c: F.sum(c.cast(_DEC)).cast("double")
+    m = li.agg(
+        F.count("*").alias("n"),
+        dec(F.col("l_quantity")).alias("sq"),
+        dec(F.col("l_extendedprice")).alias("sp"),
+        dec(F.col("l_discount")).alias("sd"),
+        dec(F.col("l_quantity") * F.col("l_quantity")).alias("sqq"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(22,4)"
+            )
+        )
+        .cast("double")
+        .alias("spp"),
+        dec(F.col("l_discount") * F.col("l_discount")).alias("sdd"),
+        dec(F.col("l_quantity") * F.col("l_extendedprice")).alias("sqp"),
+        dec(F.col("l_quantity") * F.col("l_discount")).alias("sqd"),
+        dec(F.col("l_extendedprice") * F.col("l_discount")).alias("spd"),
+    )
+    pairs = m.select(
+        "n",
+        F.expr(
+            "stack(3, "
+            "'quantity', 'extendedprice', sq, sp, sqq, spp, sqp, "
+            "'quantity', 'discount',      sq, sd, sqq, sdd, sqd, "
+            "'extendedprice', 'discount', sp, sd, spp, sdd, spd) "
+            "AS (x_col, y_col, sx, sy, sxx, syy, sxy)"
+        ),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return pairs.select(
+        "x_col",
+        "y_col",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("x_col", "y_col")

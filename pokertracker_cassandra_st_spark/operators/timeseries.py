@@ -845,3 +845,124 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "event_type", "n_hours", "changepoint_hour", "max_cusum_scaled"
     ).orderBy("event_type")
+
+
+@register(
+    "q_ts_acf",
+    oracle="""
+WITH hc AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, h, x,
+         SUM(x) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hc
+), c AS (
+  SELECT event_type, h, n,
+         n * x - total AS cv
+  FROM s
+), den AS (
+  SELECT event_type,
+         SUM(CAST(cv AS DECIMAL(38,0)) * cv) AS den
+  FROM c GROUP BY event_type
+), lagged AS (
+  SELECT event_type, n, cv,
+         lag(cv, 1) OVER (PARTITION BY event_type ORDER BY h) AS c1,
+         lag(cv, 2) OVER (PARTITION BY event_type ORDER BY h) AS c2,
+         lag(cv, 3) OVER (PARTITION BY event_type ORDER BY h) AS c3,
+         lag(cv, 4) OVER (PARTITION BY event_type ORDER BY h) AS c4,
+         lag(cv, 5) OVER (PARTITION BY event_type ORDER BY h) AS c5,
+         lag(cv, 6) OVER (PARTITION BY event_type ORDER BY h) AS c6
+  FROM c
+)
+SELECT p.event_type, p.lag, max(p.n) AS n_hours,
+       round(CAST(SUM(CAST(p.cv AS DECIMAL(38,0)) * p.clag) AS DOUBLE)
+             / CAST(max(d.den) AS DOUBLE), 6) AS acf
+FROM (
+  SELECT event_type, n, cv, u.lag, u.clag
+  FROM lagged,
+       LATERAL (VALUES (1, c1), (2, c2), (3, c3),
+                       (4, c4), (5, c5), (6, c6)) AS u(lag, clag)
+  WHERE u.clag IS NOT NULL
+) p JOIN den d USING (event_type)
+GROUP BY p.event_type, p.lag
+ORDER BY p.event_type, p.lag
+""",
+    tags=("timeseries",),
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-6) of each event type's hourly
+    count series — the periodicity diagnostic run before fitting any
+    seasonal model (q_ts_seasonal's hour-of-day profile assumes lag-24
+    structure; this measures it).
+
+    Determinism: values are centered in scaled integers (cv = n·x −
+    Σx — the mean never exists as a float) and the lag-k products are
+    summed in DECIMAL(38,0), exact far beyond int64 (at 100× replication
+    n·x ≈ 1e7 and 1e5 hours push Σcv·cv_lag past 1e19 — int64 would
+    silently wrap; the decimal bound is ~1e38). One double division at
+    the end, identical in both engines.
+
+    Scale: the hourly rollup shrinks the log to (types × hours) rows
+    before any window; the 6 lags come from ONE ordered window pass
+    (6 lag() calls, same frame), unpivoted with stack — not 6 self-
+    joins. Windows partition by event_type, bounded by wall-clock
+    hours per type.
+    """
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "h"
+        ),
+    ).agg(F.count("*").alias("x"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("h")
+    s = hc.select(
+        "event_type",
+        "h",
+        "x",
+        F.sum("x").over(wt).alias("total"),
+        F.count("*").over(wt).alias("n"),
+    )
+    c = s.select(
+        "event_type",
+        "h",
+        "n",
+        (F.col("n") * F.col("x") - F.col("total")).alias("cv"),
+    )
+    den = c.groupBy("event_type").agg(
+        F.sum(F.col("cv").cast("decimal(38,0)") * F.col("cv")).alias("den")
+    )
+    lagged = c.select(
+        "event_type",
+        "n",
+        "cv",
+        *[F.lag("cv", k).over(wo).alias(f"c{k}") for k in range(1, 7)],
+    )
+    pairs = lagged.select(
+        "event_type",
+        "n",
+        "cv",
+        F.expr(
+            "stack(6, 1, c1, 2, c2, 3, c3, 4, c4, 5, c5, 6, c6)"
+            " AS (lag, clag)"
+        ),
+    ).filter(F.col("clag").isNotNull())
+    return (
+        pairs.join(F.broadcast(den), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.max("n").alias("n_hours"),
+            F.round(
+                F.sum(F.col("cv").cast("decimal(38,0)") * F.col("clag"))
+                .cast("double")
+                / F.max("den").cast("double"),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

@@ -185,3 +185,99 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("sum_price"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register("q_source_xml_roundtrip", oracle=_AGG_ORACLE, tags=("source",))
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + explicit-schema source round-trip (Spark 4's native
+    XML data source — spark-xml merged into core): the same orders
+    projection and lossless-aggregate contract as the CSV/JSON/ORC
+    round-trips, proving the fourth interchange format.
+
+    Scale notes: XML is the costliest text format here (tag overhead,
+    event-driven parse, no pushdown) — like CSV/JSON it is an
+    interchange tier, never analytical storage; the writer still
+    streams executor->sink with no driver involvement, and the
+    explicit read schema avoids the double-scan of schema inference.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = f"{SCRATCH}/roundtrip_xml"
+    src = table(spark, sf_dir, "orders").select(*_PROJ_COLS)
+    src.write.mode("overwrite").format("xml").option("rowTag", "order").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(_READ_SCHEMA)
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_LOG_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       count(value) AS n_valued,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_source_text_log", oracle=_LOG_ORACLE, tags=("source",))
+def q_source_text_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-text log source: events are serialized as log LINES
+    (``id=<n> type=<t> value=<v-or-dash>``), written with the text
+    sink, read back with ``spark.read.text``, and re-typed with regex
+    pulls — the ingest path for the application/server logs a lake
+    lands before any schema exists. NULL values round-trip through an
+    explicit ``-`` marker and ``nullif``.
+
+    Scale notes: text-line parsing is regex-per-row but stays entirely
+    in codegen (no UDF); like CSV/JSON there is no pushdown, which is
+    the documented reason logs get rewritten to parquet at ingest. The
+    2-decimal value survives exactly: it is formatted as DECIMAL(18,2)
+    text on write and summed as DECIMAL after re-cast, so the
+    aggregate matches the parquet original bit-for-bit.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = f"{SCRATCH}/text_log"
+    ev = table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("id="),
+        F.col("event_id").cast("string"),
+        F.lit(" type="),
+        F.col("event_type"),
+        F.lit(" value="),
+        F.coalesce(
+            F.col("value").cast("decimal(18,2)").cast("string"), F.lit("-")
+        ),
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    parsed = raw.select(
+        F.regexp_extract("value", r"id=(-?\d+) ", 1).cast("long").alias(
+            "event_id"
+        ),
+        F.regexp_extract("value", r"type=(\S+) ", 1).alias("event_type"),
+        F.nullif(
+            F.regexp_extract("value", r"value=(\S+)$", 1), F.lit("-")
+        ).alias("v_txt"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("v_txt").alias("n_valued"),
+            F.sum(F.col("v_txt").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -70,6 +70,15 @@ EVENT_QUERIES = [
     "q_ts_ohlc",
     "q_replay_bitemporal",
     "q_ts_seasonal",
+    # round 5: the round-4 final-commit additions (ADVICE r4)
+    "q_ts_changepoint",
+    "q_fn_variant",
+    "q_agg_hll_intersection",
+    # round-5 additions (user_id skew stresses the bitmap buckets and
+    # the ACF centering; NULL value rides the text-log '-' marker)
+    "q_ts_acf",
+    "q_agg_bitmap",
+    "q_source_text_log",
 ]
 
 
@@ -154,6 +163,16 @@ DOC_QUERIES = [
     "q_dedup_substring",
     "q_text_hash_classifier",
     "q_dedup_near_minhash",
+    # round 5: the round-4 final-commit additions (ADVICE r4)
+    "q_text_winnow",
+    "q_text_cooccurrence",
+    "q_pipeline_interleave",
+    "q_fn_url",
+    "q_fn_regexp2",
+    # round-5 additions over documents
+    "q_dedup_url",
+    "q_multimodal_gate",
+    "q_pipeline_budget_cap",
 ]
 
 
@@ -219,6 +238,18 @@ REL_QUERIES = [
     "q_sql_cte",
     # round 4: null o_custkey probes + null c_mktsegment insert rows
     "q_agg_bloom",
+    # round 5: the round-4 final-commit additions (ADVICE r4) — listagg
+    # meets NULL c_mktsegment groups, skewkurt NULL l_quantity, the
+    # graph pair NULL o_custkey edge endpoints
+    "q_agg_listagg",
+    "q_agg_skewkurt",
+    "q_graph_degree_hist",
+    "q_graph_jaccard",
+    # round-5 additions (corr_matrix: listwise NULL deletion; kcore /
+    # xml: NULL o_custkey and o_totalprice)
+    "q_agg_corr_matrix",
+    "q_graph_kcore",
+    "q_source_xml_roundtrip",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)
@@ -350,4 +381,76 @@ def test_salted_join_spreads_hot_key(spark, adv_dir):
     fair = per_salt["n"].sum() / _SALT_N
     assert per_salt["n"].max() <= 2 * fair, (
         f"salt skewed: max {per_salt['n'].max()} vs fair {fair:.0f}"
+    )
+
+
+def test_jaccard_salted_pairgen_spreads_hot_neighbor(spark, tmp_path_factory):
+    """Skew hardening for the shared-neighbor pair generator (VERDICT r4
+    'Next round #7'): one customer connected to 120 suppliers makes its
+    self-join block square (7140 pairs through ONE reducer key in the
+    plain form). The documented remedy — q_join_salted's doctrine
+    adapted to a self-join (left side salted on hash(s1), right side
+    replicated to all salts) — must (a) return EXACTLY the plain form's
+    counts, and (b) actually spread the hot neighbor's left-side rows
+    across every salt with no salt holding more than 2x its fair share.
+    """
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pokertracker_cassandra_st_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    d = str(tmp_path_factory.mktemp("hotgraph"))
+    rng = np.random.RandomState(11)
+    # hot customer 0: 120 suppliers; 200 normal customers: 3 each
+    hot = pd.DataFrame({"c": 0, "s": np.arange(120, dtype="int64")})
+    normal = pd.DataFrame(
+        {
+            "c": np.repeat(np.arange(1, 201, dtype="int64"), 3),
+            "s": rng.randint(0, 120, size=600).astype("int64"),
+        }
+    )
+    edges_pdf = pd.concat([hot, normal]).drop_duplicates()
+    edges_pdf.to_parquet(f"{d}/edges.parquet", index=False)
+    edges = spark.read.parquet(f"{d}/edges.parquet")
+
+    SALT_N = 8
+    plain = common_neighbor_pairs(edges).toPandas()
+    salted = common_neighbor_pairs(edges, salt_n=SALT_N).toPandas()
+
+    # (a) salt-invariance: identical pair counts, verified twice —
+    # against each other and against an independent DuckDB self-join
+    key = lambda df: df.sort_values(["s1", "s2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(plain), key(salted))
+    con = duckdb.connect()
+    try:
+        oracle = con.execute(
+            f"""
+            SELECT e1.s AS s1, e2.s AS s2, count(*) AS common
+            FROM read_parquet('{d}/edges.parquet') e1
+            JOIN read_parquet('{d}/edges.parquet') e2
+              ON e1.c = e2.c AND e1.s < e2.s
+            GROUP BY 1, 2
+            """
+        ).fetchdf()
+    finally:
+        con.close()
+    oracle["common"] = oracle["common"].astype(plain["common"].dtype)
+    pd.testing.assert_frame_equal(key(plain), key(oracle))
+
+    # (b) mechanism: the hot customer's left-side rows hit every salt,
+    # none holding more than 2x fair share
+    per_salt = (
+        edges.filter(F.col("c") == 0)
+        .select(F.pmod(F.xxhash64("s"), F.lit(SALT_N)).alias("salt"))
+        .groupBy("salt")
+        .count()
+        .toPandas()
+    )
+    assert len(per_salt) == SALT_N, "hot neighbor missed some salt buckets"
+    fair = per_salt["count"].sum() / SALT_N
+    assert per_salt["count"].max() <= 2 * fair, (
+        f"salt skewed: max {per_salt['count'].max()} vs fair {fair:.0f}"
     )

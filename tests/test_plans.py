@@ -397,3 +397,73 @@ def test_distributed_rank_windows_are_bucket_partitioned(spark, sf_dir):
     partitionless = [l for l in windows if "_b" not in l]
     # exactly the offset window may be partition-less
     assert len(partitionless) <= 1, partitionless
+
+
+# ---- round-5 operators ---------------------------------------------
+
+
+def test_budget_cap_prefix_sum_is_per_source_two_phase(spark, sf_dir):
+    # like q_pipeline_pack but partitioned per source: NO single-
+    # partition window anywhere — the offsets window partitions by
+    # source (16 bucket rows each), the big side by (source, bucket)
+    simple = plan_of(spark, "q_pipeline_budget_cap", sf_dir, mode="simple")
+    assert "Exchange SinglePartition" not in simple
+    assert "windowspecdefinition(source" in simple
+
+
+def test_corr_matrix_single_pass_no_join(spark, sf_dir):
+    # 9 co-moments + n in ONE aggregate over one scan: partial agg
+    # map-side, a single 1-row exchange, no join of any kind, and the
+    # scan reads exactly the three measure columns
+    plan = plan_of(spark, "q_agg_corr_matrix", sf_dir)
+    simple = plan_of(spark, "q_agg_corr_matrix", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "SinglePartition" in simple
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in simple
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_discount" in read_schema
+    assert "l_shipdate" not in read_schema and "l_comment" not in read_schema
+
+
+def test_bitmap_distinct_avoids_expand(spark, sf_dir):
+    # the whole point vs COUNT(DISTINCT): no Expand doubling the
+    # shuffle; two narrow hash exchanges ((type, bucket) then type),
+    # partial aggregation on both
+    simple = plan_of(spark, "q_agg_bitmap", sf_dir, mode="simple")
+    assert "Expand" not in simple
+    assert simple.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in simple
+
+
+def test_kcore_peels_with_semi_joins(spark, sf_dir):
+    # both peel rounds filter the edge list with left-semi joins on the
+    # surviving node sets — never a cartesian or per-round collect
+    simple = plan_of(spark, "q_graph_kcore", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "LeftSemi" in simple
+
+
+def test_url_dedup_narrow_shuffles_no_udf(spark, sf_dir):
+    # canonicalization is pure codegen (regex + HOF filter); the only
+    # shuffles are the canonical-key aggregation pair (distinct-url
+    # sub-aggregate + final group)
+    simple = plan_of(spark, "q_dedup_url", sf_dir, mode="simple")
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+    assert simple.count("Exchange hashpartitioning") <= 2
+
+
+def test_acf_broadcasts_denominator(spark, sf_dir):
+    # the per-type denominator frame (|event types| rows) broadcasts;
+    # the lag unpivot must not introduce a second corpus shuffle
+    simple = plan_of(spark, "q_ts_acf", sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+
+
+def test_multimodal_gate_single_arrow_pass(spark, sf_dir):
+    # one mapInPandas decode pass feeding a 1-row conditional agg —
+    # no shuffle other than the final SinglePartition gather
+    simple = plan_of(spark, "q_multimodal_gate", sf_dir, mode="simple")
+    assert "MapInPandas" in simple
+    assert "Exchange hashpartitioning" not in simple

