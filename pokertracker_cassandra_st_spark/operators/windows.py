@@ -329,3 +329,65 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "first_event")
     )
+
+
+@register(
+    "q_win_pattern_match",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id,
+       count(*) AS n_matches,
+       min(event_id) AS first_match_id,
+       max(event_id) AS last_match_id
+FROM s
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("window",),
+)
+def q_win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive event-pattern detection (the MATCH_RECOGNIZE shape
+    Spark lacks as syntax): per user, find every STRICTLY CONSECUTIVE
+    view -> click -> purchase triple in version order — the
+    zero-gap complement of q_ts_funnel's any-gap ordered funnel. The
+    pattern compiles to two lead() columns over ONE window pass plus a
+    filter; a k-step pattern is k-1 leads of the same window, never a
+    self-join per step.
+
+    Scale: one shuffle on user_id (the window partition key); the
+    pattern filter runs in codegen on the windowed rows, and the
+    aggregation reuses the same partitioning — AQE coalesces the
+    already-partitioned exchange away. Pattern depth adds columns, not
+    passes; per-key window width is the per-user history, the same
+    bound as q_replay_projection.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        s.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("event_id").alias("first_match_id"),
+            F.max("event_id").alias("last_match_id"),
+        )
+        .orderBy("user_id")
+    )

@@ -417,6 +417,7 @@ POST_ROTATION_R5: list[str] = [
     "q_agg_bitmap",
     "q_multimodal_gate",
     "q_pipeline_budget_cap",
+    "q_win_pattern_match",
 ]
 
 WINDOW: list[str] = WINDOW_R5

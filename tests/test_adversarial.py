@@ -79,6 +79,7 @@ EVENT_QUERIES = [
     "q_ts_acf",
     "q_agg_bitmap",
     "q_source_text_log",
+    "q_win_pattern_match",
 ]
 
 

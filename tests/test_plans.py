@@ -467,3 +467,12 @@ def test_multimodal_gate_single_arrow_pass(spark, sf_dir):
     simple = plan_of(spark, "q_multimodal_gate", sf_dir, mode="simple")
     assert "MapInPandas" in simple
     assert "Exchange hashpartitioning" not in simple
+
+
+def test_pattern_match_reuses_window_partitioning(spark, sf_dir):
+    # the window partitions by user_id; the downstream groupBy(user_id)
+    # must reuse that distribution — exactly ONE hash exchange in the
+    # whole plan, and no Python evaluation anywhere
+    simple = plan_of(spark, "q_win_pattern_match", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
