@@ -355,18 +355,22 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 3
 
+# AS MATERIALIZED: DuckDB inlines plain CTEs per reference; edges/e1/e2
+# are each referenced 3-5 times (degree subqueries + counts), so the
+# inlined oracle recomputes the 60M-row distinct repeatedly at 100x and
+# spills past any disk. Materialization changes nothing semantically.
 _KCORE_ORACLE = f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-), e1 AS (
+), e1 AS MATERIALIZED (
   SELECT e.c, e.s
   FROM edges e
   JOIN (SELECT c FROM edges GROUP BY c HAVING count(*) >= {_KCORE_K}) dc
     ON e.c = dc.c
   JOIN (SELECT s FROM edges GROUP BY s HAVING count(*) >= {_KCORE_K}) ds
     ON e.s = ds.s
-), e2 AS (
+), e2 AS MATERIALIZED (
   SELECT e.c, e.s
   FROM e1 e
   JOIN (SELECT c FROM e1 GROUP BY c HAVING count(*) >= {_KCORE_K}) dc

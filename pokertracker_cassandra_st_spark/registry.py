@@ -420,6 +420,62 @@ POST_ROTATION_R5: list[str] = [
     "q_win_pattern_match",
 ]
 
+# Round-6 rotation (PRE-STAGED at round-5 close; activate with
+# WINDOW = WINDOW_R6 at the start of round 6 after CORRECTNESS_r05.json
+# lands).  Built DYNAMICALLY from POST_ROTATION_R5 so a late round-5
+# registration automatically leads the next window instead of
+# stranding (the failure mode of rounds 3 and 4); the length-50 check
+# in tests/test_registry_window.py then forces a rep trim, loudly.
+# Reps: the 20 remaining round-1-only greens (after WINDOW_R5 renews
+# 17 of the 37), then the alphabetically-first 20 of the round-2-only
+# cohort (42 names; the residue leads the round-7 rep pool).
+_R6_REPS: list[str] = [
+    # newest driver row is round 1
+    "q_agg_collect",
+    "q_agg_cube",
+    "q_agg_filtered",
+    "q_agg_grouping_fn",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_mode",
+    "q_agg_pivot",
+    "q_filter_in_like_null",
+    "q_join_anti",
+    "q_join_band",
+    "q_join_nullsafe",
+    "q_join_outer",
+    "q_join_semi",
+    "q_join_theta",
+    "q_replay_tombstone_anti",
+    "q_unpivot",
+    "q_win_firstlast",
+    "q_win_moving",
+    "q_win_range_frame",
+    # newest driver row is round 2 (first 20, alphabetical)
+    "q_agg_approx_distinct",
+    "q_agg_percentile_approx",
+    "q_agg_rollup",
+    "q_dedup_exact",
+    "q_dedup_near_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_fn_array",
+    "q_fn_bitwise_hash",
+    "q_fn_date",
+    "q_fn_json",
+    "q_fn_math",
+    "q_fn_string",
+    "q_join_asof",
+    "q_lateral_join",
+    "q_multimodal_meta",
+    "q_recursive_cte",
+    "q_sample_split",
+    "q_set_intersect",
+    "q_sim_ivf",
+    "q_skew_salted_agg",
+]
+
+WINDOW_R6: list[str] = [*POST_ROTATION_R5, *_R6_REPS]
+
 WINDOW: list[str] = WINDOW_R5
 
 # Queries added AFTER the round-3 rotation was fixed — they have no

@@ -181,3 +181,32 @@ def test_full_registry_artifact_is_current():
     assert art["n_fail"] == 0, f"latest full artifact has failures: {art['n_fail']}"
     failed = sorted(n for n, r in art["queries"].items() if r["match"] is False)
     assert not failed, f"failed rows in latest full artifact: {failed}"
+
+
+def test_round6_window_is_staged_correctly():
+    """WINDOW_R6 pre-staging contract: the round-6 window is BUILT from
+    POST_ROTATION_R5 (so a late round-5 registration automatically
+    leads it — stranding is structurally impossible), holds exactly 50
+    distinct, registered, oracle-backed slots, and its rep tail carries
+    only queries with a prior driver row. If POST_ROTATION_R5 grows,
+    the length check fails until a rep is trimmed — a loud, local fix."""
+    from pokertracker_cassandra_st_spark.registry import (
+        _R6_REPS,
+        POST_ROTATION_R5,
+        WINDOW_R6,
+    )
+
+    qs = get_queries()
+    oracles = get_oracles()
+    assert WINDOW_R6 == [*POST_ROTATION_R5, *_R6_REPS]
+    assert len(WINDOW_R6) == 50 == len(set(WINDOW_R6)), (
+        f"WINDOW_R6 must hold exactly 50 distinct slots, has "
+        f"{len(WINDOW_R6)} — trim _R6_REPS after growing POST_ROTATION_R5"
+    )
+    unreg = [n for n in WINDOW_R6 if n not in qs]
+    assert not unreg, f"WINDOW_R6 names not registered: {unreg}"
+    no_oracle = [n for n in WINDOW_R6 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R6 entries without an oracle: {no_oracle}"
+    checked = _driver_checked()
+    unchecked_reps = sorted(set(_R6_REPS) - checked)
+    assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
