@@ -118,3 +118,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> SimpleNamespace:
     """Load several tables at once: ``t = tables(spark, d, 'orders', ...)``."""
     return SimpleNamespace(**{n: table(spark, sf_dir, n) for n in (names or TABLES)})
+
+
+def scratch_dir(sf_dir: str, name: str) -> str:
+    """Per-scale scratch path: ``.scratch/<name>_<sf-tag>``.
+
+    Sink/roundtrip queries write real directories; keying them by the
+    sf directory's basename isolates concurrent runs at different
+    scales (the 10x sweep vs a sf0.01 differential racing on ONE
+    ``sink_compaction_frag`` produced flaky cross-run overwrites) and
+    mirrors what rollup_hourly already did. Overwrite mode still
+    reclaims each scale's own directory run-to-run.
+    """
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return f"/root/repo/.scratch/{name}_{tag}"

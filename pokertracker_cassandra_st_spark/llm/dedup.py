@@ -987,3 +987,205 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical")
     )
+
+
+# ---- SemDeDup: semantic dedup within embedding cells ---------------
+
+_SEM_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), aug AS (
+  SELECT vec_id, label, emb FROM base
+  UNION ALL
+  SELECT vec_id + {AUG_OFFSET} AS vec_id, label,
+         list_concat(emb[1:63], [CAST(0.0 AS DOUBLE)]) AS emb
+  FROM base
+), qt AS (
+  SELECT vec_id, label,
+         list_transform(emb, x -> CAST(CASE WHEN x < 0
+             THEN -floor(-x * 1000000 + 0.5)
+             ELSE  floor( x * 1000000 + 0.5) END AS BIGINT)) AS q,
+         emb
+  FROM aug
+), ex AS (
+  SELECT vec_id, label, q, generate_subscripts(q, 1) AS pos FROM qt
+), exq AS (
+  SELECT vec_id, label, pos, q[pos] AS qi FROM ex
+), cent AS (
+  SELECT label, pos, SUM(CAST(qi AS DECIMAL(38,0))) AS cpos
+  FROM exq GROUP BY label, pos
+), cnorm AS (
+  SELECT label, SUM(cpos * cpos) AS cc FROM cent GROUP BY label
+), cosc AS (
+  -- dot and |q|^2 are forced through BIGINT (they fit int64 well past
+  -- 100x) so both engines take the native, correctly-rounded
+  -- int64->double conversion; the drop comparison uses ratio =
+  -- dot/sqrt(qq) ALONE (the shared centroid norm cancels inside a
+  -- cell), so it can never diverge cross-engine. cc stays DECIMAL(38)
+  -- (cpos^2 sums exceed int64) and only feeds the REPORTED cos_c,
+  -- where the value is rounded to 6 decimals.
+  SELECT e.vec_id, e.label,
+         CAST(CAST(SUM(CAST(e.qi AS DECIMAL(38,0)) * c.cpos) AS BIGINT)
+              AS DOUBLE)
+           / sqrt(CAST(CAST(SUM(CAST(e.qi AS DECIMAL(38,0)) * e.qi)
+                            AS BIGINT) AS DOUBLE)) AS ratio,
+         CAST(CAST(SUM(CAST(e.qi AS DECIMAL(38,0)) * c.cpos) AS BIGINT)
+              AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(CAST(e.qi AS DECIMAL(38,0)) * e.qi)
+                             AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(max(n.cc) AS DOUBLE))) AS cos_c
+  FROM exq e
+  JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  JOIN cnorm n ON e.label = n.label
+  GROUP BY e.vec_id, e.label
+), pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM qt a JOIN qt b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) *
+           sqrt(list_dot_product(b.emb, b.emb))) >= 0.98
+), dropped AS (
+  SELECT p.label,
+         CASE WHEN ca.ratio > cb.ratio THEN p.id_a
+              WHEN cb.ratio > ca.ratio THEN p.id_b
+              ELSE greatest(p.id_a, p.id_b) END AS vec_id
+  FROM pairs p
+  JOIN cosc ca ON ca.vec_id = p.id_a
+  JOIN cosc cb ON cb.vec_id = p.id_b
+)
+SELECT DISTINCT d.label, d.vec_id AS dropped_id,
+       round(c.cos_c, 6) AS cos_to_centroid
+FROM dropped d JOIN cosc c ON c.vec_id = d.vec_id
+ORDER BY d.label, dropped_id
+"""
+
+
+@register("q_dedup_semantic", oracle=_SEM_ORACLE, tags=("llm", "dedup"))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside embedding-space cells — within each cell
+    (the coarse label, playing the k-means cluster), vector pairs with
+    cosine >= 0.98 form duplicate groups and the member MOST similar
+    to the cell centroid is dropped (SemDeDup keeps low-centroid-
+    similarity members to preserve diversity). Returns the distinct
+    dropped set with each vector's centroid similarity.
+
+    Determinism: centroids are elementwise SUMS of 1e-6-quantized
+    components (cosine is scale invariant, so the un-divided sum IS
+    the centroid direction). The drop decision compares dot/sqrt(qq)
+    — the shared centroid norm cancels within a cell — with both sums
+    forced through BIGINT, whose int64->double conversion is correctly
+    rounded identically in both engines; the decision therefore cannot
+    flip cross-engine. Ties drop the higher vec_id.
+
+    Scale shape: the quantized explode is narrow (vec x dim rows,
+    shuffled once on (label, pos) for the centroid partial agg);
+    centroid and cell-norm frames are (cells x dim) and (cells) rows —
+    broadcast; pair generation stays label-blocked (sum of cell^2,
+    never corpus^2), exactly q_dedup_embedding's contract. At 100 TB
+    the label is the IVF coarse assignment (q_sim_kmeans trains it,
+    q_sim_ivf probes it) and cells are partition keys.
+    """
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    mut = base.select(
+        (F.col("vec_id") + AUG_OFFSET).alias("vec_id"),
+        "label",
+        F.concat(F.slice("emb", 1, 63), F.array(F.lit(0.0))).alias("emb"),
+    )
+    aug = base.unionByName(mut)
+    qcol = F.transform(
+        "emb",
+        lambda x: F.when(
+            x < 0, -F.floor(-x * 1_000_000 + F.lit(0.5))
+        )
+        .otherwise(F.floor(x * 1_000_000 + F.lit(0.5)))
+        .cast("long"),
+    )
+    qt = aug.select("vec_id", "label", qcol.alias("q"), "emb")
+    exq = qt.select(
+        "vec_id", "label", F.posexplode("q").alias("pos0", "qi")
+    ).withColumn("pos", F.col("pos0") + 1)
+    cent = exq.groupBy("label", "pos").agg(
+        F.sum(F.col("qi").cast("decimal(38,0)")).alias("cpos")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("cpos") * F.col("cpos")).alias("cc")
+    )
+    # dot/|q|^2 through BIGINT: native int64->double conversion is
+    # correctly rounded identically in both engines (the DECIMAL(38)->
+    # double path is not, above 2^53 — the round-1 scale bug class).
+    # The drop comparison uses ratio = dot/sqrt(qq): the centroid norm
+    # is shared within a cell and cancels, so the decision derives
+    # ONLY from int64-exact quantities. int64 bound: dot <= dim * qmax
+    # * cellsize * qmax ~ 64 * 1e6 * n_cell * 1e6 — safe past 100x
+    # replication (1.3e18 < 2^63); re-scale the quantizer beyond that.
+    dot_l = (
+        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("cpos"))
+        .cast("long")
+        .cast("double")
+    )
+    qq_l = (
+        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qi"))
+        .cast("long")
+        .cast("double")
+    )
+    cosc = (
+        exq.join(F.broadcast(cent), ["label", "pos"])
+        .join(F.broadcast(cnorm), "label")
+        .groupBy("vec_id", "label")
+        .agg(
+            (dot_l / F.sqrt(qq_l)).alias("ratio"),
+            (
+                dot_l
+                / (F.sqrt(qq_l) * F.sqrt(F.max("cc").cast("double")))
+            ).alias("cos_c"),
+        )
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    a = qt.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("l_a"),
+        F.col("emb").alias("e_a"),
+    )
+    b = qt.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("l_b"),
+        F.col("emb").alias("e_b"),
+    )
+    cos_ab = dot(F.col("e_a"), F.col("e_b")) / (
+        F.sqrt(dot(F.col("e_a"), F.col("e_a")))
+        * F.sqrt(dot(F.col("e_b"), F.col("e_b")))
+    )
+    pairs = (
+        a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos_ab >= 0.98)
+        .select(F.col("l_a").alias("label"), "id_a", "id_b")
+    )
+    ca = cosc.select(F.col("vec_id").alias("id_a"), F.col("ratio").alias("cos_a"))
+    cb = cosc.select(F.col("vec_id").alias("id_b"), F.col("ratio").alias("cos_b"))
+    dropped = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "label",
+            F.when(F.col("cos_a") > F.col("cos_b"), F.col("id_a"))
+            .when(F.col("cos_b") > F.col("cos_a"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("vec_id"),
+        )
+        .distinct()
+    )
+    return (
+        dropped.join(cosc.select("vec_id", "cos_c"), "vec_id")
+        .select(
+            "label",
+            F.col("vec_id").alias("dropped_id"),
+            F.round("cos_c", 6).alias("cos_to_centroid"),
+        )
+        .orderBy("label", "dropped_id")
+    )

@@ -20,7 +20,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.catalog import scratch_dir, table
 from pokertracker_cassandra_st_spark.registry import register
 
 SCRATCH = "/root/repo/.scratch"
@@ -87,7 +87,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collection.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    out = f"{SCRATCH}/sink_roundtrip"  # overwrite mode reclaims it
+    out = scratch_dir(sf_dir, "sink_roundtrip")  # overwrite mode reclaims it
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
@@ -135,7 +135,7 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     own distribution.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    out = f"{SCRATCH}/sink_partition_overwrite"
+    out = scratch_dir(sf_dir, "sink_partition_overwrite")
     cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
     o = table(spark, sf_dir, "orders").select(*cols)
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
@@ -204,8 +204,8 @@ def q_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     design.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    base_dir = f"{SCRATCH}/merge_base"
-    out_dir = f"{SCRATCH}/merge_out"
+    base_dir = scratch_dir(sf_dir, "merge_base")
+    out_dir = scratch_dir(sf_dir, "merge_out")
     key = F.col("o_orderkey")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
@@ -279,7 +279,7 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the fact side before aggregation's own exchange.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    out = f"{SCRATCH}/dpp_orders"
+    out = scratch_dir(sf_dir, "dpp_orders")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
@@ -336,8 +336,8 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression, pushdown over healthy-size footers.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    frag = f"{SCRATCH}/sink_compaction_frag"
-    compact = f"{SCRATCH}/sink_compaction_out"
+    frag = scratch_dir(sf_dir, "sink_compaction_frag")
+    compact = scratch_dir(sf_dir, "sink_compaction_out")
     ev = table(spark, sf_dir, "events")
     ev.repartition(16).write.mode("overwrite").parquet(frag)
     files_before = len(

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.catalog import scratch_dir, table
 from pokertracker_cassandra_st_spark.exprs import dsum, o_dsum
 from pokertracker_cassandra_st_spark.registry import register
 
@@ -41,7 +41,7 @@ _READ_SCHEMA = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalpr
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     os.makedirs(SCRATCH, exist_ok=True)
     # fixed per-format dir: overwrite mode reclaims it every run
-    out = f"{SCRATCH}/roundtrip_{fmt}"
+    out = scratch_dir(sf_dir, f"roundtrip_{fmt}")
     src = table(spark, sf_dir, "orders").select(*_PROJ_COLS)
     writer = src.write.mode("overwrite")
     if fmt == "csv":
@@ -164,7 +164,7 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     written — no rewrite of old data to evolve.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    out = f"{SCRATCH}/schema_evo"
+    out = scratch_dir(sf_dir, "schema_evo")
     o = table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
     o.filter(key % 2 == 1).select("o_orderkey", "o_totalprice").write.mode(
@@ -201,7 +201,7 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit read schema avoids the double-scan of schema inference.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    out = f"{SCRATCH}/roundtrip_xml"
+    out = scratch_dir(sf_dir, "roundtrip_xml")
     src = table(spark, sf_dir, "orders").select(*_PROJ_COLS)
     src.write.mode("overwrite").format("xml").option("rowTag", "order").save(out)
     back = (
@@ -246,7 +246,7 @@ def q_source_text_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate matches the parquet original bit-for-bit.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    out = f"{SCRATCH}/text_log"
+    out = scratch_dir(sf_dir, "text_log")
     ev = table(spark, sf_dir, "events")
     line = F.concat(
         F.lit("id="),

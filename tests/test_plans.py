@@ -476,3 +476,14 @@ def test_pattern_match_reuses_window_partitioning(spark, sf_dir):
     simple = plan_of(spark, "q_win_pattern_match", sf_dir, mode="simple")
     assert simple.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+
+
+def test_semantic_dedup_label_blocked_broadcast_centroids(spark, sf_dir):
+    # pair generation must stay label-blocked (equi-join, never a
+    # cartesian) and both centroid-side frames (cells x dim, cells)
+    # must broadcast — the corpus shuffles only for the centroid
+    # partial agg and the per-vector rollup
+    simple = plan_of(spark, "q_dedup_semantic", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert simple.count("BroadcastHashJoin") >= 2
