@@ -407,3 +407,69 @@ def q_replay_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_ts("ts").alias("valid_ts"),
         )
     )
+
+
+@register(
+    "q_replay_snapshot_incremental",
+    oracle=_PROJECTION_ORACLE,
+    tags=("flagship", "tier-a"),
+)
+def q_replay_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + incremental replay — THE production event-sourcing
+    optimization (a rebuilding read model must not refold the full
+    history): materialize the fold state as of a cutoff version to a
+    durable snapshot, then recover the CURRENT projection by folding
+    only snapshot ∪ log-tail. The oracle is q_replay_projection's full
+    replay — the differential IS the proof that snapshot + tail loses
+    nothing, including the tombstone edge (a user whose last
+    pre-cutoff event is a delete stays tombstoned in the snapshot so a
+    tail-less user still vanishes from the final state).
+
+    Scale notes: the cutoff is a broadcast 1-row aggregate (no driver
+    scalar); the snapshot fold shuffles only the pre-cutoff slice and
+    WRITES one row per user (the state, not the history) — so the
+    recovery fold reads |users| + |tail| rows instead of |history|.
+    In production the snapshot is re-materialized on a schedule and
+    the tail is the stream since the last snapshot; this query is one
+    full cycle of that loop, and the snapshot parquet is partition-
+    pruned by the same user_id key the fold shuffles on.
+    """
+    from pokertracker_cassandra_st_spark.catalog import scratch_dir
+
+    events = table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    cutoff = events.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("cut")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    # snapshot: latest state per user as of the cutoff, TOMBSTONES KEPT
+    # (state must remember deletions to mask earlier versions)
+    snap_path = scratch_dir(sf_dir, "replay_snapshot")
+    (
+        events.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("event_id") <= F.col("cut"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts", "k")
+        .write.mode("overwrite")
+        .parquet(snap_path)
+    )
+    snapshot = spark.read.parquet(snap_path)
+    tail = (
+        events.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("event_id") > F.col("cut"))
+        .select("user_id", "event_id", "event_type", "value", "ts", "k")
+    )
+    return (
+        snapshot.unionByName(tail)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != TOMBSTONE))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            fmt_ts("ts").alias("last_ts"),
+            F.col("k").alias("last_k"),
+        )
+    )

@@ -419,6 +419,7 @@ POST_ROTATION_R5: list[str] = [
     "q_pipeline_budget_cap",
     "q_win_pattern_match",
     "q_dedup_semantic",
+    "q_replay_snapshot_incremental",
 ]
 
 # Round-6 rotation (PRE-STAGED at round-5 close; activate with
@@ -471,7 +472,6 @@ _R6_REPS: list[str] = [
     "q_recursive_cte",
     "q_sample_split",
     "q_set_intersect",
-    "q_sim_ivf",
 ]
 
 WINDOW_R6: list[str] = [*POST_ROTATION_R5, *_R6_REPS]

@@ -80,6 +80,7 @@ EVENT_QUERIES = [
     "q_agg_bitmap",
     "q_source_text_log",
     "q_win_pattern_match",
+    "q_replay_snapshot_incremental",
 ]
 
 
