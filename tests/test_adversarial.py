@@ -123,9 +123,11 @@ def adv_dir():
     )
     ev.to_parquet(f"{ADV}/events.parquet", index=False)
     _adv_documents(rng).to_parquet(f"{ADV}/documents.parquet", index=False)
+    _adv_embeddings(rng).to_parquet(f"{ADV}/embeddings.parquet", index=False)
     _inject_rel_nulls(rng, ADV)
     for t in TABLES:
-        if t in ("events", "documents", "lineitem", "orders", "customer"):
+        if t in ("events", "documents", "lineitem", "orders", "customer",
+                 "embeddings"):
             continue
         dst = f"{ADV}/{t}.parquet"
         if not os.path.exists(dst):
@@ -206,6 +208,49 @@ def _adv_documents(rng) -> pd.DataFrame:
             "n_chars": np.array([len(t) for t in texts], dtype="int64"),
         }
     )
+
+
+def _adv_embeddings(rng) -> pd.DataFrame:
+    """Degenerate vector corpus: an all-zero vector (no direction — the
+    division-by-zero hazard in every cosine), exact duplicates (cosine
+    exactly 1.0, on the >= 0.98 boundary from above), a tiny-magnitude
+    vector (quantizes to all-zero), a single-member cell, and
+    negative-heavy vectors. float32 like the generator."""
+    n = 60
+    base = rng.randn(n, 64).astype("float32") * 0.12
+    base[1] = 0.0                      # exact zero vector
+    base[2] = base[3]                  # exact duplicate pair (same label below)
+    base[4] = base[5] * 1e-7           # tiny: scaled-long quantizes to 0
+    base[6] = -np.abs(base[6])         # all-negative
+    label = (np.arange(n) % 5).astype("int32")
+    label[0] = 9                       # single-member cell
+    label[2] = label[3] = 1
+    label[1] = 2
+    label[4] = label[5] = 3
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [base[i] for i in range(n)],
+            "label": label,
+        }
+    )
+
+
+# embedding-reading queries that must survive zero/dup/tiny vectors
+EMB_QUERIES = [
+    "q_dedup_embedding",
+    "q_dedup_semantic",
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_sim_kmeans",
+    "q_sim_lsh_hyperplane",
+    "q_sim_quantize",
+    "q_sim_pq",
+    "q_sim_recall_eval",
+    "q_sim_ivf_pq",
+    "q_sim_range_search",
+    "q_sim_matryoshka",
+]
 
 
 REL_QUERIES = [
@@ -292,7 +337,7 @@ def adv_duck(adv_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", EVENT_QUERIES + DOC_QUERIES + REL_QUERIES + STREAM_QUERIES)
+@pytest.mark.parametrize("name", EVENT_QUERIES + DOC_QUERIES + REL_QUERIES + STREAM_QUERIES + EMB_QUERIES)
 def test_oracle_holds_on_adversarial_data(spark, adv_dir, adv_duck, name):
     q = REGISTRY[name]
     assert q.oracle is not None
