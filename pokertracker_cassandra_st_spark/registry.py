@@ -429,8 +429,10 @@ POST_ROTATION_R5: list[str] = [
 # stranding (the failure mode of rounds 3 and 4); the length-50 check
 # in tests/test_registry_window.py then forces a rep trim, loudly.
 # Reps: the 20 remaining round-1-only greens (after WINDOW_R5 renews
-# 17 of the 37), then the alphabetically-first 20 of the round-2-only
-# cohort (42 names; the residue leads the round-7 rep pool).
+# 17 of the 37), then the alphabetically-first slice of the round-2-
+# only cohort (42 names) — trimmed to fit as POST_ROTATION_R5 grew;
+# the residue (incl. q_sim_ivf, q_skew_salted_agg) leads the round-7
+# rep pool.
 _R6_REPS: list[str] = [
     # newest driver row is round 1
     "q_agg_collect",
@@ -453,7 +455,7 @@ _R6_REPS: list[str] = [
     "q_win_firstlast",
     "q_win_moving",
     "q_win_range_frame",
-    # newest driver row is round 2 (first 20, alphabetical)
+    # newest driver row is round 2 (alphabetical prefix)
     "q_agg_approx_distinct",
     "q_agg_percentile_approx",
     "q_agg_rollup",
