@@ -210,3 +210,92 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment, c_nationkey
         """
     )
+
+
+@register(
+    "q_fn_tz",
+    oracle="""
+WITH t AS (
+  SELECT event_id, ts,
+         timezone('America/New_York', timezone('UTC', ts)) AS ny,
+         timezone('Asia/Tokyo',       timezone('UTC', ts)) AS tk
+  FROM events
+)
+SELECT event_id,
+       strftime(ny, '%Y-%m-%d %H:%M:%S') AS ny_wall,
+       CAST(hour(tk) AS BIGINT) AS tokyo_hour,
+       CAST((epoch(ny) - epoch(ts)) / 60 AS BIGINT) AS ny_offset_min,
+       -- a fall-back wall clock occurs TWICE; engines legitimately pick
+       -- different instants (Spark: earlier offset, ICU: later), so the
+       -- round trip is asserted only where it is well-defined and the
+       -- ambiguous hour is accepted via the same portable predicate:
+       -- shifting the chosen instant +1h re-localizes to the SAME wall
+       -- clock iff the hour is repeated
+       timezone('UTC', timezone('America/New_York', ny)) = ts
+       OR timezone('America/New_York',
+                   timezone('America/New_York', ny) + INTERVAL 1 HOUR) = ny
+       OR timezone('America/New_York',
+                   timezone('America/New_York', ny) - INTERVAL 1 HOUR) = ny
+         AS roundtrip_ok
+FROM t
+ORDER BY event_id
+""",
+    tags=("fn", "tz"),
+)
+def q_fn_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone scalar surface: UTC instants rendered as New York /
+    Tokyo wall clocks (``from_utc_timestamp``), the NY UTC-offset in
+    minutes (-300 EST / -240 EDT — the fixture's Feb-Mar span crosses
+    the 2024-03-10 DST jump, so BOTH offsets appear and the nonexistent
+    02:00-03:00 hour is skipped identically by both engines), and a
+    ``to_utc_timestamp`` round-trip check. The round trip is asserted
+    EXCEPT in the fall-back repeated hour, where the wall clock maps to
+    two instants and the engines legitimately disambiguate differently
+    (Spark picks the earlier offset, ICU the later) — the 100x sweep
+    caught exactly this at 2024-11-03 01:xx, invisible at 1x whose span
+    only crosses the spring GAP (which has no ambiguity, only a hole).
+    Both sides accept either instant via the same portable
+    repeated-hour predicate, probed in BOTH directions (+1h catches an
+    earlier-instant picker, -1h a later-instant one; ordinary hours
+    re-localize to a different wall clock under either shift). The oracle pins the naive->tz
+    interpretation explicitly (``timezone('UTC', ts)``) so it is
+    independent of either engine's session timezone.
+
+    Scale: pure narrow per-row expressions in codegen — timezone
+    conversion is a lookup in the JVM/ICU tz database, no shuffle, no
+    UDF. The deterministic-output rule still applies: wall clocks are
+    FORMATTED (never returned as raw shifted timestamps, which would
+    re-shift under a different reader session tz).
+    """
+    ev = table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
+        F.hour(tk).cast("long").alias("tokyo_hour"),
+        ((F.unix_timestamp(ny) - F.unix_timestamp("ts")) / 60)
+        .cast("long")
+        .alias("ny_offset_min"),
+        # ambiguous fall-back hour: either of the two instants is a
+        # correct inverse — accept both (predicate mirrors the oracle)
+        (
+            (F.to_utc_timestamp(ny, "America/New_York") == F.col("ts"))
+            | (
+                F.from_utc_timestamp(
+                    F.to_utc_timestamp(ny, "America/New_York")
+                    + F.expr("INTERVAL 1 HOUR"),
+                    "America/New_York",
+                )
+                == ny
+            )
+            | (
+                F.from_utc_timestamp(
+                    F.to_utc_timestamp(ny, "America/New_York")
+                    - F.expr("INTERVAL 1 HOUR"),
+                    "America/New_York",
+                )
+                == ny
+            )
+        ).alias("roundtrip_ok"),
+    ).orderBy("event_id")

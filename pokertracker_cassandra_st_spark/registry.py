@@ -420,6 +420,7 @@ POST_ROTATION_R5: list[str] = [
     "q_win_pattern_match",
     "q_dedup_semantic",
     "q_replay_snapshot_incremental",
+    "q_fn_tz",
 ]
 
 # Round-6 rotation (PRE-STAGED at round-5 close; activate with
@@ -473,7 +474,6 @@ _R6_REPS: list[str] = [
     "q_multimodal_meta",
     "q_recursive_cte",
     "q_sample_split",
-    "q_set_intersect",
 ]
 
 WINDOW_R6: list[str] = [*POST_ROTATION_R5, *_R6_REPS]

@@ -81,6 +81,7 @@ EVENT_QUERIES = [
     "q_source_text_log",
     "q_win_pattern_match",
     "q_replay_snapshot_incremental",
+    "q_fn_tz",
 ]
 
 
