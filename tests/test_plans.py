@@ -487,3 +487,12 @@ def test_semantic_dedup_label_blocked_broadcast_centroids(spark, sf_dir):
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
     assert simple.count("BroadcastHashJoin") >= 2
+
+
+def test_snapshot_incremental_keeps_rank_limit_pushdown(spark, sf_dir):
+    # both folds are rn==1 window filters: WindowGroupLimit must push
+    # a one-row-per-key limit below each shuffle (the property that
+    # keeps "latest state per key" linear — same as q_replay_projection)
+    simple = plan_of(spark, "q_replay_snapshot_incremental", sf_dir, mode="simple")
+    assert "WindowGroupLimit" in simple
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
