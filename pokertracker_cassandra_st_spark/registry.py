@@ -478,7 +478,86 @@ _R6_REPS: list[str] = [
 
 WINDOW_R6: list[str] = [*POST_ROTATION_R5, *_R6_REPS]
 
-WINDOW: list[str] = WINDOW_R5
+# Queries added DURING round 6 (after WINDOW_R6 activated) — no driver
+# row by construction; they must lead WINDOW_R7.  Same ledger contract
+# as POST_ROTATION_R5: every round-6 registration joins this list in
+# the same commit, or tests/test_registry_window.py goes red.
+POST_ROTATION_R6: list[str] = []
+
+# Round-7 rotation (pre-staged, built dynamically from the round-6
+# ledger so late registrations can never strand).  Reps renew the
+# stalest driver rows: the round-2-only cohort residue left after
+# _R6_REPS took its alphabetical prefix (VERDICT r5 notes q_sim_ivf
+# and q_skew_salted_agg lead this pool).
+_R7_REP_POOL: list[str] = [
+    "q_set_intersect",
+    "q_sim_ivf",
+    "q_skew_salted_agg",
+    "q_source_csv_roundtrip",
+    "q_source_json_roundtrip",
+    "q_source_orc_roundtrip",
+    "q_stream_dedup",
+    "q_stream_outoforder",
+    "q_stream_tumbling",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_topk_pergroup",
+    "q_tpch_q5_shape",
+    "q_ts_gapfill",
+    "q_udaf_pandas",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_udtf_explode",
+    "q_udtf_python",
+    "q_win_rank",
+    "q_agg_bitwise",
+    "q_agg_histogram",
+    "q_dedup_components",
+    "q_dedup_editdist",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
+    "q_filter_eq",
+    "q_fn_array2",
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_date2",
+    "q_fn_map",
+    "q_fn_string2",
+    "q_fn_trig",
+    "q_join_asof_tolerance",
+    "q_join_cross",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_pipeline_curate",
+    "q_replay_cdc_diff",
+    "q_replay_projection",
+    "q_sample_stratified",
+    "q_scan_pushdown",
+    "q_set_union",
+    "q_sim_lsh_hyperplane",
+    "q_sim_topk",
+    "q_sort_multikey",
+    "q_source_python_ds",
+    "q_sql_cte",
+    "q_sql_exists",
+]
+
+
+def _window_r7() -> list[str]:
+    """Round-7 window: the round-6 ledger first, then enough of the rep
+    pool (names with a prior driver row, skipping any already in the
+    ledger) to fill 50 slots."""
+    lead = list(POST_ROTATION_R6)
+    reps = [n for n in _R7_REP_POOL if n not in lead]
+    return [*lead, *reps][:50]
+
+
+WINDOW: list[str] = WINDOW_R6
 
 # Queries added AFTER the round-3 rotation was fixed — they have no
 # driver row yet by construction and MUST lead the round-4 window.

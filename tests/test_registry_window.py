@@ -99,6 +99,20 @@ def test_round4_window_ran_as_planned():
     )
 
 
+def test_round5_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r05.json must cover exactly the 50
+    WINDOW_R5 slots — the round-5 rotation executed as drafted."""
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R5
+
+    r05 = set(json.load(open("/root/repo/CORRECTNESS_r05.json")))
+    assert r05 == set(WINDOW_R5), (
+        f"r05 artifact vs WINDOW_R5: missing={sorted(set(WINDOW_R5) - r05)} "
+        f"extra={sorted(r05 - set(WINDOW_R5))}"
+    )
+
+
 def test_round5_window_leads_with_backlog():
     """Round-5 rotation contract (VERDICT r4 'Next round #1/#2'): the
     leading 33 slots are EXACTLY the never-driver-checked backlog as of
@@ -116,7 +130,6 @@ def test_round5_window_leads_with_backlog():
 
     qs = get_queries()
     oracles = get_oracles()
-    assert WINDOW is WINDOW_R5, "round-5 window must be active"
     assert len(WINDOW_R5) == 50 == len(set(WINDOW_R5))
     unreg = [n for n in WINDOW_R5 if n not in qs]
     assert not unreg, f"WINDOW_R5 names not registered: {unreg}"
@@ -142,10 +155,16 @@ def test_round5_window_leads_with_backlog():
     wasted = sorted(set(lead) & pre_r5)
     assert not wasted, f"leading slots wasted on driver-checked queries: {wasted}"
     # nothing registered without bookkeeping: every never-checked query
-    # is either in the leading block or in the round-5 additions ledger
+    # is either in the leading block or in a round-additions ledger
+    # (round-6 registrations live in POST_ROTATION_R6 — checked by the
+    # round-6 contract test, excluded here)
+    from pokertracker_cassandra_st_spark.registry import POST_ROTATION_R6
+
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - must_lead - set(POST_ROTATION_R5))
+    stranded = sorted(
+        never - must_lead - set(POST_ROTATION_R5) - set(POST_ROTATION_R6)
+    )
     assert not stranded, (
         f"queries registered during round 5 without joining "
         f"POST_ROTATION_R5: {stranded}"
@@ -181,6 +200,62 @@ def test_full_registry_artifact_is_current():
     assert art["n_fail"] == 0, f"latest full artifact has failures: {art['n_fail']}"
     failed = sorted(n for n, r in art["queries"].items() if r["match"] is False)
     assert not failed, f"failed rows in latest full artifact: {failed}"
+
+
+def test_round6_window_is_active_and_ledgered():
+    """Round-6 rotation contract (VERDICT r5 'Next round #1/#3'):
+    WINDOW_R6 is the active window, led by all 13 POST_ROTATION_R5
+    queries (the round-5 additions with no driver row yet); any query
+    registered DURING round 6 must join POST_ROTATION_R6 in the same
+    commit or this test fails loudly."""
+    from pokertracker_cassandra_st_spark.registry import (
+        POST_ROTATION_R5,
+        POST_ROTATION_R6,
+        WINDOW_R6,
+    )
+
+    qs = get_queries()
+    assert WINDOW is WINDOW_R6, "round-6 window must be active"
+    assert WINDOW_R6[: len(POST_ROTATION_R5)] == POST_ROTATION_R5
+    # every never-driver-checked query is either in the active window
+    # (getting its row this round) or ledgered as a round-6 addition
+    checked = _driver_checked()
+    never = {n for n in qs if n not in checked}
+    stranded = sorted(never - set(WINDOW_R6) - set(POST_ROTATION_R6))
+    assert not stranded, (
+        f"queries registered during round 6 without joining "
+        f"POST_ROTATION_R6: {stranded}"
+    )
+    undeclared = [n for n in POST_ROTATION_R6 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R6 names not registered: {undeclared}"
+
+
+def test_round7_window_is_staged_correctly():
+    """WINDOW_R7 pre-staging contract: built dynamically from
+    POST_ROTATION_R6 (late round-6 registrations automatically lead it),
+    topped up from a rep pool whose every name carries a prior driver
+    row, to exactly 50 distinct, registered, oracle-backed slots."""
+    from pokertracker_cassandra_st_spark.registry import (
+        _R7_REP_POOL,
+        POST_ROTATION_R6,
+        _window_r7,
+    )
+
+    qs = get_queries()
+    oracles = get_oracles()
+    w7 = _window_r7()
+    assert w7[: len(POST_ROTATION_R6)] == list(POST_ROTATION_R6)
+    assert len(w7) == 50 == len(set(w7)), (
+        f"WINDOW_R7 must hold exactly 50 distinct slots, has {len(w7)} — "
+        f"grow _R7_REP_POOL or trim after growing POST_ROTATION_R6"
+    )
+    unreg = [n for n in w7 if n not in qs]
+    assert not unreg, f"WINDOW_R7 names not registered: {unreg}"
+    no_oracle = [n for n in w7 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R7 entries without an oracle: {no_oracle}"
+    checked = _driver_checked()
+    unchecked_reps = sorted(set(_R7_REP_POOL) - checked)
+    assert not unchecked_reps, f"rep pool names lacking any driver row: {unchecked_reps}"
 
 
 def test_round6_window_is_staged_correctly():
