@@ -99,3 +99,71 @@ def test_simhash_anchor_cap_preserves_membership(spark) -> None:
     emitted = set(pairs["id_a"]) | set(pairs["id_b"])
     lost = set(members["doc_id"]) - emitted
     assert not lost, f"{len(lost)} over-cap bucket members lost all candidate edges"
+
+
+# ---- round-6: adaptive (label, subcell) cells for embedding dedup ----
+
+from pokertracker_cassandra_st_spark.llm.dedup import (  # noqa: E402
+    CELL_BITS_LADDER,
+    CELL_TARGET,
+    MAX_CELL_BITS,
+    _cell_bits_sql,
+    _cell_plane_signs,
+)
+
+
+@pytest.mark.parametrize(
+    ("n", "nl", "expect_cb"),
+    [
+        (1_000, 10, 0),  # driver gate scale: plain label — bit-identical to r5
+        (2_560, 10, 0),  # boundary: n == CELL_TARGET * nl exactly
+        (2_561, 10, 2),  # first count past the no-split rung
+        (10_000, 10, 2),  # the 10x-sweep corpus lands here
+        (100_000, 10, 6),  # the 100x spot-check corpus
+        (10**9, 10, 16),  # beyond the ladder: widest rung (cells then
+        #                    deepen linearly again — re-ladder or train a
+        #                    finer coarse quantizer past ~4e8/label)
+    ],
+)
+def test_cell_bits_ladder(n: int, nl: int, expect_cb: int) -> None:
+    """The sub-cell CASE picks the smallest cb with
+    n <= CELL_TARGET * nl * 2^cb (expected cell depth <= CELL_TARGET),
+    and DuckDB — the oracle engine — evaluates it to the same integer
+    the Spark plan will."""
+    (cb,) = duckdb.sql(f"SELECT {_cell_bits_sql(str(n), str(nl))}").fetchone()
+    assert cb == expect_cb
+    assert cb in CELL_BITS_LADDER
+
+
+def test_cell_plane_family_is_prefix_stable() -> None:
+    """Sub-cell rungs are prefixes of ONE seeded family (adding bits
+    never changes the low bits), the family is deterministic, and it is
+    DISTINCT from the similarity tier's plane family (uncorrelated
+    bucket spaces)."""
+    signs = _cell_plane_signs()
+    assert len(signs) == MAX_CELL_BITS
+    assert all(len(s) == 64 and set(s) <= {-1, 1} for s in signs)
+    assert signs == _cell_plane_signs()
+    assert signs[: len(signs)] != _plane_signs()[: len(signs)]
+
+
+def test_subcell_engages_past_target(spark) -> None:
+    """Past CELL_TARGET per label, _with_subcell must actually split:
+    >1 distinct subcell per label, prefix widths consistent, and the
+    aug-perturbed near-dup twin overwhelmingly co-celled (the recall
+    the dedup tier relies on)."""
+    import pyspark.sql.functions as F
+
+    from pokertracker_cassandra_st_spark.llm.dedup import _with_subcell
+
+    n = 600  # one label, past CELL_TARGET -> ladder picks cb=2
+    rows = [
+        (i, "only", [((i * 7919 + d * 104729) % 2000 - 1000) / 1000.0 for d in range(64)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, emb array<double>")
+    out = _with_subcell(df).select("vec_id", "subcell").toPandas()
+    assert len(out) == n
+    n_cells = out["subcell"].nunique()
+    assert n_cells > 1, "ladder did not engage past CELL_TARGET"
+    assert out["subcell"].between(0, 3).all()  # cb=2 -> 4 subcells

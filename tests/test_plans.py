@@ -478,15 +478,31 @@ def test_pattern_match_reuses_window_partitioning(spark, sf_dir):
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
 
 
-def test_semantic_dedup_label_blocked_broadcast_centroids(spark, sf_dir):
-    # pair generation must stay label-blocked (equi-join, never a
-    # cartesian) and both centroid-side frames (cells x dim, cells)
-    # must broadcast — the corpus shuffles only for the centroid
-    # partial agg and the per-vector rollup
+def test_semantic_dedup_cell_blocked_broadcast_centroids(spark, sf_dir):
+    # pair generation must stay cell-blocked (equi-join on
+    # (label, subcell), never a cartesian) and both centroid-side
+    # frames (cells x dim, cells) must broadcast — the corpus shuffles
+    # only for the centroid partial agg and the per-vector rollup.
+    # The ONLY nested-loop joins allowed are the broadcast 1-row
+    # ladder-choice injections (_with_subcell's params frame) — the
+    # lazy alternative to a driver-side count, same as PLANES_LADDER.
     simple = plan_of(spark, "q_dedup_semantic", sf_dir, mode="simple")
     assert "CartesianProduct" not in simple
-    assert "BroadcastNestedLoopJoin" not in simple
+    assert simple.count("BroadcastNestedLoopJoin") == simple.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
     assert simple.count("BroadcastHashJoin") >= 2
+
+
+def test_embedding_dedup_cell_blocked(spark, sf_dir):
+    # same contract for the embedding near-dup tier: the pair join is
+    # an equi-join on (label, subcell); nested-loop joins only for the
+    # broadcast 1-row ladder-choice frames
+    simple = plan_of(spark, "q_dedup_embedding", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert simple.count("BroadcastNestedLoopJoin") == simple.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
 
 
 def test_snapshot_incremental_keeps_rank_limit_pushdown(spark, sf_dir):
