@@ -11,8 +11,21 @@ to call on a session we did not create (the driver passes us one).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
+
+# pandas 2.2 deprecates concat() with empty / all-NA entries influencing
+# the result dtype; pyspark's applyInPandasWithState serializer hits the
+# pattern on every emitted batch (serializers.construct_record_batch
+# concats the result frames with an all-NA filler), spamming a
+# FutureWarning per batch into the bench/driver tail. The behavior the
+# stream path relies on is PINNED by tests/test_pandas_pin.py — so a
+# pandas major bump fails loudly in CI instead of silently changing
+# stream output — and the known-benign warning is silenced here. The
+# message prefix keeps every other FutureWarning visible.
+_PANDAS_CONCAT_MSG = "The behavior of DataFrame concatenation with empty or all-NA entries"
+warnings.filterwarnings("ignore", message=_PANDAS_CONCAT_MSG, category=FutureWarning)
 
 # Runtime-settable confs applied to ANY session (ours or the driver's).
 _RUNTIME_CONF = {
@@ -86,6 +99,18 @@ def tune(spark: SparkSession) -> SparkSession:
         ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         spark.conf.set("spark.sql.shuffle.partitions", str(max(ncpu, 8)))
     except Exception:
+        pass
+    try:
+        # The FutureWarning above is raised in the PYTHON WORKER
+        # processes (stateful-stream serializer), which a driver-side
+        # filter can't reach; sc.environment is shipped as worker env
+        # at daemon launch, and PYTHONWARNINGS applies at interpreter
+        # start. Message-prefix scoped — other FutureWarnings survive.
+        spark.sparkContext.environment.setdefault(
+            "PYTHONWARNINGS",
+            f"ignore:{_PANDAS_CONCAT_MSG}:FutureWarning",
+        )
+    except Exception:  # Spark Connect: no sparkContext — server env rules
         pass
     _ship_package(spark)
     return spark
