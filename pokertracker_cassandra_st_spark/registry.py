@@ -482,7 +482,9 @@ WINDOW_R6: list[str] = [*POST_ROTATION_R5, *_R6_REPS]
 # row by construction; they must lead WINDOW_R7.  Same ledger contract
 # as POST_ROTATION_R5: every round-6 registration joins this list in
 # the same commit, or tests/test_registry_window.py goes red.
-POST_ROTATION_R6: list[str] = []
+POST_ROTATION_R6: list[str] = [
+    "q_dedup_incremental",
+]
 
 # Round-7 rotation (pre-staged, built dynamically from the round-6
 # ledger so late registrations can never strand).  Reps renew the

@@ -512,3 +512,16 @@ def test_snapshot_incremental_keeps_rank_limit_pushdown(spark, sf_dir):
     simple = plan_of(spark, "q_replay_snapshot_incremental", sf_dir, mode="simple")
     assert "WindowGroupLimit" in simple
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+
+
+def test_incremental_dedup_broadcasts_shard_never_selfjoins_corpus(spark, sf_dir):
+    # the incremental contract: every join against a corpus-sized frame
+    # builds on the SHARD side (digests, band buckets, candidates) —
+    # the corpus streams; a SortMergeJoin would mean a corpus-sized
+    # shuffle crept in, and a cartesian/cross join would mean the
+    # asymmetric pairing regressed to all-pairs
+    simple = plan_of(spark, "q_dedup_incremental", sf_dir, mode="simple")
+    assert "SortMergeJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "BroadcastHashJoin" in simple
