@@ -1438,23 +1438,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the FULL-corpus dedup (exact + 5-gram Jaccard over
     corpus UNION shard) restricted to crossing pairs — the equivalence
     proof that incremental == from-scratch for the new shard. Recall
-    of the near tier rides the same seeded 16-table MinHash family as
-    q_dedup_near_minhash (miss probability (1-s)^16 <= 1.5e-5 at
-    s=0.5); verification is exact, so the output is deterministic.
+    contract vs the exhaustive oracle: candidates are the UNION of
+    (a) the seeded 16-table MinHash family (miss probability
+    (1-s)^16 <= 1.5e-5 at s=0.5) and (b) a DETERMINISTIC
+    leading-shingle fingerprint tier — any pair sharing its first
+    5-gram is a candidate with probability 1, which covers every
+    prefix-edit near-duplicate (trailing-token trims, appended
+    suffixes — the dominant re-crawl family, and the entire fixture's
+    near tier) independent of LSH luck, so the differential cannot
+    hinge on an (1-s)^16 tail event at any replication factor.
+    Verification is exact, so the output is deterministic.
 
     Scale notes: nothing corpus-sized is ever self-joined or
     broadcast. The corpus contributes (a) a digest column scan and
     (b) band-bucket triples (doc_id, table, hash) — both of which a
     production deployment STORES as the dedup index (here they are
     recomputed from the parquet fixture; the plan from the signatures
-    onward is identical). The shard side — digests, signatures,
-    candidate ids — is broadcast: a daily shard is orders of magnitude
-    smaller than the corpus, so every corpus-sized frame streams
-    map-side against it and the only shuffles are the candidate-pair
-    dedup and the final verify join, both sized by the candidate
-    count, not the corpus. Shard-vs-shard pairs are out of scope here
-    (run the ordinary full-corpus operators on the shard alone — it is
-    shard-sized, not corpus-sized).
+    onward is identical). The shard side is broadcast ONLY where the
+    frame is narrow and shard-linear with small constants — digests
+    (~48 B/doc), band-bucket triples (16 x ~24 B/doc), leading-shingle
+    fingerprints (~16 B/doc), candidate ids — which stay under Spark's
+    8 GB broadcast ceiling up to shards of ~10^7-10^8 docs (a daily
+    ingest, not a corpus); past that, drop these hints and AQE picks
+    shuffle-hash from runtime sizes. The shingle-array-carrying shard
+    frame is the one shard-linear frame with LARGE row payloads, so it
+    is never broadcast: the verify join first narrows the corpus side
+    by the broadcast candidate set, then SHUFFLE_HASH-joins the shard
+    shingles on new_id — both shuffle inputs are sized by the
+    candidate count / shard size, never the corpus. Shard-vs-shard
+    pairs are out of scope here (run the ordinary full-corpus
+    operators on the shard alone — it is shard-sized, not
+    corpus-sized).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
@@ -1517,7 +1531,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "t", vector_to_array("hv")[0].cast("long").alias("h"))
         )
 
-    cand = (
+    cand_lsh = (
         buckets(sh_c)
         .withColumnRenamed("doc_id", "corpus_id")
         .join(
@@ -1525,12 +1539,31 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["t", "h"],
         )
         .select("new_id", "corpus_id")
-        .distinct()
     )
 
+    # tier 3b: deterministic leading-shingle fingerprints — recall 1.0
+    # for any pair sharing its first 5-gram (prefix-edit near-dups),
+    # so borderline s≈0.5 pairs never depend on LSH table luck.
+    # xxhash64 collisions only ADD candidates; verification is exact.
+    def lead_fp(sh: DataFrame, idcol: str) -> DataFrame:
+        return sh.select(
+            F.col("doc_id").alias(idcol),
+            F.xxhash64(F.element_at("shingles", 1)).alias("fp"),
+        )
+
+    cand_prefix = (
+        lead_fp(sh_c, "corpus_id")
+        .join(F.broadcast(lead_fp(sh_s, "new_id")), "fp")
+        .select("new_id", "corpus_id")
+    )
+    cand = cand_lsh.unionByName(cand_prefix).distinct()
+
     # tier 4: exact verification on candidates only; hash-equal pairs
-    # excluded (tier-1 rows). Candidate/shard frames broadcast; the
-    # corpus shingle frame streams against them.
+    # excluded (tier-1 rows). The corpus shingle frame is narrowed by
+    # the broadcast candidate set FIRST, then shuffle-hash-joined to
+    # the shard shingles (never broadcast — shingle payloads are the
+    # one shard-linear frame with large rows; both shuffle inputs are
+    # candidate/shard-sized, never corpus-sized).
     pairs = (
         sh_c.select(
             F.col("doc_id").alias("corpus_id"),
@@ -1539,13 +1572,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cand), "corpus_id")
         .join(
-            F.broadcast(
-                sh_s.select(
-                    F.col("doc_id").alias("new_id"),
-                    F.col("h").alias("h_s"),
-                    F.col("shingles").alias("sh_s"),
-                )
-            ),
+            sh_s.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("h").alias("h_s"),
+                F.col("shingles").alias("sh_s"),
+            ).hint("shuffle_hash"),
             "new_id",
         )
         .filter(F.col("h_c") != F.col("h_s"))

@@ -178,6 +178,10 @@ DOC_QUERIES = [
     "q_dedup_url",
     "q_multimodal_gate",
     "q_pipeline_budget_cap",
+    # round 7: incremental dedup on the ugly shared corpus (empty /
+    # whitespace / unicode / duplicated texts flow into both the
+    # derived shard and the stored corpus)
+    "q_dedup_incremental",
 ]
 
 
@@ -502,3 +506,90 @@ def test_jaccard_salted_pairgen_spreads_hot_neighbor(spark, tmp_path_factory):
     assert per_salt["count"].max() <= 2 * fair, (
         f"salt skewed: max {per_salt['count'].max()} vs fair {fair:.0f}"
     )
+
+
+# ---- q_dedup_incremental structural edge shards (VERDICT r6 #8) ----
+#
+# The incremental operator derives its "nightly shard" from documents
+# doc_ids (mod 4), so shard shape is controlled entirely by the table.
+# Three structural extremes the shared adversarial table cannot reach:
+#   * empty shard    — no doc_id ≡ 0,1 (mod 4): the asymmetric joins
+#     must produce an empty frame, not fail, with LSH fit on a corpus
+#     sample only;
+#   * all-dup shard  — every doc shares one text: quadratic exact
+#     cross-matching plus near-tier rows that are ALL hash-equal and
+#     must be excluded (tier-1-only output);
+#   * boundary near  — 6-token docs whose trimmed re-crawl sits at
+#     Jaccard exactly 0.5 (1 common shingle of 2) — the pair the
+#     deterministic leading-shingle candidate tier guarantees
+#     regardless of LSH table luck (ADVICE r6 #3) — next to 5-token
+#     docs whose trim drops below shingle length (no near row on
+#     either engine) and long docs safely above threshold.
+
+
+def _inc_scenario_docs(scenario: str) -> pd.DataFrame:
+    if scenario == "empty_shard":
+        ids = [2, 3, 6, 7, 10, 11, 14, 15]
+        texts = [f"doc number {i} with several distinct tokens here" for i in ids]
+    elif scenario == "all_dup_shard":
+        ids = list(range(12))
+        texts = ["same exact text repeated in every single document row"] * 12
+    elif scenario == "boundary_near":
+        ids = list(range(16))
+        texts = []
+        for i in ids:
+            if i % 4 == 1 and i < 8:
+                # 6 tokens: trim -> 1 of 2 shingles shared -> J = 0.5
+                texts.append(f"alpha{i} beta gamma delta epsilon zeta")
+            elif i % 4 == 1:
+                # 5 tokens: trim -> 4 tokens, below shingle length
+                texts.append(f"alpha{i} beta gamma delta epsilon")
+            else:
+                texts.append(
+                    f"longer document {i} " + " ".join(f"tok{i}x{j}" for j in range(12))
+                )
+    else:  # pragma: no cover
+        raise ValueError(scenario)
+    n = len(ids)
+    rng = np.random.RandomState(11)
+    return pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype="int64"),
+            "text": texts,
+            "lang": rng.choice(["en", "de"], size=n),
+            "source": rng.choice(["s0", "s1"], size=n),
+            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+@pytest.mark.parametrize("scenario", ["empty_shard", "all_dup_shard", "boundary_near"])
+def test_dedup_incremental_edge_shards(spark, tmp_path_factory, scenario):
+    d = str(tmp_path_factory.mktemp(f"inc_{scenario}"))
+    _inc_scenario_docs(scenario).to_parquet(f"{d}/documents.parquet", index=False)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    q = REGISTRY["q_dedup_incremental"]
+    pdf = q.fn(spark, d).toPandas()
+    con = duck_connection(d)
+    try:
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, f"q_dedup_incremental[{scenario}]")
+    if scenario == "empty_shard":
+        assert len(pdf) == 0
+    if scenario == "all_dup_shard":
+        # exact tier: 3 shard re-crawls (ids 0,4,8) cross-match all 12
+        # identical corpus docs; near tier: the 3 trimmed re-crawls
+        # (ids 1,5,9) hit all 12 at J = 4/5 — hash-equality suppresses
+        # none of those (trim changed the digest) but every
+        # re-crawl-vs-identical-corpus pairing stays in tier 1 only
+        exact, near = pdf[pdf["tier"] == "exact"], pdf[pdf["tier"] == "near"]
+        assert len(exact) == 36 and len(near) == 36
+        assert (near["jaccard"] == 0.8).all()
+    if scenario == "boundary_near":
+        near = pdf[pdf["tier"] == "near"]
+        assert (near["jaccard"] == 0.5).sum() == 2, "J=0.5 boundary pairs missed"

@@ -26,3 +26,74 @@ def test_kafka_adapter(spark):
         assert df.isStreaming
     except ConnectorUnavailable as e:
         assert "--packages" in str(e)
+
+
+# ---- deterministic branch + option-plumbing coverage (VERDICT r6 #6) ----
+#
+# The either/or test above follows whatever jars the container ships;
+# these pin BOTH branches regardless: the documented loud error when
+# the class is absent, and the exact reader wiring when present (a
+# recorder stands in for the DataStreamReader so no broker is needed —
+# the only reference-evidenced surface, start_container.sh:56/95, thus
+# gets deterministic rows in CI).
+
+class _RecorderReader:
+    def __init__(self):
+        self.fmt = None
+        self.opts: dict[str, object] = {}
+        self.loaded = False
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def options(self, **kw):
+        self.opts.update(kw)
+        return self
+
+    def load(self):
+        self.loaded = True
+        return self
+
+
+def test_kafka_unavailable_raises_actionable_error(spark, monkeypatch):
+    from pokertracker_cassandra_st_spark.sources import connectors as C
+
+    monkeypatch.setattr(C, "_has_class", lambda s, c: False)
+    with pytest.raises(ConnectorUnavailable, match="--packages"):
+        stream_event_bus(spark, brokers="broker:9092")
+
+
+def test_kafka_option_plumbing(spark, monkeypatch):
+    from pokertracker_cassandra_st_spark.sources import connectors as C
+
+    monkeypatch.setattr(C, "_has_class", lambda s, c: True)
+    rec = _RecorderReader()
+    monkeypatch.setattr(type(spark), "readStream", property(lambda self: rec))
+    out = stream_event_bus(
+        spark, brokers="b1:9092,b2:9092", topic="pokertracker",
+        starting_offsets="latest",
+    )
+    assert out is rec and rec.loaded
+    assert rec.fmt == "kafka"
+    assert rec.opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert rec.opts["subscribe"] == "pokertracker"
+    assert rec.opts["startingOffsets"] == "latest"
+
+
+def test_cassandra_option_plumbing(spark, monkeypatch):
+    from pokertracker_cassandra_st_spark.sources import connectors as C
+
+    monkeypatch.setattr(C, "_has_class", lambda s, c: True)
+    rec = _RecorderReader()
+    monkeypatch.setattr(type(spark), "read", property(lambda self: rec))
+    out = read_event_store(spark, host="cass.example")
+    assert out is rec and rec.loaded
+    assert rec.fmt == "org.apache.spark.sql.cassandra"
+    assert rec.opts["keyspace"] == "pokertracker"
+    assert rec.opts["table"] == "events"
+    assert rec.opts["spark.cassandra.connection.host"] == "cass.example"

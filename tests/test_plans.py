@@ -516,12 +516,17 @@ def test_snapshot_incremental_keeps_rank_limit_pushdown(spark, sf_dir):
 
 def test_incremental_dedup_broadcasts_shard_never_selfjoins_corpus(spark, sf_dir):
     # the incremental contract: every join against a corpus-sized frame
-    # builds on the SHARD side (digests, band buckets, candidates) —
-    # the corpus streams; a SortMergeJoin would mean a corpus-sized
-    # shuffle crept in, and a cartesian/cross join would mean the
-    # asymmetric pairing regressed to all-pairs
+    # builds on the SHARD side's NARROW frames (digests, band buckets,
+    # leading-shingle fingerprints, candidates) — the corpus streams; a
+    # SortMergeJoin would mean a corpus-sized sort crept in, and a
+    # cartesian/cross join would mean the asymmetric pairing regressed
+    # to all-pairs. The one non-broadcast join is the verify join: the
+    # shingle-carrying shard frame is SHUFFLE_HASH-joined (broadcasting
+    # it would grow linearly with shard size at large payload width —
+    # ADVICE r6), with the corpus side already narrowed to candidates.
     simple = plan_of(spark, "q_dedup_incremental", sf_dir, mode="simple")
     assert "SortMergeJoin" not in simple
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
     assert "BroadcastHashJoin" in simple
+    assert "ShuffledHashJoin" in simple

@@ -202,32 +202,47 @@ def test_full_registry_artifact_is_current():
     assert not failed, f"failed rows in latest full artifact: {failed}"
 
 
-def test_round6_window_is_active_and_ledgered():
-    """Round-6 rotation contract (VERDICT r5 'Next round #1/#3'):
-    WINDOW_R6 is the active window, led by all 13 POST_ROTATION_R5
-    queries (the round-5 additions with no driver row yet); any query
-    registered DURING round 6 must join POST_ROTATION_R6 in the same
-    commit or this test fails loudly."""
+def test_round6_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r06.json must cover exactly the 50
+    WINDOW_R6 slots — the round-6 rotation executed as drafted."""
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R6
+
+    r06 = set(json.load(open("/root/repo/CORRECTNESS_r06.json")))
+    assert r06 == set(WINDOW_R6), (
+        f"r06 artifact vs WINDOW_R6: missing={sorted(set(WINDOW_R6) - r06)} "
+        f"extra={sorted(r06 - set(WINDOW_R6))}"
+    )
+
+
+def test_round7_window_is_active_and_ledgered():
+    """Round-7 rotation contract (VERDICT r6 'Next round #1'):
+    WINDOW_R7 is the active window, led by every POST_ROTATION_R6
+    query (the round-6 additions with no driver row yet — cumulative
+    driver coverage reaches 226/226 when it runs); any query registered
+    DURING round 7 must join POST_ROTATION_R7 in the same commit or
+    this test fails loudly."""
     from pokertracker_cassandra_st_spark.registry import (
-        POST_ROTATION_R5,
         POST_ROTATION_R6,
-        WINDOW_R6,
+        POST_ROTATION_R7,
+        WINDOW_R7,
     )
 
     qs = get_queries()
-    assert WINDOW is WINDOW_R6, "round-6 window must be active"
-    assert WINDOW_R6[: len(POST_ROTATION_R5)] == POST_ROTATION_R5
+    assert WINDOW is WINDOW_R7, "round-7 window must be active"
+    assert WINDOW_R7[: len(POST_ROTATION_R6)] == list(POST_ROTATION_R6)
     # every never-driver-checked query is either in the active window
-    # (getting its row this round) or ledgered as a round-6 addition
+    # (getting its row this round) or ledgered as a round-7 addition
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - set(WINDOW_R6) - set(POST_ROTATION_R6))
+    stranded = sorted(never - set(WINDOW_R7) - set(POST_ROTATION_R7))
     assert not stranded, (
-        f"queries registered during round 6 without joining "
-        f"POST_ROTATION_R6: {stranded}"
+        f"queries registered during round 7 without joining "
+        f"POST_ROTATION_R7: {stranded}"
     )
-    undeclared = [n for n in POST_ROTATION_R6 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R6 names not registered: {undeclared}"
+    undeclared = [n for n in POST_ROTATION_R7 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R7 names not registered: {undeclared}"
 
 
 def test_round7_window_is_staged_correctly():
