@@ -101,9 +101,20 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join order is chosen selectivity-first (no CBO stats locally): the
     region predicate reaches customer AND supplier through broadcast
     dim joins BEFORE the fact joins, shrinking both probe sides ~5x —
-    the reordering a stats-fed CBO would do; AQE still picks physical
-    strategies. At 100 TB this ordering is the difference between
-    shuffling all orders vs one region's orders.
+    the reordering a stats-fed CBO would do. At 100 TB this ordering is
+    the difference between shuffling all orders vs one region's orders.
+
+    The two FACT joins carry explicit SHUFFLE_HASH hints with the
+    build on the filtered small side (region-year customer x orders;
+    region suppliers): without them the local planner's size estimate
+    put the whole column-pruned lineitem under the broadcast threshold
+    and BUILT ON THE FACT — a shape that only exists at toy scale —
+    and the supplier join fell to SortMergeJoin, paying two sorts for
+    a join whose build side is dim-sized at any scale. The hinted plan
+    is the one a cluster would want (facts shuffle on join keys, hash
+    builds on the bounded side, no fact-table broadcast or sort) and
+    is ~20% faster locally (round-7 probe: 1.43 s -> 1.09 s best-of-3;
+    AQE still re-splits skewed partitions under the hint).
     """
     t = tables(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
@@ -127,9 +138,10 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .hint("shuffle_hash")
         .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            supp,
+            supp.hint("shuffle_hash"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -170,12 +170,19 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
     The stateful-partition count is pinned while the query starts:
     every state partition pays per-batch checkpoint/commit overhead, so
-    it must be sized to STATE VOLUME, not to cores (32 partitions for
-    1.5k keys costs 5x the wall time of 8). A streaming query's state
-    partitioning is fixed at its first checkpoint anyway — choosing it
-    explicitly per deployment is the production posture; override with
-    SPARK_GRAFT_STREAM_PARTITIONS (e.g. hundreds on a real cluster
-    holding millions of keys).
+    it must be sized to STATE VOLUME, not to cores. A streaming query's
+    state partitioning is fixed at its first checkpoint anyway —
+    choosing it explicitly per deployment is the production posture;
+    override with SPARK_GRAFT_STREAM_PARTITIONS (e.g. hundreds on a
+    real cluster holding millions of keys). The 8 default is measured,
+    not guessed (round-7 probe, sf0.1, local[32], best-of-2): for the
+    JVM-stateful 8-micro-batch queries the per-partition commit cost
+    dominates and 32 partitions nearly DOUBLES wall time
+    (q_stream_chained 3.7 s -> 6.7 s, q_stream_latedata 3.7 s ->
+    6.6 s), while the one Python-fold query gains only ~8% from the
+    extra worker parallelism (q_stream_replay 5.4 s -> 5.0 s) — so 8
+    is the right trade at this state volume, and BASELINE.md records
+    q_stream_replay's ~5 s as its micro-batch-overhead floor.
     """
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"

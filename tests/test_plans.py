@@ -193,12 +193,19 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
 
 def test_q5_star_join_pushdown_and_broadcast(spark, sf_dir):
     # the 6-way star: region predicate must reach the region SCAN (not
-    # post-join), and the bounded dims must come in as broadcasts, not
-    # shuffled sort-merge joins
+    # post-join), the bounded dims must come in as broadcasts, and the
+    # two FACT joins must be shuffle-hash with the build on the
+    # filtered small side — never a fact-table broadcast (the local
+    # size estimate would otherwise broadcast pruned lineitem, a shape
+    # that exists only at toy scale) and never a sort-merge (two sorts
+    # for a dim-sized build side)
     plan = plan_of(spark, "q_tpch_q5_shape", sf_dir)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("r_name" in l and "EqualTo" in l for l in pushed)
     assert plan.count("BroadcastHashJoin") >= 2
+    simple = plan_of(spark, "q_tpch_q5_shape", sf_dir, mode="simple")
+    assert simple.count("ShuffledHashJoin") == 2
+    assert "SortMergeJoin" not in simple
 
 
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
