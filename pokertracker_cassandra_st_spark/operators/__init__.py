@@ -21,4 +21,5 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     sqlapi,
     statistics,
     spatial,
+    quality,
 )

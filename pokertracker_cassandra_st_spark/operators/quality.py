@@ -1,0 +1,422 @@
+"""Data-quality / validation operators: declared expectations,
+referential integrity, distribution drift, robust outlier screens.
+
+Reference anchor: the reference's only data contract is the implicit
+one its system test asserts — field completeness and server-assigned
+id uniqueness of the player read model (PlayerResourceIT.java:131-139
+asserts every projected field is present; 160-171 asserts the id is
+server-assigned and stable). A warehouse-scale pipeline feeding that
+read model runs those same assertions as DECLARED checks over the whole
+table, plus the checks every training-data pipeline adds before a run:
+foreign-key integrity of the fact graph, distribution drift between
+ingest periods (the "did the upstream change under me" gate), and a
+robust outlier screen. These are Deequ / Great-Expectations-style
+suites re-expressed as single-pass Spark aggregations — metrics as
+columns of ONE agg row, stacked tall, never one job per check.
+
+Cross-engine determinism doctrine (see registry.py header):
+  * every rate is a ratio of exact int64 counts — identical integers
+    in both engines, so IEEE division is bit-identical;
+  * PSI smoothing is Laplace-over-integers and each PSI term is
+    quantized to a 1e-12 scaled long before summation (exact,
+    order-independent), the scaled-long doctrine applied to ln();
+  * the outlier tier reuses the quantized exact-percentile doctrine
+    from q_agg_percentile_exact (values scaled to longs, times the
+    interpolation denominator, so every median/MAD is an exact
+    integer cross-engine).
+
+Scale notes (100 TB posture):
+  * q_dq_expectations is one aggregation pass: map-side partials carry
+    a handful of counters; the only wide exchange is the exact
+    count(distinct) expand, which is the point of the check (swap for
+    approx_count_distinct when a tolerance is declared — that variant
+    is q_agg_approx_distinct's contract).
+  * q_dq_referential shuffles both sides on the join key — the same
+    layout a bucketed fact/fact co-location makes exchange-free
+    (q_join_bucketed documents that upgrade); the violation payload
+    aggregates BEFORE leaving the join stage, so the driver sees one
+    row per status, never the orphan rows themselves.
+  * q_dq_drift_psi computes the period split point IN-PLAN (1-row
+    min/max frame, broadcast) — no driver-side scalar; bucket counts
+    (5 event types + 10 value bands) bound every later stage, so the
+    whole check after the first agg is constant-size regardless of
+    input rows.
+  * q_dq_outliers is the bounded-group exact tier (5 event types):
+    two grouped percentile passes plus two broadcast joins of
+    rows==n_groups frames. At unbounded group cardinality switch the
+    medians to approx_percentile — the same trade q_agg_percentile_
+    exact documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import slong
+from pokertracker_cassandra_st_spark.registry import register
+
+# ---- q_dq_expectations -------------------------------------------- #
+# (check, threshold) pairs — the declared contract. Completeness and
+# uniqueness demand exactly 1.0; conformance checks tolerate 1% dirty
+# rows before failing, the usual warehouse posture.
+_PRICE_LO, _PRICE_HI = 0, 600000
+_STATUS_DOMAIN = ("O", "F", "P")
+
+
+@register(
+    "q_dq_expectations",
+    oracle=f"""
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS n_cust,
+         count(o_orderdate) AS n_date,
+         count(DISTINCT o_orderkey) AS n_key,
+         count(CASE WHEN o_totalprice BETWEEN {_PRICE_LO} AND {_PRICE_HI}
+                    THEN 1 END) AS n_price_ok,
+         count(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                    THEN 1 END) AS n_status_ok
+  FROM orders
+), checks AS (
+  SELECT 'completeness(o_custkey)' AS check_name,
+         CAST(n_cust AS DOUBLE) / n AS metric, 1.0 AS threshold FROM m
+  UNION ALL SELECT 'completeness(o_orderdate)',
+         CAST(n_date AS DOUBLE) / n, 1.0 FROM m
+  UNION ALL SELECT 'uniqueness(o_orderkey)',
+         CAST(n_key AS DOUBLE) / n, 1.0 FROM m
+  UNION ALL SELECT 'range(o_totalprice,[{_PRICE_LO},{_PRICE_HI}])',
+         CAST(n_price_ok AS DOUBLE) / n, 0.99 FROM m
+  UNION ALL SELECT 'domain(o_orderstatus)',
+         CAST(n_status_ok AS DOUBLE) / n, 0.99 FROM m
+)
+SELECT check_name, round(metric, 6) AS metric,
+       metric >= threshold AS passed
+FROM checks
+""",
+    tags=("quality",),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation suite over ``orders``: completeness,
+    key uniqueness, range and domain conformance — ONE aggregation
+    pass producing a tall (check_name, metric, passed) report.
+
+    The pass/fail decision compares the UNROUNDED ratio (identical
+    int64 counts => bit-identical doubles in both engines); rounding
+    is presentation only.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_cust"),
+        F.count("o_orderdate").alias("n_date"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") >= _PRICE_LO)
+                & (F.col("o_totalprice") <= _PRICE_HI),
+                1,
+            )
+        ).alias("n_price_ok"),
+        F.count(F.when(F.col("o_orderstatus").isin(*_STATUS_DOMAIN), 1)).alias(
+            "n_status_ok"
+        ),
+    )
+    checks = m.select(
+        F.expr(
+            "stack(5, "
+            "'completeness(o_custkey)', CAST(n_cust AS DOUBLE) / n, 1.0D, "
+            "'completeness(o_orderdate)', CAST(n_date AS DOUBLE) / n, 1.0D, "
+            "'uniqueness(o_orderkey)', CAST(n_key AS DOUBLE) / n, 1.0D, "
+            f"'range(o_totalprice,[{_PRICE_LO},{_PRICE_HI}])', "
+            "CAST(n_price_ok AS DOUBLE) / n, 0.99D, "
+            "'domain(o_orderstatus)', CAST(n_status_ok AS DOUBLE) / n, 0.99D"
+            ") AS (check_name, metric, threshold)"
+        )
+    )
+    return checks.select(
+        "check_name",
+        F.round("metric", 6).alias("metric"),
+        (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )
+
+
+# ---- q_dq_referential --------------------------------------------- #
+
+
+@register(
+    "q_dq_referential",
+    oracle="""
+WITH p AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+SELECT l_linestatus,
+       count(*) AS n_rows,
+       count(CASE WHEN p.o_orderkey IS NULL THEN 1 END) AS n_orphans,
+       count(DISTINCT CASE WHEN p.o_orderkey IS NULL THEN l_orderkey END)
+         AS n_orphan_keys,
+       round(CAST(count(CASE WHEN p.o_orderkey IS NULL THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS orphan_rate
+FROM lineitem l LEFT JOIN p ON l.l_orderkey = p.o_orderkey
+GROUP BY l_linestatus
+""",
+    tags=("quality", "join"),
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: lineitem rows whose order is absent
+    from a curated parent snapshot (here: completed orders,
+    o_orderstatus = 'F'), reported per linestatus as counts + rate.
+
+    Left join with a null-marker beats an anti-join here because one
+    pass yields BOTH totals and violations; the parent side needs no
+    pre-dedup because q_dq_expectations pins o_orderkey uniqueness.
+    Both sides shuffle on the key — bucketed layout makes this
+    exchange-free at scale (q_join_bucketed).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    parents = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("pk"))
+    )
+    # SHUFFLE_HASH, not broadcast: the parent snapshot is a constant
+    # fraction of the orders FACT, so the local planner's size-estimate
+    # broadcast is a toy-scale-only shape (the q_tpch_q5_shape lesson,
+    # operators/analytics.py). Both sides shuffle on the key; build on
+    # the narrower parent side.
+    j = li.join(parents.hint("SHUFFLE_HASH"), li.l_orderkey == parents.pk, "left")
+    orphan = F.col("pk").isNull()
+    return j.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(orphan, 1)).alias("n_orphans"),
+        F.countDistinct(F.when(orphan, F.col("l_orderkey"))).alias(
+            "n_orphan_keys"
+        ),
+        F.round(
+            F.count(F.when(orphan, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("orphan_rate"),
+    )
+
+
+# ---- q_dq_drift_psi ------------------------------------------------ #
+# Value bands: fixed-width buckets floor(value/50) clamped to [0, 9].
+# Fixed edges (not quantiles) keep the binning deterministic and
+# mergeable across partitions/periods — the PSI convention for
+# monitoring (quantile edges would themselves drift).
+_BAND_W = 50.0
+_BAND_MAX = 9
+# Each PSI term is quantized to a 1e-12 scaled long before the sum, so
+# the (few-bucket) sum is exact-integer and order independent; |term|
+# < ~7 here, and <= 15 buckets keep the scaled sum < 1e14 — far inside
+# int64.
+_PSI_Q = 12
+
+
+@register(
+    "q_dq_drift_psi",
+    oracle=f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+), tall AS (
+  SELECT CASE WHEN epoch_us(ts) < mn + (mx - mn) // 2
+              THEN 'ref' ELSE 'cur' END AS period,
+         'event_type' AS feature, event_type AS bucket
+  FROM events, b
+  UNION ALL
+  SELECT CASE WHEN epoch_us(ts) < mn + (mx - mn) // 2
+              THEN 'ref' ELSE 'cur' END,
+         'value_band',
+         'b' || CAST(least(CAST(floor(value / {_BAND_W}) AS BIGINT),
+                           {_BAND_MAX}) AS VARCHAR)
+  FROM events, b
+), cnt AS (
+  SELECT feature, bucket,
+         count(CASE WHEN period = 'ref' THEN 1 END) AS ref_cnt,
+         count(CASE WHEN period = 'cur' THEN 1 END) AS cur_cnt
+  FROM tall GROUP BY 1, 2
+), tot AS (
+  SELECT feature, SUM(ref_cnt) AS n_ref, SUM(cur_cnt) AS n_cur,
+         count(*) AS nb
+  FROM cnt GROUP BY 1
+), terms AS (
+  SELECT c.feature, t.nb,
+         CAST(floor(
+           (CAST(ref_cnt + 1 AS DOUBLE) / (n_ref + nb)
+            - CAST(cur_cnt + 1 AS DOUBLE) / (n_cur + nb))
+           * ln((CAST(ref_cnt + 1 AS DOUBLE) / (n_ref + nb))
+                / (CAST(cur_cnt + 1 AS DOUBLE) / (n_cur + nb)))
+           * 1e{_PSI_Q} + 0.5) AS BIGINT) AS term_q
+  FROM cnt c JOIN tot t ON c.feature = t.feature
+)
+SELECT feature, CAST(nb AS BIGINT) AS n_buckets,
+       round(CAST(SUM(term_q) AS DOUBLE) / 1e{_PSI_Q}, 6) AS psi
+FROM terms GROUP BY feature, nb
+""",
+    tags=("quality",),
+)
+def q_dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the first and second
+    half of the event history (split at the temporal midpoint,
+    computed IN-PLAN), per feature: the event_type distribution and
+    fixed-width value bands.
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i) with Laplace smoothing
+    (+1 over n + n_buckets) so empty buckets never hit ln(0). One
+    scan builds both features via explode(array(struct..)); after the
+    first groupBy, every frame is bucket-bounded (<= 15 rows), so
+    drift monitoring costs one aggregation regardless of input size.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    vb = F.least(
+        F.floor(F.col("value") / F.lit(_BAND_W)).cast("long"),
+        F.lit(_BAND_MAX).cast("long"),
+    )
+    period = F.when(
+        F.unix_micros("ts") < F.expr("mn + (mx - mn) DIV 2"), "ref"
+    ).otherwise("cur")
+    tall = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            period.alias("period"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("event_type").alias("feature"),
+                        F.col("event_type").alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("value_band").alias("feature"),
+                        F.concat(F.lit("b"), vb.cast("string")).alias("bucket"),
+                    ),
+                )
+            ).alias("fb"),
+        )
+        .select("period", "fb.feature", "fb.bucket")
+    )
+    cnt = tall.groupBy("feature", "bucket").agg(
+        F.count(F.when(F.col("period") == "ref", 1)).alias("ref_cnt"),
+        F.count(F.when(F.col("period") == "cur", 1)).alias("cur_cnt"),
+    )
+    # per-feature totals as WINDOW functions over the (bucket-bounded,
+    # <= 15 row) cnt frame — a second groupBy+join consumes cnt twice
+    # and duplicates the whole scan+explode subtree in the plan; the
+    # window is one tiny feature-partitioned shuffle instead, and the
+    # tall fact scan stays single
+    from pyspark.sql import Window
+
+    per_feature = Window.partitionBy("feature")
+    cnt = cnt.select(
+        "feature",
+        "ref_cnt",
+        "cur_cnt",
+        F.sum("ref_cnt").over(per_feature).alias("n_ref"),
+        F.sum("cur_cnt").over(per_feature).alias("n_cur"),
+        F.count(F.lit(1)).over(per_feature).alias("nb"),
+    )
+    p = (F.col("ref_cnt") + 1).cast("double") / (F.col("n_ref") + F.col("nb"))
+    q = (F.col("cur_cnt") + 1).cast("double") / (F.col("n_cur") + F.col("nb"))
+    term_q = slong((p - q) * F.log(p / q), _PSI_Q)
+    return (
+        cnt.select("feature", "nb", term_q.alias("term_q"))
+        .groupBy("feature", "nb")
+        .agg(
+            F.round(
+                F.sum("term_q").cast("double") / F.lit(float(10**_PSI_Q)), 6
+            ).alias("psi")
+        )
+        .select(
+            "feature", F.col("nb").cast("long").alias("n_buckets"), "psi"
+        )
+    )
+
+
+# ---- q_dq_outliers ------------------------------------------------- #
+# Robust z (the modified z-score): 0.6745 * (x - median) / MAD, flag
+# |z| > 3.5 (Iglewicz-Hoaglin). events.value is 2-decimal, so q =
+# round(value * 100) is exact; medians interpolate at halves, so q*2
+# (and dev*2 for the MAD) make every percentile an exact integer —
+# the q_agg_percentile_exact doctrine.
+_RZ_FLAG = 3.5
+
+
+@register(
+    "q_dq_outliers",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+  FROM events
+), med AS (
+  SELECT event_type, count(*) AS n,
+         CAST(quantile_cont(q * 2, 0.5) AS BIGINT) AS med_q2
+  FROM base GROUP BY 1
+), dev AS (
+  SELECT b.event_type, n, med_q2, abs(b.q * 2 - med_q2) AS d2
+  FROM base b JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, CAST(quantile_cont(d2 * 2, 0.5) AS BIGINT) AS mad_q4
+  FROM dev GROUP BY 1
+), z AS (
+  SELECT d.event_type, n, med_q2, mad_q4,
+         0.6745 * CAST(2 * d2 AS DOUBLE) / CAST(NULLIF(mad_q4, 0) AS DOUBLE)
+           AS rz
+  FROM dev d JOIN mad USING (event_type)
+)
+SELECT event_type, max(n) AS n, max(med_q2) AS med_q2, max(mad_q4) AS mad_q4,
+       count(CASE WHEN rz > {_RZ_FLAG} THEN 1 END) AS n_outliers,
+       round(max(rz), 6) AS max_rz
+FROM z GROUP BY event_type
+""",
+    tags=("quality", "agg"),
+)
+def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier screen of events.value per event type:
+    modified z-score 0.6745*(x - median)/MAD, flagging |z| > 3.5.
+    (value >= 0 here, so the one-sided rz > 3.5 test IS |z| > 3.5 for
+    the upper tail; the lower tail is bounded by the median itself.)
+
+    Bounded-group exact tier: two grouped exact-percentile passes over
+    quantized longs with broadcast joins of the tiny (one row per
+    group) median/MAD frames back onto the fact — the scan runs twice,
+    but nothing wide ever shuffles except the two percentile
+    aggregations. MAD == 0 (constant group) disables the screen via
+    NULL, never a division blowup.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", slong("value", 2).alias("q")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("q") * 2, 0.5).cast("long").alias("med_q2")
+    )
+    # dev carries ONLY (group, deviation): its two consumers (the MAD
+    # aggregation and the z pass) then prune to the same columns, so
+    # the med broadcast subtree canonicalizes identically and Spark's
+    # ReuseExchange collapses it — 3 narrow fact scans total, not the
+    # 6 the naive carry-everything shape recompiles to (column pruning
+    # differentiates otherwise-shared subtrees; n and med_q2 rejoin
+    # from the tiny per-group frames at the end instead).
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("q") * 2 - F.col("med_q2")).alias("d2")
+    )
+    madn = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("d2") * 2, 0.5).cast("long").alias("mad_q4"),
+    )
+    rz = (
+        F.lit(0.6745)
+        * (F.lit(2) * F.col("d2")).cast("double")
+        / F.nullif(F.col("mad_q4"), F.lit(0)).cast("double")
+    )
+    z = dev.join(F.broadcast(madn), "event_type").select(
+        "event_type", "n", "mad_q4", rz.alias("rz")
+    )
+    zagg = z.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("mad_q4").alias("mad_q4"),
+        F.count(F.when(F.col("rz") > _RZ_FLAG, 1)).alias("n_outliers"),
+        F.round(F.max("rz"), 6).alias("max_rz"),
+    )
+    return zagg.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med_q2", "mad_q4", "n_outliers", "max_rz"
+    )

@@ -82,6 +82,12 @@ EVENT_QUERIES = [
     "q_win_pattern_match",
     "q_replay_snapshot_incremental",
     "q_fn_tz",
+    # round 7: data-quality family — NULL value rows land in a NULL
+    # drift bucket (three-valued concat) and are rz-NULL in the
+    # outlier screen; celebrity-key skew stresses both grouped
+    # percentile passes
+    "q_dq_drift_psi",
+    "q_dq_outliers",
 ]
 
 
@@ -302,6 +308,11 @@ REL_QUERIES = [
     "q_agg_corr_matrix",
     "q_graph_kcore",
     "q_source_xml_roundtrip",
+    # round 7: data-quality family — NULL o_custkey flips completeness
+    # to failed, NULL o_totalprice exits the range check, NULL
+    # l_returnflag/l_quantity ride through the referential rollup
+    "q_dq_expectations",
+    "q_dq_referential",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

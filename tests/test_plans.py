@@ -537,3 +537,60 @@ def test_incremental_dedup_broadcasts_shard_never_selfjoins_corpus(spark, sf_dir
     assert "BroadcastNestedLoopJoin" not in simple
     assert "BroadcastHashJoin" in simple
     assert "ShuffledHashJoin" in simple
+
+
+# ---- round-7 data-quality family ---------------------------------- #
+
+
+def test_dq_expectations_single_pruned_scan(spark, sf_dir):
+    # one aggregation pass over orders: exactly one scan, reading only
+    # the five columns the checks touch (uniqueness's exact-distinct
+    # Expand is the declared cost of the check)
+    plan = plan_of(spark, "q_dq_expectations", sf_dir)
+    # formatted mode prints each scan node twice (tree + detail) —
+    # count file-index detail lines, one per scan
+    assert plan.count("InMemoryFileIndex") == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus"]:
+        assert col in read_schema
+    assert "o_orderpriority" not in read_schema
+
+
+def test_dq_referential_shuffles_never_broadcasts_parent(spark, sf_dir):
+    # the parent snapshot is a constant fraction of the orders FACT —
+    # broadcasting it is a toy-scale-only shape (the q_tpch_q5_shape
+    # lesson). Both sides must shuffle on the key; the status filter
+    # must reach the parquet reader.
+    simple = plan_of(spark, "q_dq_referential", sf_dir, mode="simple")
+    assert "ShuffledHashJoin" in simple
+    assert "BroadcastHashJoin" not in simple
+    plan = plan_of(spark, "q_dq_referential", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "o_orderstatus" in l]
+    assert pushed and "EqualTo(o_orderstatus,F)" in pushed[0]
+
+
+def test_dq_drift_psi_single_scan_per_feature_builder(spark, sf_dir):
+    # the tall (feature, bucket) frame comes from ONE events scan via
+    # explode(array(struct..)) — one Generate, plus the 1-row bounds
+    # frame (its own scan + broadcast); no cartesian wider than the
+    # broadcast-1-row cross join
+    simple_tree = plan_of(spark, "q_dq_drift_psi", sf_dir, mode="simple")
+    assert simple_tree.count("Generate explode") == 1
+    # two scans total: the tall builder and the min/max bounds frame
+    plan = plan_of(spark, "q_dq_drift_psi", sf_dir)
+    assert plan.count("InMemoryFileIndex") == 2
+    simple = plan_of(spark, "q_dq_drift_psi", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+
+
+def test_dq_outliers_reuses_median_exchange(spark, sf_dir):
+    # dev carries only (group, deviation) so BOTH its consumers prune
+    # identically and the median broadcast is planned once: the
+    # executed plan must collapse the duplicated subtrees to
+    # ReusedExchange (3 narrow fact scans, not 6 — see quality.py)
+    df = REGISTRY["q_dq_outliers"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 2
+    assert final.count("FileScan parquet") <= 3

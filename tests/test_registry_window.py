@@ -156,14 +156,16 @@ def test_round5_window_leads_with_backlog():
     assert not wasted, f"leading slots wasted on driver-checked queries: {wasted}"
     # nothing registered without bookkeeping: every never-checked query
     # is either in the leading block or in a round-additions ledger
-    # (round-6 registrations live in POST_ROTATION_R6 — checked by the
-    # round-6 contract test, excluded here)
-    from pokertracker_cassandra_st_spark.registry import POST_ROTATION_R6
+    # (registrations from LATER rounds live in their own POST_ROTATION
+    # ledgers — checked by each round's own contract test, excluded
+    # here so this historical pin stays round-5-scoped)
+    from pokertracker_cassandra_st_spark.registry import _LEDGER
 
+    later_eras = {n for n, era, _w in _LEDGER if era >= 6}
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
     stranded = sorted(
-        never - must_lead - set(POST_ROTATION_R5) - set(POST_ROTATION_R6)
+        never - must_lead - set(POST_ROTATION_R5) - later_eras
     )
     assert not stranded, (
         f"queries registered during round 5 without joining "
