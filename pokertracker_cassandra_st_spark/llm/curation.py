@@ -352,3 +352,91 @@ def q_pipeline_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- quality-priority dedup (keep-best) ----------------------------- #
+# Truncation duplicates — the same document captured at different
+# lengths — are the crawl-dedup case where "keep the FIRST copy seen"
+# (q_dedup_exact's min-id rule) is wrong: the right policy keeps the
+# HIGHEST-QUALITY member of each duplicate cluster. Cluster key: the
+# first-8-token prefix fingerprint (truncation preserves prefixes);
+# keep rule: most tokens, then lowest doc_id — both integers, so the
+# argmax is deterministic cross-engine. The augmented corpus's
+# drop-last-token mutants guarantee real clusters to adjudicate.
+_KEEPBEST_PREFIX = 8
+
+_KEEPBEST_ORACLE = f"""
+WITH corpus AS ({{aug}}),
+scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      least(len(string_split(text, ' ')), {_KEEPBEST_PREFIX})),
+           ' ')) AS cluster_key
+  FROM corpus
+), ranked AS (
+  SELECT cluster_key, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_key
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_key) AS n_members,
+         SUM(n_tokens) OVER (PARTITION BY cluster_key) AS cluster_tokens
+  FROM scored
+)
+SELECT cluster_key, doc_id AS keep_id,
+       CAST(n_tokens AS BIGINT) AS keep_tokens,
+       n_members,
+       CAST(cluster_tokens - n_tokens AS BIGINT) AS dropped_tokens
+FROM ranked
+WHERE rn = 1 AND n_members > 1
+""".format(aug=_AUG_ORACLE)
+
+
+@register("q_dedup_keepbest", oracle=_KEEPBEST_ORACLE, tags=("llm", "dedup"))
+def q_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup: cluster by first-8-token prefix
+    fingerprint (truncation dups share prefixes), keep the member with
+    the most tokens (tie: lowest doc_id), report kept id + dropped
+    token volume per real cluster.
+
+    Scale notes: only (md5-of-prefix, doc_id, n_tokens) shuffles — the
+    text never leaves the scan stage; one exchange on the 16-byte
+    cluster key serves the rank, membership count, and token-sum
+    windows (same partitioning, zero extra shuffles). The keep rule is
+    a policy slot: swap n_tokens for any precomputed quality score
+    (q_text_quality) without changing the plan shape.
+    """
+    corpus = augmented_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    scored = corpus.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    toks, 1, F.least(F.size(toks), F.lit(_KEEPBEST_PREFIX))
+                ),
+                " ",
+            )
+        ).alias("cluster_key"),
+    )
+    w = Window.partitionBy("cluster_key")
+    ranked = scored.select(
+        "cluster_key",
+        "doc_id",
+        "n_tokens",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_tokens"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_members"),
+        F.sum("n_tokens").over(w).alias("cluster_tokens"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1)).select(
+        "cluster_key",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_tokens").cast("long").alias("keep_tokens"),
+        "n_members",
+        (F.col("cluster_tokens") - F.col("n_tokens"))
+        .cast("long")
+        .alias("dropped_tokens"),
+    )

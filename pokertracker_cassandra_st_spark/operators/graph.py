@@ -25,7 +25,7 @@ lineage; unrolling two steps keeps this a single exchange-reusing plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
@@ -443,4 +443,106 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(summary(e1, 1))
         .unionAll(summary(e2, 2))
         .orderBy("round")
+    )
+
+
+# ---- label propagation --------------------------------------------- #
+# Community detection by iterative majority vote (Raghavan et al. 2007,
+# arXiv:0709.2938), unrolled two half-steps over the same bipartite
+# customer->supplier edge set as q_graph_pagerank. Seeds are customer
+# nations; suppliers adopt the majority label of their customer
+# neighbors, then customers re-vote from supplier labels. Deterministic
+# tie-break: highest count, then LOWEST label — the same argmax
+# convention as q_dedup_components' min-label rule.
+
+_LABELPROP_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_custkey IS NOT NULL
+), seed AS (
+  SELECT c_custkey AS c, CAST(c_nationkey AS BIGINT) AS lbl FROM customer
+), s_votes AS (
+  SELECT e.s, d.lbl, count(*) AS cnt
+  FROM edges e JOIN seed d ON e.c = d.c
+  GROUP BY e.s, d.lbl
+), s_lbl AS (
+  SELECT s, lbl FROM (
+    SELECT s, lbl,
+           row_number() OVER (PARTITION BY s ORDER BY cnt DESC, lbl) AS rn
+    FROM s_votes
+  ) WHERE rn = 1
+), c_votes AS (
+  SELECT e.c, sl.lbl, count(*) AS cnt
+  FROM edges e JOIN s_lbl sl ON e.s = sl.s
+  GROUP BY e.c, sl.lbl
+), c_lbl AS (
+  SELECT c, lbl FROM (
+    SELECT c, lbl,
+           row_number() OVER (PARTITION BY c ORDER BY cnt DESC, lbl) AS rn
+    FROM c_votes
+  ) WHERE rn = 1
+)
+SELECT cl.lbl AS community,
+       count(*) AS n_customers,
+       count(CASE WHEN cl.lbl = sd.lbl THEN 1 END) AS n_kept_seed
+FROM c_lbl cl JOIN seed sd USING (c)
+GROUP BY cl.lbl
+"""
+
+
+@register("q_graph_label_prop", oracle=_LABELPROP_ORACLE, tags=("graph",))
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled label-propagation half-steps over the customer->
+    supplier trade graph: nation seeds, per-neighbor majority vote with
+    a (count DESC, label ASC) deterministic tie-break, reported as the
+    resulting community-size histogram + how many customers kept their
+    seed label.
+
+    Scale notes: each half-step is one shuffle of (node, label) count
+    pairs — the per-node label histogram is bounded by the label
+    alphabet (25 nations), so partial aggregation caps map output at
+    nodes x 25; the argmax is a per-node window over that bounded
+    histogram, never over raw edges. Same Pregel-as-joins doctrine as
+    q_graph_pagerank; deeper iteration stacks more of the same plan
+    (checkpoint between steps at cluster scale to truncate lineage).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"), F.col("c_nationkey").cast("long").alias("lbl")
+    )
+    edges = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    def argmax_label(votes: DataFrame, node: str) -> DataFrame:
+        w = Window.partitionBy(node).orderBy(F.desc("cnt"), F.asc("lbl"))
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(node, "lbl")
+        )
+
+    s_votes = (
+        edges.join(c, "c").groupBy("s", "lbl").agg(F.count("*").alias("cnt"))
+    )
+    s_lbl = argmax_label(s_votes, "s")
+    c_votes = (
+        edges.join(s_lbl, "s").groupBy("c", "lbl").agg(F.count("*").alias("cnt"))
+    )
+    c_lbl = argmax_label(c_votes, "c")
+    return (
+        c_lbl.join(c.withColumnRenamed("lbl", "seed_lbl"), "c")
+        .groupBy("lbl")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count(F.when(F.col("lbl") == F.col("seed_lbl"), 1)).alias(
+                "n_kept_seed"
+            ),
+        )
+        .select(F.col("lbl").alias("community"), "n_customers", "n_kept_seed")
     )

@@ -966,3 +966,130 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# ---- Holt linear-trend smoothing ----------------------------------- #
+# Double exponential smoothing (Holt 1957; Hyndman & Athanasopoulos,
+# "Forecasting: Principles and Practice" §8.2) over each event type's
+# hourly count series:
+#   l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+#   b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1},  l_1 = x_1, b_1 = x_2-x_1
+# a = g = 0.5: every update is add-and-halve, so BOTH engines perform
+# the identical IEEE operation sequence on integer-seeded doubles — the
+# pandas fold and the oracle's recursive CTE are bit-identical, no
+# tolerance needed (outputs still round to 6dp for presentation).
+_HOLT_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM base GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM bounds
+), series AS (
+  SELECT s.event_type,
+         row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS i,
+         CAST(coalesce(b.x, 0) AS BIGINT) AS x
+  FROM spine s LEFT JOIN base b USING (event_type, h)
+), n AS (
+  SELECT event_type, max(i) AS n_hours FROM series GROUP BY 1
+), r AS (
+  SELECT s1.event_type, 1 AS i,
+         CAST(s1.x AS DOUBLE) AS l,
+         CAST(s2.x - s1.x AS DOUBLE) AS b
+  FROM series s1 JOIN series s2
+    ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+  UNION ALL
+  SELECT s.event_type, r.i + 1,
+         0.5 * CAST(s.x AS DOUBLE) + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * CAST(s.x AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+           + 0.5 * r.b
+  FROM r JOIN series s ON s.event_type = r.event_type AND s.i = r.i + 1
+)
+SELECT r.event_type, n.n_hours,
+       round(r.l, 6) AS level, round(r.b, 6) AS trend,
+       round(r.l + r.b, 6) AS fc1,
+       round(r.l + 2 * r.b, 6) AS fc2,
+       round(r.l + 3 * r.b, 6) AS fc3
+FROM r JOIN n ON r.event_type = n.event_type AND r.i = n.n_hours
+"""
+
+
+@register("q_ts_holtwinters", oracle=_HOLT_ORACLE, tags=("timeseries",))
+def q_ts_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of each event type's gap-filled
+    hourly count series: final level/trend + 1-3 step forecasts.
+
+    The recursion is inherently sequential per series, so it is the
+    documented custom-stateful tier (same rationale as q_stream_ewma):
+    the JVM side does everything data-sized — hourly count rollup,
+    in-plan spine via sequence+explode, gap fill — and hands each
+    BOUNDED series (hours x 1, not events) to ONE pandas fold per key.
+    Per-group memory is the series length, independent of event count;
+    at 100 TB the rollup shrinks input ~1e5x before any Python runs.
+    The oracle replays the identical fold as a recursive CTE.
+
+    The plan reads events twice: the spine-bounds branch prunes to
+    min/max partials pushed straight onto a narrow scan (column
+    pruning makes the subtrees non-identical, so exchange reuse can't
+    collapse them — the q_dq_outliers lesson in reverse: here the
+    cheaper shape IS the double scan). When the fact pass dominates
+    (cluster scale), localCheckpoint the hourly rollup and derive the
+    bounds from it — the dedup.py precedent for bounded frames.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h")
+    ).agg(F.count("*").alias("x"))
+    bounds = base.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+    series = spine.join(base, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf.sort_values("h")["x"].to_numpy(dtype="float64")
+        if len(xs) < 2:  # b_1 undefined; oracle drops these too
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "n_hours", "level", "trend",
+                    "fc1", "fc2", "fc3",
+                ]
+            )
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+
+        def rnd(v: float) -> float:
+            # half-away-from-zero, matching DuckDB round() (the pandas
+            # banker's-rounding mismatch documented at q_udf_grouped_map)
+            return float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(xs)],
+                "level": [rnd(l)],
+                "trend": [rnd(b)],
+                "fc1": [rnd(l + b)],
+                "fc2": [rnd(l + 2 * b)],
+                "fc3": [rnd(l + 3 * b)],
+            }
+        )
+
+    return series.groupBy("event_type").applyInPandas(
+        holt,
+        schema=(
+            "event_type string, n_hours long, level double, trend double, "
+            "fc1 double, fc2 double, fc3 double"
+        ),
+    )

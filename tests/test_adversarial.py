@@ -88,6 +88,9 @@ EVENT_QUERIES = [
     # percentile passes
     "q_dq_drift_psi",
     "q_dq_outliers",
+    # round 7 batch 2: the Holt fold meets gap-heavy skewed series
+    # (4k events over 720 hours -> mostly-zero gap-filled counts)
+    "q_ts_holtwinters",
 ]
 
 
@@ -188,6 +191,9 @@ DOC_QUERIES = [
     # whitespace / unicode / duplicated texts flow into both the
     # derived shard and the stored corpus)
     "q_dedup_incremental",
+    # round 7 batch 2: prefix-cluster keep-best on empty/whitespace/
+    # unicode/duplicated texts (1-token docs hit the least() clamp)
+    "q_dedup_keepbest",
 ]
 
 
@@ -313,6 +319,9 @@ REL_QUERIES = [
     # l_returnflag/l_quantity ride through the referential rollup
     "q_dq_expectations",
     "q_dq_referential",
+    # round 7 batch 2: label propagation with NULL o_custkey edge
+    # endpoints filtered at the edge build
+    "q_graph_label_prop",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

@@ -594,3 +594,42 @@ def test_dq_outliers_reuses_median_exchange(spark, sf_dir):
     final = executed.split("+- == Initial Plan ==")[0]
     assert final.count("ReusedExchange") >= 2
     assert final.count("FileScan parquet") <= 3
+
+
+def test_keepbest_single_exchange_serves_all_windows(spark, sf_dir):
+    # rank, membership count, and token sum all partition on
+    # cluster_key: ONE Exchange feeds every window — and only the
+    # (16-byte hash, id, count) triple shuffles, never the text
+    simple = plan_of(spark, "q_dedup_keepbest", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert simple.count("Window") == 2  # rank window + unbounded-frame pair
+    exchange_line = [
+        l for l in simple.splitlines() if "Exchange hashpartitioning" in l
+    ][0]
+    assert "cluster_key" in exchange_line
+
+
+def test_label_prop_histograms_stay_bounded(spark, sf_dir):
+    # each vote pass aggregates (node, label) BEFORE its argmax window:
+    # the windows sort per-node label histograms (bounded by the 25-
+    # nation alphabet), never raw edges — partial aggregation must sit
+    # under both vote shuffles
+    simple = plan_of(spark, "q_graph_label_prop", sf_dir, mode="simple")
+    assert "partial_count" in simple
+    assert simple.count("row_number() windowspecdefinition") == 2
+    # the argmax rank-limit pushes map-side: only one candidate label
+    # per node per task reaches each window shuffle
+    assert simple.count("row_number(), 1, Partial") == 2
+    assert "CartesianProduct" not in simple
+
+
+def test_holtwinters_python_sees_only_bounded_series(spark, sf_dir):
+    # the pandas fold receives the gap-filled hourly rollup (types x
+    # hours), never raw events: the count aggregation must sit BELOW
+    # FlatMapGroupsInPandas, and the rollup side arrives broadcast
+    simple = plan_of(spark, "q_ts_holtwinters", sf_dir, mode="simple")
+    assert "FlatMapGroupsInPandas" in simple
+    agg_pos = simple.index("HashAggregate")
+    py_pos = simple.index("FlatMapGroupsInPandas")
+    assert py_pos < agg_pos  # tree prints top-down: python above the aggs
+    assert "BroadcastHashJoin" in simple
