@@ -633,3 +633,17 @@ def test_holtwinters_python_sees_only_bounded_series(spark, sf_dir):
     py_pos = simple.index("FlatMapGroupsInPandas")
     assert py_pos < agg_pos  # tree prints top-down: python above the aggs
     assert "BroadcastHashJoin" in simple
+
+
+def test_tpch_q3_keeps_both_broadcasts_under_aqe(spark, sf_dir):
+    # round-6 verdict watch item: q3's bench drift is only env noise
+    # while AQE keeps BOTH joins broadcast (filtered customer builds
+    # against orders; filtered customer⋈orders builds against
+    # lineitem). A demotion to sort-merge would be a real regression,
+    # so pin the AQE-final shape, not the static estimate.
+    df = REGISTRY["q_tpch_q3_shape"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in final
