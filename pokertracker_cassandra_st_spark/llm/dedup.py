@@ -1595,3 +1595,106 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         near.select("new_id", "corpus_id", F.lit("near").alias("tier"), "jaccard")
     )
+
+
+# ---- asymmetric containment ------------------------------------------ #
+# Broder's containment c(A,B) = |S(A) ∩ S(B)| / |S(A)| (Broder 1997,
+# "On the resemblance and containment of documents") — the measure
+# Jaccard misses: a short document wholly quoted inside a long one has
+# tiny Jaccard but containment ~1. The filter runs on exact integers
+# (5*n_common >= 4*min(n_a, n_b), i.e. max-direction containment
+# >= 0.8) so no boundary pair can hinge on float division.
+_CONTAIN_ORACLE = f"""
+WITH corpus AS ({_AUG_ORACLE}),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.n_common AS DOUBLE) / ca.n, 6) AS contain_a_in_b,
+       round(CAST(c.n_common AS DOUBLE) / cb.n, 6) AS contain_b_in_a,
+       round(CAST(c.n_common AS DOUBLE)
+             / (ca.n + cb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN counts ca ON ca.doc_id = c.id_a
+JOIN counts cb ON cb.doc_id = c.id_b
+WHERE 5 * c.n_common >= 4 * least(ca.n, cb.n)
+"""
+
+
+@register("q_dedup_containment", oracle=_CONTAIN_ORACLE, tags=("llm", "dedup"))
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dup detection: pairs where the smaller
+    5-gram set is >= 80% contained in the other (exact-integer filter:
+    5*n_common >= 4*min(n_a, n_b)), reporting both directed
+    containments plus Jaccard for contrast — the quote/truncation
+    family Jaccard-thresholded dedup misses.
+
+    Scale notes: identical blocking to q_dedup_ngram_jaccard — only
+    (shingle, doc_id) pairs shuffle, never text; at 100 TB this is the
+    verification tier over LSH candidates (containment candidates come
+    from the SAME MinHash band buckets — a contained doc shares its
+    shingles, hence its bands' minima, with the container at rate
+    c(A,B)). The directed ratios are int64/int64 divisions of the same
+    integers in both engines; the admission filter never touches a
+    float.
+    """
+    corpus = augmented_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    sh = (
+        corpus.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # greatest(...,1): totality guard, see ngram_jaccard
+                    F.sequence(F.lit(1), F.greatest(F.size("t") - 4, F.lit(1))),
+                    lambda i: F.array_join(F.slice("t", i, 5), " "),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    nc = F.col("n_common").cast("double")
+    return (
+        common.join(ca, F.col("id_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("id_b") == F.col("cb.doc_id"))
+        .filter(
+            F.lit(5) * F.col("n_common")
+            >= F.lit(4) * F.least(F.col("ca.n"), F.col("cb.n"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(nc / F.col("ca.n"), 6).alias("contain_a_in_b"),
+            F.round(nc / F.col("cb.n"), 6).alias("contain_b_in_a"),
+            F.round(
+                nc / (F.col("ca.n") + F.col("cb.n") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -905,3 +905,83 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w_r).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# ---- k-NN graph construction ----------------------------------------- #
+# The batch composition ANN pipelines feed into clustering / SemDeDup /
+# label propagation: EVERY vector gets its k nearest neighbors, not
+# just a query set. Blocked by the coarse cell (label) exactly like
+# q_sim_ivf — the standard approximation for distributed k-NN-graph
+# builds (per-cell exact, cross-cell missed by construction).
+_KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nbr_id) AS rk
+  FROM scored
+)
+SELECT vec_id, nbr_id, cosine, rk FROM ranked WHERE rk <= {_KNN_K}
+"""
+
+
+@register("q_sim_knn_graph", oracle=_KNN_ORACLE, tags=("llm", "similarity"))
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked k-NN graph: every vector's top-3 same-cell
+    neighbors by cosine (rounded to 6dp before ranking in BOTH
+    engines; ties broken by neighbor id) — the adjacency input for
+    graph-based dedup/clustering stages (q_dedup_components consumes
+    exactly this edge shape).
+
+    Scale notes: one shuffle co-locates each cell, then the pair
+    scoring is per-cell quadratic and never leaves the partition —
+    the window's per-vector top-k holds k rows per heap. Cell depth
+    is the knob: at 100 TB the label is the IVF coarse assignment and
+    oversized cells split by the hyperplane-prefix subcell ladder
+    (llm/dedup.py CELL_BITS_LADDER — q_dedup_embedding runs the same
+    blocking), keeping every cell's quadratic bounded; norms are
+    precomputed once per vector, so the join multiplies HOF dot
+    products only.
+    """
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        "label",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = v.alias("a")
+    # SHUFFLE_HASH: both sides are the corpus — the local size estimate
+    # would broadcast one copy against the other, a toy-scale-only
+    # shape; the cluster-correct plan shuffles both sides once on the
+    # cell key so each cell's quadratic stays partition-local.
+    b = v.hint("shuffle_hash").alias("b")
+    cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("vec_id", "nbr_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )

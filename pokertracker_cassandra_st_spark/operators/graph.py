@@ -546,3 +546,128 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("lbl").alias("community"), "n_customers", "n_kept_seed")
     )
+
+
+# ---- multi-source BFS ----------------------------------------------- #
+# Frontier expansion as semi/anti joins — the Pregel BFS step expressed
+# relationally. Seeds: nation-0 customers. The bipartite trade graph
+# alternates node classes per hop, so three unrolled frontiers give
+# customer distances {0, 2} and supplier distances {1, 3}; everything
+# else is unreached within 3 hops (dist -1 in the report).
+
+_BFS_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_custkey IS NOT NULL
+), seed AS (
+  SELECT c_custkey AS c FROM customer WHERE c_nationkey = 0
+), s1 AS (
+  SELECT DISTINCT e.s FROM edges e JOIN seed d ON e.c = d.c
+), c2 AS (
+  SELECT DISTINCT e.c FROM edges e JOIN s1 ON e.s = s1.s
+  WHERE e.c NOT IN (SELECT c FROM seed)
+), s3 AS (
+  SELECT DISTINCT e.s FROM edges e JOIN c2 ON e.c = c2.c
+  WHERE e.s NOT IN (SELECT s FROM s1)
+)
+SELECT 'customer' AS node_class, 0 AS dist, count(*) AS n FROM seed
+UNION ALL SELECT 'supplier', 1, count(*) FROM s1
+UNION ALL SELECT 'customer', 2, count(*) FROM c2
+UNION ALL SELECT 'supplier', 3, count(*) FROM s3
+UNION ALL SELECT 'customer', -1,
+  (SELECT count(*) FROM customer)
+    - (SELECT count(*) FROM seed) - (SELECT count(*) FROM c2)
+UNION ALL SELECT 'supplier', -1,
+  (SELECT count(*) FROM supplier)
+    - (SELECT count(*) FROM s1) - (SELECT count(*) FROM s3)
+"""
+
+
+@register("q_graph_bfs", oracle=_BFS_ORACLE, tags=("graph",))
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer->supplier trade graph:
+    distance-layer sizes from the nation-0 customer seed set, three
+    unrolled hops, unreached nodes reported as dist -1.
+
+    Each hop is frontier LEFT-SEMI edges (reach the next class) then
+    LEFT-ANTI the already-visited set — the relational Pregel BFS
+    step: per hop one shuffle keyed by the frontier's node id, with
+    the frontier frames carrying ONLY node ids (never attributes).
+    Visited-set semantics come from anti joins instead of mutable
+    state; deeper searches stack the same pair of joins and
+    localCheckpoint the frontier every few hops to truncate lineage
+    (the q_dedup_components doctrine). The layer counts collapse each
+    frontier to one row before the union, so the report is 6 rows at
+    any scale.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    edges = (
+        # NULL endpoints leave at the edge build (a NULL key would be
+        # kept by the anti joins but dropped by the oracle's NOT IN —
+        # the label_prop doctrine)
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    seed = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("c")
+    )
+    # SHUFFLE_HASH on every frontier probe: frontiers are data-dependent
+    # (often a large customer fraction), so neither a broadcast (OOM on
+    # a wide frontier) nor a sort-merge (two sorts per hop for a
+    # hash-sized build) is the cluster shape; shuffle-hash keys both
+    # sides by the frontier's node id, one exchange per side per hop.
+    s1 = (
+        edges.join(seed.hint("shuffle_hash"), "c", "left_semi")
+        .select("s")
+        .distinct()
+    )
+    c2 = (
+        edges.join(s1.hint("shuffle_hash"), "s", "left_semi")
+        .select("c")
+        .distinct()
+        .join(seed.hint("shuffle_hash"), "c", "left_anti")
+    )
+    s3 = (
+        edges.join(c2.hint("shuffle_hash"), "c", "left_semi")
+        .select("s")
+        .distinct()
+        .join(s1.hint("shuffle_hash"), "s", "left_anti")
+    )
+
+    def layer(df: DataFrame, cls: str, dist: int) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(cls).alias("node_class"), F.lit(dist).alias("dist"), "n"
+        )
+
+    n_cust = cust.agg(F.count("*").alias("total"))
+    n_supp = supp.agg(F.count("*").alias("total"))
+
+    def unreached(total: DataFrame, cls: str, *reached: DataFrame) -> DataFrame:
+        out = total
+        for i, r in enumerate(reached):
+            out = out.crossJoin(
+                F.broadcast(r.agg(F.count("*").alias(f"r{i}")))
+            )
+        expr = F.col("total")
+        for i in range(len(reached)):
+            expr = expr - F.col(f"r{i}")
+        return out.select(
+            F.lit(cls).alias("node_class"),
+            F.lit(-1).alias("dist"),
+            expr.alias("n"),
+        )
+
+    return (
+        layer(seed, "customer", 0)
+        .unionByName(layer(s1, "supplier", 1))
+        .unionByName(layer(c2, "customer", 2))
+        .unionByName(layer(s3, "supplier", 3))
+        .unionByName(unreached(n_cust, "customer", seed, c2))
+        .unionByName(unreached(n_supp, "supplier", s1, s3))
+    )

@@ -420,3 +420,67 @@ def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zagg.join(F.broadcast(med), "event_type").select(
         "event_type", "n", "med_q2", "mad_q4", "n_outliers", "max_rz"
     )
+
+
+# ---- q_dq_freshness ------------------------------------------------ #
+# Data freshness / ingestion-lag audit — the first check a scheduled
+# pipeline runs before trusting a partition: per event type, when did
+# data last arrive, how far does it trail the newest data anywhere in
+# the table, and is the last-day arrival volume healthy. All time
+# arithmetic is exact integer microseconds (epoch), so both engines
+# compare and divide the same int64s.
+_FRESH_STALE_H = 24
+_DAY_US = 86_400_000_000
+
+_FRESHNESS_ORACLE = f"""
+WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+SELECT event_type,
+       count(*) AS n_events,
+       max(epoch_us(ts)) // 1000000 AS last_seen_s,
+       (any_value(gmax) - max(epoch_us(ts))) // 3600000000 AS lag_hours,
+       count(*) FILTER (WHERE epoch_us(ts) > gmax - {_DAY_US}) AS n_last24h,
+       (any_value(gmax) - max(epoch_us(ts))) // 3600000000
+         >= {_FRESH_STALE_H} AS is_stale
+FROM events CROSS JOIN g
+GROUP BY event_type
+"""
+
+
+@register("q_dq_freshness", oracle=_FRESHNESS_ORACLE, tags=("quality", "agg"))
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit per event type: last-seen timestamp, lag (whole
+    hours) behind the table's global high-water mark, trailing-24h
+    arrival count, and a stale flag at >= 24h lag.
+
+    One aggregation pass over the fact joined to a 1-row broadcast
+    high-water frame (computed in-plan from a minimal second scan that
+    prunes to the ts column — no driver-side scalar, no collect). All
+    derived values are int64 epoch-microsecond arithmetic; lag_hours
+    uses integer division on non-negative differences, identical in
+    both engines. At 100 TB the gmax scan reads one column and the
+    fact pass is a 5-group partial-aggregated rollup — the check costs
+    one narrow pass, which is why freshness gates run before any
+    expensive validation tier.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    g = ev.agg(F.max("us").alias("gmax"))
+    # integer division: Spark `div` truncates, DuckDB // floors — equal
+    # on the non-negative lags here; expr keeps it long-typed.
+    return (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("max(us) DIV 1000000").alias("last_seen_s"),
+            F.expr("(max(gmax) - max(us)) DIV 3600000000").alias("lag_hours"),
+            F.count(
+                F.when(F.col("us") > F.col("gmax") - _DAY_US, 1)
+            ).alias("n_last24h"),
+            (
+                F.expr("(max(gmax) - max(us)) DIV 3600000000")
+                >= _FRESH_STALE_H
+            ).alias("is_stale"),
+        )
+    )

@@ -91,6 +91,9 @@ EVENT_QUERIES = [
     # round 7 batch 2: the Holt fold meets gap-heavy skewed series
     # (4k events over 720 hours -> mostly-zero gap-filled counts)
     "q_ts_holtwinters",
+    # round 7 batch 3: freshness lag arithmetic under celebrity skew
+    # (user 0's burst dominates the high-water mark)
+    "q_dq_freshness",
 ]
 
 
@@ -194,6 +197,9 @@ DOC_QUERIES = [
     # round 7 batch 2: prefix-cluster keep-best on empty/whitespace/
     # unicode/duplicated texts (1-token docs hit the least() clamp)
     "q_dedup_keepbest",
+    # round 7 batch 3: containment on sub-shingle-length docs (no
+    # shingles in either engine) and duplicated texts (containment 1.0)
+    "q_dedup_containment",
 ]
 
 
@@ -267,6 +273,9 @@ EMB_QUERIES = [
     "q_sim_ivf_pq",
     "q_sim_range_search",
     "q_sim_matryoshka",
+    # round 7 batch 3: knn graph vs the zero vector (NaN cosine must
+    # rank identically cross-engine), exact-dup pair, single-member cell
+    "q_sim_knn_graph",
 ]
 
 
@@ -322,6 +331,10 @@ REL_QUERIES = [
     # round 7 batch 2: label propagation with NULL o_custkey edge
     # endpoints filtered at the edge build
     "q_graph_label_prop",
+    # round 7 batch 3: BFS frontier anti joins meet NULL o_custkey
+    # (filtered at the edge build) and orphan custkeys (layer counts
+    # stay formula-consistent with the oracle)
+    "q_graph_bfs",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

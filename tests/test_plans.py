@@ -647,3 +647,55 @@ def test_tpch_q3_keeps_both_broadcasts_under_aqe(spark, sf_dir):
     final = executed.split("+- == Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in final
+
+
+def test_knn_graph_shuffles_on_cell_never_broadcasts_corpus(spark, sf_dir):
+    # corpus x corpus self-join: the toy-scale estimate would broadcast
+    # one whole copy; the pinned shape shuffles both sides on the cell
+    # key (and the executed plan collapses the twin corpus subtrees to
+    # one scan + ReusedExchange)
+    simple = plan_of(spark, "q_sim_knn_graph", sf_dir, mode="simple")
+    assert "ShuffledHashJoin" in simple
+    assert "BroadcastHashJoin" not in simple
+    df = REGISTRY["q_sim_knn_graph"].fn(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    assert final.count("FileScan parquet") == 1
+    assert final.count("ReusedExchange") >= 1
+
+
+def test_bfs_frontier_joins_avoid_sorts(spark, sf_dir):
+    # every frontier semi/anti probe must be shuffle-hash: no
+    # SortMergeJoin (frontier joins need no order) and no cartesian;
+    # the only nested-loop joins are the 1-row count broadcasts
+    simple = plan_of(spark, "q_graph_bfs", sf_dir, mode="simple")
+    assert "SortMergeJoin" not in simple
+    assert "CartesianProduct" not in simple
+    # 3 semi + 2 anti hops, each re-derived in the count branches that
+    # exchange reuse later collapses — at least the 5 distinct hops
+    assert simple.count("ShuffledHashJoin") >= 5
+
+
+def test_freshness_single_fact_pass_plus_broadcast_watermark(spark, sf_dir):
+    # the global high-water mark joins in as a 1-row broadcast (never a
+    # driver-side collect) and the per-type rollup is one hash exchange
+    simple = plan_of(spark, "q_dq_freshness", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" in simple
+    assert simple.count("Exchange hashpartitioning") == 1
+    plan = plan_of(spark, "q_dq_freshness", sf_dir)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # both scans prune: nothing beyond event_type + ts reaches parquet
+    for l in reads:
+        assert "props" not in l and "value" not in l and "user_id" not in l
+
+
+def test_containment_shuffles_shingle_pairs_not_text(spark, sf_dir):
+    # the shingle equi-join must key on the shingle with only doc ids
+    # riding along — document text never reaches an exchange
+    plan = plan_of(spark, "q_dedup_containment", sf_dir)
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("text#" in l for l in ex_lines)
+    simple = plan_of(spark, "q_dedup_containment", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
