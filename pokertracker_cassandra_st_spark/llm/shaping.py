@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.dist_rank import range_row_number
 from pokertracker_cassandra_st_spark.registry import register
 
 # ---------------------------------------------------------------- #
@@ -553,5 +554,208 @@ def q_pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("off") + F.col("local_rn") - 1) * F.col("n_slots")
                 + F.col("src_idx")
             ).alias("pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- #
+# curriculum staging                                                #
+# ---------------------------------------------------------------- #
+
+# Length-curriculum: stage 0 = shortest quartile ... stage 3 =
+# longest (the classic easy-to-hard axis); within a stage the order
+# is a seeded deterministic shuffle, so an epoch walks stages in
+# order but documents within a stage randomly — reproducibly.
+_CUR_SEED = "cur42"
+_CUR_STAGES = 4
+
+_CURRICULUM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rn0,
+         count(*) OVER () AS n
+  FROM base
+), st AS (
+  SELECT doc_id, n_tokens,
+         CAST((rn0 * {_CUR_STAGES}) // n AS INT) AS stage,
+         md5('{_CUR_SEED}:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM r
+)
+SELECT doc_id, n_tokens, stage,
+       row_number() OVER (PARTITION BY stage ORDER BY key, doc_id) AS position
+FROM st
+"""
+
+
+@register("q_pipeline_curriculum", oracle=_CURRICULUM_ORACLE, tags=("llm", "pipeline"))
+def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: quartile the corpus by token count (exact
+    global quartiles: stage = floor(rank*4/n), no ntile remainder
+    ambiguity), then a seeded deterministic shuffle order WITHIN each
+    stage — the training-order plan for easy-to-hard curricula.
+
+    Scale notes: both global orders avoid single-partition windows.
+    The length rank is dist_rank.range_row_number (value-bucketed
+    two-phase); the within-stage position is the q_pipeline_shuffle
+    pattern with the partition extended to (stage, first-hex-digit):
+    windows rank 4 x 16 parallel slices, and a 64-row offset table
+    (prefix-summed over the hex buckets within each stage) broadcasts
+    back. One shuffle per phase, nothing data-sized on one task.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    ranked = range_row_number(d, ["n_tokens", "doc_id"], "rn")
+    n = d.agg(F.count("*").alias("n"))
+    st = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"CAST(((rn - 1) * {_CUR_STAGES}) DIV n AS INT)").alias("stage"),
+            F.md5(
+                F.concat(F.lit(f"{_CUR_SEED}:"), F.col("doc_id").cast("string"))
+            ).alias("key"),
+        )
+        .withColumn("b", F.substring("key", 1, 1))
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("stage", "b").orderBy("key", "doc_id")
+    )
+    counts = st.groupBy("stage", "b").agg(F.count("*").alias("c"))
+    off = counts.select(
+        "stage",
+        "b",
+        F.coalesce(
+            F.sum("c").over(
+                Window.partitionBy("stage")
+                .orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        st.withColumn("local_rn", local_rn)
+        .join(F.broadcast(off), ["stage", "b"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "stage",
+            (F.col("off") + F.col("local_rn")).alias("position"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- #
+# epoch planning under a token budget                               #
+# ---------------------------------------------------------------- #
+
+# Data-constrained mixing (Muennighoff et al. 2023, arXiv:2305.16264):
+# when the token budget exceeds a source's share, repeat it — up to a
+# diminishing-returns epoch cap — and report the unfillable deficit.
+# Weights reuse the q_pipeline_mixture convention; every quantity is
+# exact int64 arithmetic (floor-div shares), so both engines plan the
+# identical schedule.
+_EPOCH_CAP = 4
+_BUDGET_X = 2  # token budget = 2x the corpus
+
+_EPOCH_PLAN_ORACLE = f"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens,
+         CAST(100 + 50 * (COALESCE(TRY_CAST(substr(source, 4) AS INT), 0) % 5)
+              AS BIGINT) AS wgt
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS n_total,
+         CAST(SUM(wgt) AS BIGINT) AS sum_w
+  FROM src
+), plan AS (
+  SELECT s.source, s.avail_tokens, s.wgt,
+         CAST((s.wgt * (t.n_total * {_BUDGET_X})) // t.sum_w AS BIGINT)
+           AS target_tokens
+  FROM src s, tot t
+)
+SELECT source, avail_tokens, wgt, target_tokens,
+       CAST(least({_EPOCH_CAP},
+             (target_tokens + avail_tokens - 1) // avail_tokens) AS BIGINT)
+         AS epochs,
+       CAST(least(target_tokens, {_EPOCH_CAP} * avail_tokens) AS BIGINT)
+         AS planned_tokens,
+       CAST(target_tokens
+            - least(target_tokens, {_EPOCH_CAP} * avail_tokens) AS BIGINT)
+         AS deficit_tokens
+FROM plan
+"""
+
+
+@register("q_pipeline_epoch_plan", oracle=_EPOCH_PLAN_ORACLE, tags=("llm", "pipeline"))
+def q_pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan for a 2x-corpus token budget: each source's weighted
+    target, the repeat count needed (capped at 4 epochs —
+    the data-constrained-scaling diminishing-returns cap), the
+    resulting planned tokens, and the deficit the cap leaves unfilled.
+
+    One grouped token-count pass (map-side partials over per-doc
+    int64s), a 1-row broadcast total, and pure int64 floor arithmetic
+    after that — the plan itself is a sources-sized frame, so at
+    100 TB this costs one narrow fact pass regardless of corpus size.
+    """
+    src = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("avail_tokens"))
+        .withColumn(
+            # TRY_CAST + 0-default keeps the weight total on arbitrary
+            # source names (the q_pipeline_mixture convention, made
+            # robust: a name with no numeric suffix weighs 100)
+            "wgt",
+            (
+                F.lit(100)
+                + F.lit(50)
+                * (
+                    F.coalesce(
+                        F.try_to_number(
+                            F.substring("source", 4, 10), F.lit("999999")
+                        ).cast("int"),
+                        F.lit(0),
+                    )
+                    % 5
+                )
+            ).cast("long"),
+        )
+    )
+    tot = src.agg(
+        F.sum("avail_tokens").alias("n_total"), F.sum("wgt").alias("sum_w")
+    )
+    target = F.expr(f"(wgt * (n_total * {_BUDGET_X})) DIV sum_w")
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            "wgt",
+            target.alias("target_tokens"),
+            F.least(
+                F.lit(_EPOCH_CAP),
+                F.expr(
+                    f"((wgt * (n_total * {_BUDGET_X})) DIV sum_w"
+                    " + avail_tokens - 1) DIV avail_tokens"
+                ),
+            ).alias("epochs"),
+            F.least(
+                target, F.lit(_EPOCH_CAP) * F.col("avail_tokens")
+            ).alias("planned_tokens"),
+            (
+                target
+                - F.least(target, F.lit(_EPOCH_CAP) * F.col("avail_tokens"))
+            ).alias("deficit_tokens"),
         )
     )

@@ -200,6 +200,11 @@ DOC_QUERIES = [
     # round 7 batch 3: containment on sub-shingle-length docs (no
     # shingles in either engine) and duplicated texts (containment 1.0)
     "q_dedup_containment",
+    # round 7 batch 4: curriculum quartiles over heavily-tied token
+    # counts (empty/whitespace docs all rank 1 token); epoch plan with
+    # tiny per-source token pools
+    "q_pipeline_curriculum",
+    "q_pipeline_epoch_plan",
 ]
 
 

@@ -699,3 +699,30 @@ def test_containment_shuffles_shingle_pairs_not_text(spark, sf_dir):
     assert not any("text#" in l for l in ex_lines)
     simple = plan_of(spark, "q_dedup_containment", sf_dir, mode="simple")
     assert "CartesianProduct" not in simple
+
+
+def test_curriculum_windows_are_sliced_never_global_over_data(spark, sf_dir):
+    # two global orders, zero data-sized single-partition windows: the
+    # length rank is dist_rank (_b value buckets), the in-stage shuffle
+    # rank is partitioned by (stage, hex bucket); the only
+    # partition-less windows are the bounded offset frames (<=32 rows
+    # for dist_rank, 64 for the stage/hex offsets)
+    simple = plan_of(spark, "q_pipeline_curriculum", sf_dir, mode="simple")
+    data_sized = [
+        l
+        for l in simple.splitlines()
+        if "windowspecdefinition" in l
+        and "_b" not in l  # dist_rank slices + its bounded offset frame
+        and "stage" not in l  # (stage, b) slices + their offset frame
+    ]
+    assert not data_sized, data_sized
+
+
+def test_epoch_plan_is_one_grouped_pass_plus_scalar_broadcast(spark, sf_dir):
+    # one hash exchange for the per-source rollup; the totals arrive as
+    # a 1-row broadcast (nested-loop), nothing else moves
+    simple = plan_of(spark, "q_pipeline_epoch_plan", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastNestedLoopJoin" in simple
+    assert "CartesianProduct" not in simple
+    assert "windowspecdefinition" not in simple
