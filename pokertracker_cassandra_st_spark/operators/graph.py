@@ -555,19 +555,23 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer distances {0, 2} and supplier distances {1, 3}; everything
 # else is unreached within 3 hops (dist -1 in the report).
 
+# AS MATERIALIZED (the q_graph_kcore lesson): without it DuckDB
+# inlines `edges` into every frontier consumer and recomputes the
+# distinct 60M-row join per reference — >400 s at the 100x sweep;
+# materialized once, the whole oracle runs in ~1 s there.
 _BFS_ORACLE = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   WHERE o.o_custkey IS NOT NULL
-), seed AS (
+), seed AS MATERIALIZED (
   SELECT c_custkey AS c FROM customer WHERE c_nationkey = 0
-), s1 AS (
+), s1 AS MATERIALIZED (
   SELECT DISTINCT e.s FROM edges e JOIN seed d ON e.c = d.c
-), c2 AS (
+), c2 AS MATERIALIZED (
   SELECT DISTINCT e.c FROM edges e JOIN s1 ON e.s = s1.s
   WHERE e.c NOT IN (SELECT c FROM seed)
-), s3 AS (
+), s3 AS MATERIALIZED (
   SELECT DISTINCT e.s FROM edges e JOIN c2 ON e.c = c2.c
   WHERE e.s NOT IN (SELECT s FROM s1)
 )
