@@ -218,33 +218,55 @@ def test_round6_window_ran_as_planned():
     )
 
 
-def test_round7_window_is_active_and_ledgered():
-    """Round-7 rotation contract (VERDICT r6 'Next round #1'):
-    WINDOW_R7 is the active window, led by every POST_ROTATION_R6
-    query (the round-6 additions with no driver row yet — cumulative
-    driver coverage reaches 226/226 when it runs); any query registered
-    DURING round 7 must join POST_ROTATION_R7 in the same commit or
+def test_round7_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r07.json must cover exactly the 50
+    WINDOW_R7 slots — the round-7 rotation executed as drafted."""
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R7
+
+    r07 = set(json.load(open("/root/repo/CORRECTNESS_r07.json")))
+    assert r07 == set(WINDOW_R7), (
+        f"r07 artifact vs WINDOW_R7: missing={sorted(set(WINDOW_R7) - r07)} "
+        f"extra={sorted(r07 - set(WINDOW_R7))}"
+    )
+
+
+def test_round8_window_is_active_and_ledgered():
+    """Round-8 rotation contract (VERDICT r7 'Next round #1'):
+    WINDOW_R8 is the active window, led by every POST_ROTATION_R7
+    query (the 13 round-7 additions with no driver row yet — cumulative
+    driver coverage reaches 239/239 when it runs); any query registered
+    DURING round 8 must join POST_ROTATION_R8 in the same commit or
     this test fails loudly."""
     from pokertracker_cassandra_st_spark.registry import (
-        POST_ROTATION_R6,
         POST_ROTATION_R7,
-        WINDOW_R7,
+        POST_ROTATION_R8,
+        WINDOW_R8,
+        _R8_REP_POOL,
     )
 
     qs = get_queries()
-    assert WINDOW is WINDOW_R7, "round-7 window must be active"
-    assert WINDOW_R7[: len(POST_ROTATION_R6)] == list(POST_ROTATION_R6)
+    oracles = get_oracles()
+    assert WINDOW is WINDOW_R8, "round-8 window must be active"
+    assert WINDOW_R8[: len(POST_ROTATION_R7)] == list(POST_ROTATION_R7)
+    assert len(WINDOW_R8) == 50 == len(set(WINDOW_R8))
+    no_oracle = [n for n in WINDOW_R8 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R8 entries without an oracle: {no_oracle}"
     # every never-driver-checked query is either in the active window
-    # (getting its row this round) or ledgered as a round-7 addition
+    # (getting its row this round) or ledgered as a round-8 addition
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - set(WINDOW_R7) - set(POST_ROTATION_R7))
+    stranded = sorted(never - set(WINDOW_R8) - set(POST_ROTATION_R8))
     assert not stranded, (
-        f"queries registered during round 7 without joining "
-        f"POST_ROTATION_R7: {stranded}"
+        f"queries registered during round 8 without joining "
+        f"POST_ROTATION_R8: {stranded}"
     )
-    undeclared = [n for n in POST_ROTATION_R7 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R7 names not registered: {undeclared}"
+    undeclared = [n for n in POST_ROTATION_R8 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R8 names not registered: {undeclared}"
+    # the 37 rep slots must all carry a prior driver row
+    unchecked_reps = sorted(set(_R8_REP_POOL) - checked)
+    assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
 
 
 def test_round7_window_is_staged_correctly():
