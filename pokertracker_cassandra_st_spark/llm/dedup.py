@@ -538,11 +538,15 @@ def _cell_bits_sql(n_expr: str, nl_expr: str) -> str:
     return f"CASE {cases} ELSE {CELL_BITS_LADDER[-1]} END"
 
 
-def _with_subcell(aug: DataFrame) -> DataFrame:
+def _with_subcell(aug: DataFrame, keep_bits: bool = False) -> DataFrame:
     """Append the adaptive `subcell` column to an augmented embedding
     frame (vec_id, label, emb). One narrow map pass: all MAX_CELL_BITS
     sign bits are prefix sums of one seeded plane family, and a CASE on
-    the broadcast ladder choice picks the active width — no shuffle."""
+    the broadcast ladder choice picks the active width — no shuffle.
+
+    keep_bits=True keeps the broadcast ladder choice as a `cbits`
+    column — q_sim_knn_graph needs it to enumerate its hamming-1
+    multi-probe keys in-plan."""
     signs = _cell_plane_signs()
     eq = F.transform(
         "emb", lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long")
@@ -570,11 +574,12 @@ def _with_subcell(aug: DataFrame) -> DataFrame:
         cond = F.col("cbits") == cb
         sel = F.when(cond, rungs[cb]) if sel is None else sel.when(cond, rungs[cb])
     sel = sel.otherwise(rungs[CELL_BITS_LADDER[-1]])
-    return (
+    out = (
         withq.crossJoin(F.broadcast(params))
         .withColumn("subcell", sel.cast("long"))
-        .drop("ceq", "cbits")
+        .drop("ceq")
     )
+    return out if keep_bits else out.drop("cbits")
 
 
 def _cell_subcell_ctes() -> str:

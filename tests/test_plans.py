@@ -651,19 +651,26 @@ def test_tpch_q3_keeps_both_broadcasts_under_aqe(spark, sf_dir):
 
 def test_knn_graph_shuffles_on_cell_never_broadcasts_corpus(spark, sf_dir):
     # corpus x corpus self-join: the toy-scale estimate would broadcast
-    # one whole copy; the pinned shape shuffles both sides on the cell
-    # key (and the executed plan collapses the twin corpus subtrees to
-    # one scan + ReusedExchange)
+    # one whole copy; the pinned shape shuffles both sides once on the
+    # adaptive (label, subcell) cell key — the probe side on its
+    # exploded hamming<=1 key — with exactly ONE pair join and no
+    # sort-merge. The only broadcast joins are the two 1-row ladder
+    # params cross-joins (BroadcastNestedLoopJoin), one of which the
+    # executed plan collapses to a ReusedExchange.
     simple = plan_of(spark, "q_sim_knn_graph", sf_dir, mode="simple")
-    assert "ShuffledHashJoin" in simple
+    assert simple.count("ShuffledHashJoin") == 1
     assert "BroadcastHashJoin" not in simple
+    assert "SortMergeJoin" not in simple
     df = REGISTRY["q_sim_knn_graph"].fn(spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString().split(
         "+- == Initial Plan =="
     )[0]
-    assert final.count("FileScan parquet") == 1
+    # probe-side and build-side exchanges key differently, so the two
+    # corpus scans cannot merge — but the shared params broadcast must
+    assert final.count("FileScan parquet") == 3
     assert final.count("ReusedExchange") >= 1
+    assert final.count("BroadcastHashJoin") == 0
 
 
 def test_bfs_frontier_joins_avoid_sorts(spark, sf_dir):
