@@ -978,7 +978,81 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the identical IEEE operation sequence on integer-seeded doubles — the
 # pandas fold and the oracle's recursive CTE are bit-identical, no
 # tolerance needed (outputs still round to 6dp for presentation).
-_HOLT_ORACLE = """
+# The Holt fold is a LINEAR recursion: s_t = A s_{t-1} + c x_t with
+#   A = [[0.5, 0.5], [-0.25, 0.75]],  c = (0.5, 0.25),
+#   s_1 = (x_1, x_2 - x_1),
+# so s_n = A^{n-1} s_1 + sum_{t=2..n} A^{n-t} c x_t — the q_ts_ewma
+# telescoping trick in 2x2 matrix form. |eig(A)| = sqrt(0.5), so the
+# matrix-power weights decay as ~0.707^k: every term older than
+# HOLT_TAIL lags contributes < 1e-80 (weight ~1e-90 times any sane
+# hourly count) — far below the 6dp rounding granularity — and is
+# dropped by the weight-table join. The weight recursion is ONE row
+# per lag (depth <= HOLT_TAIL, never data-joined), which removes the
+# per-series recursion-depth/time blowup the round-7 recursive-CTE
+# oracle hit at 100x (72k-hour series). The closed form is the same
+# linear combination the pandas fold computes, evaluated in a
+# different association order; float divergence is ~1e-12, six
+# orders below the 6dp hash quantum.
+HOLT_TAIL = 512
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM base GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM bounds
+), series AS (
+  SELECT s.event_type,
+         row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS i,
+         CAST(coalesce(b.x, 0) AS BIGINT) AS x
+  FROM spine s LEFT JOIN base b USING (event_type, h)
+), n AS (
+  SELECT event_type, max(i) AS n_hours FROM series GROUP BY 1
+), pw AS (
+  SELECT 0 AS k, CAST(1 AS DOUBLE) AS m11, CAST(0 AS DOUBLE) AS m12,
+         CAST(0 AS DOUBLE) AS m21, CAST(1 AS DOUBLE) AS m22
+  UNION ALL
+  SELECT k + 1,
+         0.5 * m11 - 0.25 * m12, 0.5 * m11 + 0.75 * m12,
+         0.5 * m21 - 0.25 * m22, 0.5 * m21 + 0.75 * m22
+  FROM pw WHERE k < {HOLT_TAIL}
+), init AS (
+  SELECT s1.event_type, CAST(s1.x AS DOUBLE) AS l1,
+         CAST(s2.x - s1.x AS DOUBLE) AS b1
+  FROM series s1 JOIN series s2
+    ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+), contrib AS (
+  SELECT s.event_type,
+         sum((w.m11 * 0.5 + w.m12 * 0.25) * s.x) AS lsum,
+         sum((w.m21 * 0.5 + w.m22 * 0.25) * s.x) AS bsum
+  FROM series s
+  JOIN n USING (event_type)
+  JOIN pw w ON w.k = n.n_hours - s.i
+  WHERE s.i >= 2
+  GROUP BY 1
+), head AS (
+  SELECT i.event_type,
+         coalesce(w.m11 * i.l1 + w.m12 * i.b1, 0.0) AS lhead,
+         coalesce(w.m21 * i.l1 + w.m22 * i.b1, 0.0) AS bhead
+  FROM init i JOIN n USING (event_type)
+  LEFT JOIN pw w ON w.k = n.n_hours - 1
+)
+SELECT n.event_type, n.n_hours,
+       round(h.lhead + c.lsum, 6) AS level,
+       round(h.bhead + c.bsum, 6) AS trend,
+       round((h.lhead + c.lsum) + (h.bhead + c.bsum), 6) AS fc1,
+       round((h.lhead + c.lsum) + 2 * (h.bhead + c.bsum), 6) AS fc2,
+       round((h.lhead + c.lsum) + 3 * (h.bhead + c.bsum), 6) AS fc3
+FROM n JOIN head h USING (event_type) JOIN contrib c USING (event_type)
+WHERE n.n_hours >= 2
+"""
+
+# round-7 recursive-CTE oracle, kept as the dual-check twin: the
+# closed-form oracle above must agree with a literal replay of the
+# fold at gate scales (tests/test_equivalence.py)
+_HOLT_ORACLE_RECURSIVE = """
 WITH RECURSIVE base AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS x
   FROM events GROUP BY 1, 2

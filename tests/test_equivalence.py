@@ -51,3 +51,65 @@ def test_window_fold_equals_maxby(spark, mod, rem, max_id):
     a = sorted(tuple(r) for r in via_window.collect())
     b = sorted(tuple(r) for r in via_maxby.collect())
     assert a == b
+
+
+def test_holt_closed_form_oracle_equals_recursive_replay():
+    """The round-8 closed-form Holt oracle (matrix-power weight table +
+    one weighted SUM) must agree with the round-7 recursive-CTE literal
+    replay of the fold — on the real fixtures AND on adversarial
+    synthetic series (constant, linear ramp, alternating spike, a
+    series longer than HOLT_TAIL so the truncated head actually
+    drops)."""
+    import duckdb
+
+    from pokertracker_cassandra_st_spark.operators.timeseries import (
+        _HOLT_ORACLE,
+        _HOLT_ORACLE_RECURSIVE,
+        HOLT_TAIL,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        new = con.execute(_HOLT_ORACLE).fetchdf().sort_values("event_type")
+        old = (
+            con.execute(_HOLT_ORACLE_RECURSIVE).fetchdf().sort_values("event_type")
+        )
+        assert new.reset_index(drop=True).equals(old.reset_index(drop=True)), sf
+
+    # synthetic: one event per (type, hour) slot drawn from patterned
+    # series; the 'long' type spans 2x HOLT_TAIL hours
+    con = duckdb.connect()
+    n_long = 2 * HOLT_TAIL + 7
+    con.execute(
+        f"""
+        CREATE VIEW events AS
+        WITH slots AS (
+          SELECT 'const' AS event_type, unnest(range(0, 48)) AS h, 5 AS reps
+          UNION ALL
+          SELECT 'ramp', unnest(range(0, 96)), 1
+          UNION ALL
+          SELECT 'spike', unnest(range(0, 64)), 1
+          UNION ALL
+          SELECT 'long', unnest(range(0, {n_long})), 1
+        ), expanded AS (
+          SELECT event_type, h,
+                 unnest(range(0, CASE event_type
+                     WHEN 'const' THEN reps
+                     WHEN 'ramp' THEN 1 + h % 7
+                     WHEN 'spike' THEN CASE WHEN h % 2 = 0 THEN 9 ELSE 1 END
+                     ELSE 1 + (h * h) % 13 END)) AS r
+          FROM slots
+        )
+        SELECT CAST('2024-01-01'::TIMESTAMP
+                 + to_microseconds(h * 3600000000 + r) AS TIMESTAMP) AS ts,
+               event_type
+        FROM expanded
+        """
+    )
+    new = con.execute(_HOLT_ORACLE).fetchdf().sort_values("event_type")
+    old = con.execute(_HOLT_ORACLE_RECURSIVE).fetchdf().sort_values("event_type")
+    assert new.reset_index(drop=True).equals(old.reset_index(drop=True))
