@@ -220,18 +220,34 @@ SELECT user_id,
        count(*) AS n_events
 FROM numbered
 GROUP BY user_id, sess_no
+HAVING max(ts) + INTERVAL 30 MINUTE
+         <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 """,
     tags=("stream",),
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows with a 30-minute gap per user. Oracle is the
-    batch sessionization (lag + gap-flag + running sum) — the two
-    formulations must agree exactly."""
-    ev = stream_events(spark, sf_dir)
-    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
-        F.count("*").alias("n_events")
+    """Session windows with a 30-minute gap per user — watermarked
+    append mode, so state is the OPEN-SESSION TAIL only: once the
+    watermark passes a session's end (+30 min gap), the session emits
+    to the sink and its state evicts. Round-7's complete-mode variant
+    kept every closed session in the store and re-merged each user's
+    full history per micro-batch — quadratic in history depth locally
+    (302.9 s at 100×) and unbounded state at 100 TB; tail-only state
+    is the production posture (VERDICT r7 #5).
+
+    Oracle is the batch sessionization (lag + gap-flag + running sum)
+    restricted to sessions closed by the final watermark
+    (session_end <= max(ts) - 10 min; <= is Spark's empirical
+    eviction comparator, pinned by tests/test_stream_boundary.py) —
+    on the closed set the two formulations must agree exactly.
+    """
+    ev = stream_events(spark, sf_dir, n_files=4)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
     )
-    sink = run_to_table(agg, "complete")
+    sink = run_to_table(agg, "append")
     return sink.select(
         "user_id",
         F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
