@@ -405,6 +405,17 @@ def q_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (same partitioning, zero extra shuffles). The keep rule is
     a policy slot: swap n_tokens for any precomputed quality score
     (q_text_quality) without changing the plan shape.
+
+    Known false-positive mode (ADVICE r7): prefix-only admission
+    over-merges genuinely distinct documents that share a boilerplate
+    opening (license headers, templated intros — common in crawled
+    corpora); all but the longest are reported dropped. On such a
+    corpus, tighten admission with a containment or length-ratio guard
+    (q_dedup_containment implements the Broder containment test) in
+    the same policy slot — the cluster key stays the blocking key, the
+    guard only prunes members. The hot-prefix skew bound is tested at
+    tests/test_adversarial.py (10^4 docs sharing one prefix: a single
+    window partition, which WindowGroupLimit caps map-side).
     """
     corpus = augmented_corpus(spark, sf_dir)
     toks = F.split("text", " ")

@@ -715,16 +715,19 @@ def q_pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             # TRY_CAST + 0-default keeps the weight total on arbitrary
             # source names (the q_pipeline_mixture convention, made
-            # robust: a name with no numeric suffix weighs 100)
+            # robust: a name with no numeric suffix weighs 100).
+            # try_cast of the FULL suffix — not a digit-capped
+            # to_number — so both engines share INT32
+            # overflow-to-NULL semantics on long numeric suffixes
+            # (ADVICE r7: a 7+-digit suffix parsed NULL here but fine
+            # in the DuckDB TRY_CAST(substr(source, 4) AS INT) twin)
             "wgt",
             (
                 F.lit(100)
                 + F.lit(50)
                 * (
                     F.coalesce(
-                        F.try_to_number(
-                            F.substring("source", 4, 10), F.lit("999999")
-                        ).cast("int"),
+                        F.expr("try_cast(substring(source, 4) as int)"),
                         F.lit(0),
                     )
                     % 5

@@ -467,13 +467,19 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ev.agg(F.max("us").alias("gmax"))
     # integer division: Spark `div` truncates, DuckDB // floors — equal
-    # on the non-negative lags here; expr keeps it long-typed.
+    # on the non-negative lag differences; expr keeps it long-typed.
+    # last_seen_s divides a RAW epoch value, so it floors explicitly
+    # (pmod-normalized, all-integer — no double round-trip): a
+    # pre-1970 timestamp (negative us) would make trunc != floor and
+    # the two engines diverge (ADVICE r7).
     return (
         ev.crossJoin(F.broadcast(g))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.expr("max(us) DIV 1000000").alias("last_seen_s"),
+            F.expr(
+                "(max(us) - pmod(max(us), 1000000)) DIV 1000000"
+            ).alias("last_seen_s"),
             F.expr("(max(gmax) - max(us)) DIV 3600000000").alias("lag_hours"),
             F.count(
                 F.when(F.col("us") > F.col("gmax") - _DAY_US, 1)

@@ -180,7 +180,10 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     dominates and 32 partitions nearly DOUBLES wall time
     (q_stream_chained 3.7 s -> 6.7 s, q_stream_latedata 3.7 s ->
     6.6 s), while the one Python-fold query gains only ~8% from the
-    extra worker parallelism (q_stream_replay 5.4 s -> 5.0 s) — so 8
+    extra worker parallelism (q_stream_replay 5.4 s -> 5.0 s; the
+    BASELINE.md ladder's 5.7 -> 4.5-5.0 s for the same 8 -> 32 step
+    is a different run of the same probe inside the documented ±30%
+    host band — the ~8% relative gain is the stable quantity) — so 8
     is the right trade at this state volume, and BASELINE.md records
     q_stream_replay's ~5 s as its micro-batch-overhead floor.
     """
