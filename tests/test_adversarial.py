@@ -631,3 +631,128 @@ def test_dedup_incremental_edge_shards(spark, tmp_path_factory, scenario):
     if scenario == "boundary_near":
         near = pdf[pdf["tier"] == "near"]
         assert (near["jaccard"] == 0.5).sum() == 2, "J=0.5 boundary pairs missed"
+
+
+# ---- hot-prefix skew (ADVICE r7 / VERDICT r7 #6) --------------------- #
+# Crawled corpora carry boilerplate openings (license headers, template
+# intros) shared by MILLIONS of documents. For q_dedup_keepbest that
+# makes ONE cluster a hot window key; for q_dedup_containment the
+# boilerplate's interior shingles become hot join keys. Both must stay
+# differential-green under a single shared prefix; the keepbest bound
+# is documented in its docstring (cluster rows co-reside on one window
+# partition — rank capped map-side by WindowGroupLimit, count/sum
+# windows linear in cluster size).
+
+
+def _hot_prefix_docs(n: int, seed: int = 23) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    boiler = "creative commons license header applies to this document"
+    texts = [
+        " ".join([boiler, f"body{i}", *(f"w{i}x{j}" for j in range(i % 7))])
+        for i in range(n)
+    ]
+    # a few control docs WITHOUT the prefix (their own tiny clusters)
+    texts += [f"unique opening {i} with its own distinct tail tokens" for i in range(5)]
+    m = len(texts)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(m, dtype="int64"),
+            "text": texts,
+            "lang": rng.choice(["en", "de"], size=m),
+            "source": rng.choice(["s0", "s1"], size=m),
+            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+def test_keepbest_hot_prefix_10k_single_cluster(spark, tmp_path_factory):
+    n = 10_000
+    d = str(tmp_path_factory.mktemp("hot_prefix_keepbest"))
+    _hot_prefix_docs(n).to_parquet(f"{d}/documents.parquet", index=False)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    q = REGISTRY["q_dedup_keepbest"]
+    pdf = q.fn(spark, d).toPandas()
+    con = duck_connection(d)
+    try:
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, "q_dedup_keepbest[hot_prefix_10k]")
+    # the boilerplate cluster holds every prefixed doc AND its
+    # drop-last-token mutant (prefix preserved): 2n members, one row
+    hot = pdf[pdf["n_members"] == pdf["n_members"].max()]
+    assert len(hot) == 1
+    assert int(hot["n_members"].iloc[0]) == 2 * n
+    # keep rule: most tokens (i%7 == 6 gives 15), tie -> lowest doc_id
+    assert int(hot["keep_id"].iloc[0]) == 6
+
+
+def test_containment_hot_prefix_shingles(spark, tmp_path_factory):
+    # 300 prefixed docs: the 4 interior boilerplate shingles each pair
+    # all docs (~4 * C(300,2) joined rows) — the hot-join-key shape at
+    # a size whose exhaustive DuckDB oracle still runs in seconds
+    d = str(tmp_path_factory.mktemp("hot_prefix_containment"))
+    _hot_prefix_docs(300).to_parquet(f"{d}/documents.parquet", index=False)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    q = REGISTRY["q_dedup_containment"]
+    pdf = q.fn(spark, d).toPandas()
+    con = duck_connection(d)
+    try:
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, "q_dedup_containment[hot_prefix]")
+    # prefix-sharing docs with distinct bodies must NOT all merge:
+    # a 9-token doc has 5 shingles, 4 boilerplate-only -> containment
+    # 4/5 >= 0.8 admits it against other short docs, but longer-bodied
+    # docs (more distinct shingles) fall below the bar — the admission
+    # filter prunes, the blocking alone does not decide. (Restricted to
+    # ORIGINAL doc ids: the augmented mutants of 9-token docs are
+    # boilerplate-only, contained 4/4 in everything prefixed.)
+    orig = pdf[(pdf["id_a"] < 1000) & (pdf["id_b"] < 1000)]
+    assert 0 < len(orig)
+    assert len(orig) < 300 * 299 / 2
+
+
+def test_epoch_plan_long_numeric_source_suffixes(spark, tmp_path_factory):
+    """ADVICE r7: a source named src1234567 (7-digit suffix) used to
+    weigh 100 in Spark (try_to_number capped at 6 digits -> NULL) but
+    150/200/... in DuckDB (TRY_CAST parses any INT32). Both engines
+    must now share INT32 overflow-to-NULL semantics on the FULL
+    suffix: in-range long suffixes parse, >INT32 suffixes and
+    non-numeric names fall back to weight 100."""
+    d = str(tmp_path_factory.mktemp("epoch_long_src"))
+    sources = [
+        "src1",            # short numeric
+        "src1234567",      # 7 digits — the flagged divergence
+        "src2147483647",   # INT32 max, parses
+        "src2147483648",   # INT32 max + 1 — overflow -> NULL -> 100
+        "src99999999999",  # 11 digits — overflow -> NULL -> 100
+        "srcabc",          # non-numeric -> 100
+    ]
+    rows = []
+    for i, s in enumerate(sources):
+        for j in range(3):
+            rows.append((i * 3 + j, f"tok{i} " * (4 + j) + "end", "en", s))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df.to_parquet(f"{d}/documents.parquet", index=False)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    q = REGISTRY["q_pipeline_epoch_plan"]
+    pdf = q.fn(spark, d).toPandas()
+    con = duck_connection(d)
+    try:
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, "q_pipeline_epoch_plan[long_suffix]")
