@@ -444,3 +444,96 @@ def q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(pass_res & pass_aspect & ~pass_frames).alias("drop_frames"),
         cnt(pass_res & pass_aspect & pass_frames).alias("n_kept"),
     )
+
+
+# ---- q_multimodal_clip_gate ------------------------------------------ #
+# The CLIP-score filter every image-text pair pipeline runs: join each
+# payload row to its embedding, compute an image-text alignment score,
+# gate on a threshold. The container has no CLIP model, so the TEXT
+# tower is stubbed deterministically as a cyclic rotation of the image
+# embedding (norm-preserving, engine-expressible with slice+concat) —
+# the stub doctrine of _decode_batch: fake the model, keep the
+# pipeline's joins, schema, and score math real and differential.
+_CLIP_T = 0.2
+
+
+@register(
+    "q_multimodal_clip_gate",
+    oracle=f"""
+WITH pair AS (
+  SELECT d.doc_id,
+         octet_length(encode(d.text)) AS byte_len,
+         CAST(e.embedding AS DOUBLE[]) AS img,
+         list_concat(CAST(e.embedding AS DOUBLE[])[2:],
+                     [CAST(e.embedding[1] AS DOUBLE)]) AS txt
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT doc_id, byte_len,
+       round(list_dot_product(img, txt) /
+             (sqrt(list_dot_product(img, img)) *
+              sqrt(list_dot_product(txt, txt))), 6) AS clip_score,
+       list_dot_product(img, txt) /
+         (sqrt(list_dot_product(img, img)) *
+          sqrt(list_dot_product(txt, txt))) >= {_CLIP_T} AS passed
+FROM pair
+""",
+    tags=("llm", "multimodal", "similarity"),
+)
+def q_multimodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment gate: cosine between each payload's image
+    embedding and its (stubbed) text embedding, thresholded — the
+    CLIP-filter stage of an image-text curation pipeline, with the
+    model towers stubbed and every pipeline mechanic real.
+
+    Both sides shuffle once on the id key (payload metadata rides the
+    join, the binary payload itself is never selected, so parquet
+    column pruning keeps blobs on disk); at 100 TB this is the
+    bucketed-layout join (q_join_bucketed) and the scores are JVM HOF
+    arithmetic inside codegen — no Python, no UDF. The gate decision
+    compares the UNROUNDED score (identical doubles cross-engine);
+    rounding is presentation only.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.encode("text", "utf-8")).cast("long").alias("byte_len")
+    )
+    # SHUFFLE_HASH: both sides are corpus-sized at 100 TB — the local
+    # size estimate would broadcast the embeddings; the cluster-correct
+    # plan shuffles both on the id key (exchange-free under bucketing)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").alias("img"),
+            F.concat(
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+                F.array(F.col("embedding")[0]),
+            ).alias("txt"),
+        )
+        .hint("shuffle_hash")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(img, txt, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (a, x) -> a + x)"
+    )
+    n_img = F.sqrt(
+        F.expr(
+            "aggregate(transform(img, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0.0D, (a, x) -> a + x)"
+        )
+    )
+    n_txt = F.sqrt(
+        F.expr(
+            "aggregate(transform(txt, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0.0D, (a, x) -> a + x)"
+        )
+    )
+    score = dot / (n_img * n_txt)
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "byte_len",
+            F.round(score, 6).alias("clip_score"),
+            (score >= _CLIP_T).alias("passed"),
+        )
+    )

@@ -890,3 +890,231 @@ def q_text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "t1", "t2")
         .limit(20)
     )
+
+
+# ---- q_text_kl_divergence -------------------------------------------- #
+# Domain-shift detection for mixture planning: per-source unigram
+# distribution vs the whole-corpus distribution, KL(P_src || Q_corpus)
+# with Laplace smoothing over the corpus vocabulary (absent terms get
+# the +1 floor, so every term of the full vocab contributes and P sums
+# to 1). Each p*ln(p/q) term is quantized to a 1e-12 scaled long before
+# summation — exact, order-independent, the q_dq_drift_psi doctrine —
+# because a raw double SUM over a large vocab is not associative.
+_KL_Q = 12
+
+
+@register(
+    "q_text_kl_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), toks2 AS (
+  SELECT source, term FROM toks WHERE term <> ''
+), vocab AS (
+  SELECT term, count(*) AS cnt_c FROM toks2 GROUP BY term
+), totals AS (
+  SELECT count(*) AS n_c, (SELECT count(*) FROM vocab) AS v FROM toks2
+), per_src AS (
+  SELECT source, count(*) AS n_s FROM toks2 GROUP BY source
+), cnt_st AS (
+  SELECT source, term, count(*) AS cnt_s FROM toks2 GROUP BY source, term
+), dense AS (
+  SELECT s.source, s.n_s, vb.term, vb.cnt_c,
+         coalesce(c.cnt_s, 0) AS cnt_s
+  FROM per_src s CROSS JOIN vocab vb
+  LEFT JOIN cnt_st c ON c.source = s.source AND c.term = vb.term
+), terms AS (
+  SELECT source, n_s,
+         CAST(round(
+           (CAST(cnt_s + 1 AS DOUBLE) / (n_s + v))
+           * ln((CAST(cnt_s + 1 AS DOUBLE) / (n_s + v))
+                / (CAST(cnt_c + 1 AS DOUBLE) / (n_c + v)))
+           * 1e{_KL_Q} ) AS BIGINT) AS term_q,
+         v
+  FROM dense CROSS JOIN totals
+)
+SELECT source, max(n_s) AS n_tokens, max(v) AS vocab_size,
+       round(CAST(sum(term_q) AS DOUBLE) / 1e{_KL_Q}, 6) AS kl
+FROM terms
+GROUP BY source
+""",
+    tags=("llm", "text"),
+)
+def q_text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the domain-shift score mixture planning (q_pipeline_mixture /
+    q_pipeline_epoch_plan) consumes to decide which sources need
+    re-weighting.
+
+    One tokenize pass feeds all four count frames; the dense
+    (source x vocab) frame is the only fan-out and is bounded by
+    |vocab| * |sources|, NOT by corpus rows — the corpus-sized frames
+    never join each other. At 100 TB restrict vocab to the top-K terms
+    by corpus count first (one extra WindowGroupLimit pass) — the
+    smoothed tail contributes O(1/(n+V)) per term and the production
+    cut documents itself in the report's vocab_size column. The
+    per-source shuffle key is (source, term); term skew (stopwords)
+    stays inside the count aggregates, which partial-aggregate
+    map-side.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    # every downstream frame derives from the ONE (source, term) count
+    # aggregation, so its exchange subtree is shared verbatim and the
+    # executed plan collapses the corpus tokenize to a single scan via
+    # ReusedExchange — five independent frames would re-tokenize five
+    # times (plan-locked in tests/test_plans.py)
+    cnt_st = toks.groupBy("source", "term").agg(F.count("*").alias("cnt_s"))
+    vocab = cnt_st.groupBy("term").agg(F.sum("cnt_s").alias("cnt_c"))
+    per_src = cnt_st.groupBy("source").agg(F.sum("cnt_s").alias("n_s"))
+    # corpus totals as a 1-row broadcast frame (no driver-side counts);
+    # vocab size rides the same frame via a count over vocab
+    totals = per_src.agg(F.sum("n_s").alias("n_c")).crossJoin(
+        F.broadcast(vocab.agg(F.count("*").alias("v")))
+    )
+    dense = (
+        # SHUFFLE_HASH: cnt_st is corpus-vocab-sized — at 100 TB it
+        # cannot broadcast; both sides shuffle once on (source, term)
+        per_src.crossJoin(vocab)
+        .join(cnt_st.hint("shuffle_hash"), ["source", "term"], "left")
+        .select(
+            "source",
+            "n_s",
+            "cnt_c",
+            F.coalesce("cnt_s", F.lit(0)).alias("cnt_s"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (F.col("cnt_s") + 1).cast("double") / (F.col("n_s") + F.col("v"))
+    q = (F.col("cnt_c") + 1).cast("double") / (F.col("n_c") + F.col("v"))
+    term_q = slong(p * F.log(p / q), _KL_Q)
+    return (
+        dense.select("source", "n_s", "v", term_q.alias("term_q"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("v").alias("vocab_size"),
+            F.round(
+                F.sum("term_q").cast("double") / F.lit(float(10**_KL_Q)), 6
+            ).alias("kl"),
+        )
+    )
+
+
+# ---- q_text_perplexity ----------------------------------------------- #
+# Per-document bigram-LM negative log likelihood / perplexity under the
+# corpus's own add-1-smoothed bigram model — the classic fluency /
+# quality signal (docs the corpus model finds surprising are prime
+# filter candidates). p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); each
+# ln(p) is quantized to a scaled long before the per-doc sum (order
+# independence, as above).
+
+
+@register(
+    "q_text_perplexity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), uni AS (
+  SELECT unnest(tk) AS w FROM toks
+), uni2 AS (SELECT w, count(*) AS cu FROM uni WHERE w <> '' GROUP BY w),
+v AS (SELECT count(*) AS v FROM uni2),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS r(i)
+  WHERE tk[i] <> '' AND tk[i + 1] <> ''
+), bcnt AS (
+  SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id,
+         CAST(round(
+           ln(CAST(bc.cb + 1 AS DOUBLE) / (u.cu + v.v)) * 1e{_KL_Q}
+         ) AS BIGINT) AS nll_q
+  FROM big b
+  JOIN bcnt bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN uni2 u ON b.w1 = u.w
+  CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-(CAST(sum(nll_q) AS DOUBLE) / 1e{_KL_Q}) / count(*), 6)
+         AS avg_nll,
+       round(exp(-(CAST(sum(nll_q) AS DOUBLE) / 1e{_KL_Q}) / count(*)), 6)
+         AS ppl
+FROM scored
+GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's add-1-smoothed bigram
+    LM (self-scored, the in-corpus fluency signal): docs whose own
+    corpus finds them surprising — boilerplate soup, token noise, wrong
+    language — rank high and feed the quality-filter tier next to
+    q_text_quality's shallow heuristics.
+
+    Bigram and unigram counts are partial-aggregated shuffles over the
+    tokenize pass (the count-build and probe subtrees differ by the
+    partial aggregate, so the plan re-tokenizes rather than
+    materializing — at cluster scale, localCheckpoint the bigram frame
+    to trade one narrow scan for storage, the dedup.py precedent);
+    scoring joins each doc bigram to its count on the (w1, w2) key and
+    to the unigram count on w1 —
+    stopword-headed bigrams skew those keys, and both joins carry only
+    (doc_id, count) payloads so AQE skew splitting applies cleanly.
+    ln() terms are scaled-long quantized before the per-doc sum (the
+    module doctrine), so the NLL is exact cross-engine; exp() then maps
+    identical doubles to identical doubles.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    v = uni.agg(F.count("*").alias("v"))
+    big = (
+        # the >= 2 guard must precede the sequence: sequence(1, 0) is a
+        # DESCENDING [1, 0] in Spark (the q_ts_holtwinters lesson)
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2)), "
+                    "s -> s.w1 <> '' AND s.w2 <> '')"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    nll_q = slong(
+        F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))),
+        _KL_Q,
+    )
+    nll_sum = F.sum("nll_q").cast("double") / F.lit(float(10**_KL_Q))
+    return (
+        # SHUFFLE_HASH on both count joins: bigram and unigram count
+        # frames are corpus-vocab-sized at 100 TB — never broadcastable;
+        # the probe side shuffles on the same keys its counts aggregated
+        # on, so the bcnt join's exchange subtree is shared (ReusedExchange)
+        big.join(bcnt.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1").hint("shuffle_hash"), ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll_q.alias("nll_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-nll_sum / F.count("*"), 6).alias("avg_nll"),
+            F.round(F.exp(-nll_sum / F.count("*")), 6).alias("ppl"),
+        )
+    )

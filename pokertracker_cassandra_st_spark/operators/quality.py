@@ -490,3 +490,118 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_stale"),
         )
     )
+
+
+# ---- q_dq_volume_anomaly -------------------------------------------- #
+# Arrival-volume monitoring: daily event counts per type vs a trailing
+# 7-day baseline, z-flagged. The trailing mean/variance come from
+# integer window sums (cnt/sum/sum-of-squares of exact int64 counts),
+# so both engines evaluate the SAME closed-form expression on the SAME
+# integers — IEEE-identical doubles, no streaming-variance divergence.
+# n*n bounds the int64 sum while daily counts stay under ~3e9/day/type
+# (1e19 sum ceiling); past that, lift the squares into DECIMAL the
+# exprs.py way.
+_VOL_Z = 3.0
+
+
+@register(
+    "q_dq_volume_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM bounds
+), series AS (
+  SELECT s.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN daily d USING (event_type, day)
+), wind AS (
+  SELECT event_type, day, n,
+         count(*) OVER w AS c7,
+         sum(n) OVER w AS s7,
+         sum(n * n) OVER w AS q7
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type, day, n,
+         CAST(s7 AS DOUBLE) / c7 AS mean7,
+         (CAST(q7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / c7)
+           / (c7 - 1) AS var7
+  FROM wind WHERE c7 = 7
+)
+SELECT event_type, day, n,
+       round(mean7, 6) AS mean7,
+       round(CASE WHEN var7 > 0
+                  THEN (n - mean7) / sqrt(var7) END, 6) AS z,
+       CASE WHEN var7 > 0
+            THEN abs((n - mean7) / sqrt(var7)) > {_VOL_Z} END AS is_anomaly
+FROM scored
+""",
+    tags=("quality", "timeseries"),
+)
+def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen per event type: daily arrival counts on a
+    gap-filled day spine (a ZERO-volume day is itself the signal a
+    volume monitor exists to catch), z-scored against the trailing
+    7-day window (exclusive of the current day), |z| > 3 flagged both
+    ways — spikes and drops.
+
+    One narrow rollup pass (map-side partials over event_type x day),
+    then everything is day-spine-sized: the spine join, one window
+    exchange on event_type, and pure arithmetic. At 100 TB the fact
+    pass dominates and is one column-pruned scan; the monitor itself
+    costs O(types x days) regardless of event volume. Trailing stats
+    use exact integer window sums (see the module-level note) so the
+    z-score is bit-identical cross-engine; days with an incomplete
+    trailing window are not scored (c7 = 7 filter), and a zero-variance
+    baseline yields z NULL rather than a division blow-up.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+            " DIV 86400000000"
+        ).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    series = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    wind = series.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("*").over(w).alias("c7"),
+        F.sum("n").over(w).alias("s7"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("q7"),
+    ).filter(F.col("c7") == 7)
+    mean7 = F.col("s7").cast("double") / F.col("c7")
+    var7 = (
+        F.col("q7").cast("double")
+        - F.col("s7").cast("double") * F.col("s7").cast("double") / F.col("c7")
+    ) / (F.col("c7") - 1)
+    z = F.when(var7 > 0, (F.col("n") - mean7) / F.sqrt(var7))
+    return wind.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(mean7, 6).alias("mean7"),
+        F.round(z, 6).alias("z"),
+        F.when(var7 > 0, F.abs(z) > _VOL_Z).alias("is_anomaly"),
+    )

@@ -229,3 +229,51 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("event_id", "user_id", "value")
     )
+
+
+@register(
+    "q_sample_reservoir",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type, event_id,
+         md5('rsv_' || CAST(event_id AS VARCHAR)) AS sample_key
+  FROM events
+), ranked AS (
+  SELECT event_type, event_id, sample_key,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sample_key, event_id) AS rk
+  FROM keyed
+)
+SELECT event_type, event_id, sample_key, rk
+FROM ranked WHERE rk <= 5
+""",
+    tags=("sample",),
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group 'reservoir' sample: the k=5 events with
+    the smallest seeded-hash key per event type — the data-inspection
+    primitive every 100 TB pipeline runs ('show me 5 random rows per
+    source').
+
+    A true streaming reservoir is stateful and run-order-dependent;
+    ranking a seeded md5 of the row key gives the SAME uniform
+    marginal distribution while staying reproducible across runs,
+    engines, and retries (the no-rand() doctrine every hash-checked
+    sampler here follows). The plan is one exchange on the group key +
+    WindowGroupLimit: each task keeps a 5-row heap map-side, so the
+    shuffle carries ~k rows per group per task, never the table.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.md5(F.concat(F.lit("rsv_"), F.col("event_id").cast("string"))).alias(
+            "sample_key"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("sample_key", "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )

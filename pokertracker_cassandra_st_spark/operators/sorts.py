@@ -156,3 +156,128 @@ def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zvalue", "o_orderkey")
         .limit(200)
     )
+
+
+# ---- Hilbert-curve layout key ---------------------------------------- #
+# Z-order's weakness at scale: the Morton curve takes long diagonal
+# jumps, so a range of z-values can span distant regions of the key
+# space and parquet min/max pruning admits extra files. The Hilbert
+# curve is fully locality-preserving (adjacent curve positions are
+# always adjacent cells), which is why Delta Lake's liquid clustering
+# moved from Z-order to Hilbert. The classic xy2d walk (8 halving
+# steps over a 256x256 grid) is a LINEAR chain of integer CASE/div/mod
+# steps — expressed as 8 chained projections in Spark (all inside one
+# whole-stage-codegen span, no UDF, no shuffle) and 8 chained
+# subqueries in the DuckDB oracle, generated from the same Python
+# template so the arithmetic is token-identical.
+_H_N = 256  # grid side; 8 bits per dimension, 16-bit curve index
+
+
+def _hilbert_step(s: int, div: str) -> dict[str, str]:
+    """One xy2d halving step at cell size ``s``: expressions for the
+    quadrant term added to d, and the rotated/reflected (x, y) fed to
+    the next step. Pure +,-,*,div,% on previous-step columns hx/hy —
+    ((3*rx) XOR ry) unfolded into arithmetic via rx*2+ry lookup
+    (0->0, 1->1, 2->3, 3->2), so no dialect-specific xor is needed."""
+    rx = f"((hx {div} {s}) % 2)"
+    ry = f"((hy {div} {s}) % 2)"
+    quad = (
+        f"CASE ({rx}) * 2 + ({ry}) WHEN 0 THEN 0 WHEN 1 THEN 1 "
+        f"WHEN 2 THEN 3 ELSE 2 END"
+    )
+    return {
+        "hd": f"hd + {s * s} * ({quad})",
+        # ry == 0: reflect by n-1 when rx == 1, then swap x/y
+        "hx": (
+            f"CASE WHEN ({ry}) = 0 THEN "
+            f"(CASE WHEN ({rx}) = 1 THEN {_H_N - 1} - hy ELSE hy END) "
+            f"ELSE hx END"
+        ),
+        "hy": (
+            f"CASE WHEN ({ry}) = 0 THEN "
+            f"(CASE WHEN ({rx}) = 1 THEN {_H_N - 1} - hx ELSE hx END) "
+            f"ELSE hy END"
+        ),
+    }
+
+
+_H_X = "o_custkey % 256"
+_H_Y_SPARK = "least(datediff(o_orderdate, DATE '1995-01-01'), 255)"
+_H_Y_DUCK = (
+    "least(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)),"
+    " 255)"
+)
+
+
+def _hilbert_oracle() -> str:
+    inner = (
+        f"SELECT o_orderkey, CAST({_H_X} AS BIGINT) AS hx0,"
+        f" CAST({_H_Y_DUCK} AS BIGINT) AS hy0,"
+        f" CAST({_H_X} AS BIGINT) AS hx,"
+        f" CAST({_H_Y_DUCK} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+        f" FROM orders"
+    )
+    q = inner
+    s = _H_N // 2
+    while s > 0:
+        e = _hilbert_step(s, "//")
+        q = (
+            f"SELECT o_orderkey, hx0, hy0, {e['hd']} AS hd,"
+            f" {e['hx']} AS hx, {e['hy']} AS hy FROM ({q})"
+        )
+        s //= 2
+    return (
+        f"SELECT o_orderkey, hx0 AS hx, hy0 AS hy, hd AS hvalue FROM ({q}) "
+        # NULLS LAST explicitly: a NULL o_custkey nulls the whole walk,
+        # and Spark's default (NULLS FIRST) would pull those rows into
+        # the top-200 probe while DuckDB's default keeps them out
+        f"ORDER BY hvalue ASC NULLS LAST, o_orderkey LIMIT 200"
+    )
+
+
+@register("q_sort_hilbert", oracle=_hilbert_oracle(), tags=("sort", "layout"))
+def q_sort_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (customer, order date): the
+    locality-preserving sibling of q_sort_zorder on the same
+    dimensions, returning the curve's first 200 rows as a
+    deterministic probe of the order.
+
+    At 100 TB the use is identical to zorder's —
+    `repartitionByRange(N, hvalue).sortWithinPartitions(hvalue)` at
+    write time so min/max column stats prune on BOTH dimensions — but
+    with tighter value-range-to-region mapping (no Morton diagonal
+    jumps), i.e. fewer false-positive files per predicate box. The 8
+    chained integer steps all fuse into one codegen span: no UDF, no
+    extra shuffle beyond the final order-by's range exchange.
+    """
+    o = table(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.expr(_H_X).cast("long").alias("hx0"),
+        F.expr(_H_Y_SPARK).cast("long").alias("hy0"),
+        F.expr(_H_X).cast("long").alias("hx"),
+        F.expr(_H_Y_SPARK).cast("long").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    s = _H_N // 2
+    while s > 0:
+        e = _hilbert_step(s, "DIV")
+        df = df.select(
+            "o_orderkey",
+            "hx0",
+            "hy0",
+            F.expr(e["hd"]).alias("hd"),
+            F.expr(e["hx"]).alias("hx"),
+            F.expr(e["hy"]).alias("hy"),
+        )
+        s //= 2
+    return (
+        df.select(
+            "o_orderkey",
+            F.col("hx0").alias("hx"),
+            F.col("hy0").alias("hy"),
+            F.col("hd").alias("hvalue"),
+        )
+        .orderBy(F.col("hvalue").asc_nulls_last(), "o_orderkey")
+        .limit(200)
+    )

@@ -1167,3 +1167,108 @@ def q_ts_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fc1 double, fc2 double, fc3 double"
         ),
     )
+
+
+# ---- q_ts_backtest --------------------------------------------------- #
+# Rolling-origin forecast evaluation: at every hour t of the gap-filled
+# series, forecast x_t with (a) the naive carry-forward x_{t-1} and
+# (b) the 4-hour moving average, score both by MAE, and pick a winner
+# per event type. All error terms are EXACT integers (the SMA error is
+# kept at 4x scale: |4*x_t - sum4|), so the MAEs are single int/int
+# divisions and the winner is a pure integer cross-comparison
+# (sum_sma < 4 * sum_naive) — no float enters until the final rounding,
+# hence bit-identical cross-engine at any scale.
+
+
+@register(
+    "q_ts_backtest",
+    oracle="""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM base GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM bounds
+), series AS (
+  SELECT s.event_type, s.h, CAST(coalesce(b.x, 0) AS BIGINT) AS x
+  FROM spine s LEFT JOIN base b USING (event_type, h)
+), lagged AS (
+  SELECT event_type, h, x,
+         lag(x, 1) OVER w AS x1,
+         count(*) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS c4,
+         sum(x) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS s4
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+), errs AS (
+  SELECT event_type, abs(x - x1) AS e_naive, abs(4 * x - s4) AS e_sma4
+  FROM lagged WHERE c4 = 4
+)
+SELECT event_type,
+       count(*) AS n_eval,
+       round(CAST(sum(e_naive) AS DOUBLE) / count(*), 6) AS mae_naive,
+       round(CAST(sum(e_sma4) AS DOUBLE) / (4 * count(*)), 6) AS mae_sma4,
+       CASE WHEN sum(e_sma4) < 4 * sum(e_naive) THEN 'sma4'
+            WHEN sum(e_sma4) > 4 * sum(e_naive) THEN 'naive'
+            ELSE 'tie' END AS winner
+FROM errs
+GROUP BY event_type
+""",
+    tags=("timeseries",),
+)
+def q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of two 1-step forecasters (naive
+    carry-forward vs 4-hour moving average) over each event type's
+    gap-filled hourly count series: per-type MAE for both and the
+    integer-exact winner — the model-selection loop a forecasting
+    pipeline runs before trusting q_ts_ewma / q_ts_holtwinters output.
+
+    One fact rollup pass, then everything is spine-sized: the lag and
+    trailing-sum windows share one event_type exchange, errors stay
+    exact integers, and the final per-type aggregation is
+    map-side-combinable. At 100 TB the rollup shrinks input ~1e5x
+    before any window runs — the same shape as q_ts_holtwinters, with
+    zero Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h")
+    ).agg(F.count("*").alias("x"))
+    bounds = base.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+    series = spine.join(base, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    w4 = w.rowsBetween(-4, -1)
+    lagged = series.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.count("*").over(w4).alias("c4"),
+        F.sum("x").over(w4).alias("s4"),
+    ).filter(F.col("c4") == 4)
+    errs = lagged.select(
+        "event_type",
+        F.abs(F.col("x") - F.col("x1")).alias("e_naive"),
+        F.abs(F.lit(4) * F.col("x") - F.col("s4")).alias("e_sma4"),
+    )
+    sn = F.sum("e_naive")
+    ss = F.sum("e_sma4")
+    return errs.groupBy("event_type").agg(
+        F.count("*").alias("n_eval"),
+        F.round(sn.cast("double") / F.count("*"), 6).alias("mae_naive"),
+        F.round(ss.cast("double") / (F.lit(4) * F.count("*")), 6).alias("mae_sma4"),
+        F.when(ss < 4 * sn, "sma4")
+        .when(ss > 4 * sn, "naive")
+        .otherwise("tie")
+        .alias("winner"),
+    )

@@ -94,6 +94,12 @@ EVENT_QUERIES = [
     # round 7 batch 3: freshness lag arithmetic under celebrity skew
     # (user 0's burst dominates the high-water mark)
     "q_dq_freshness",
+    # round 8: the seeded-hash reservoir under celebrity skew (one type
+    # dominated by one user changes nothing — the hash key is uniform);
+    # volume anomaly / backtest over skewed, gap-heavy daily series
+    "q_sample_reservoir",
+    "q_dq_volume_anomaly",
+    "q_ts_backtest",
 ]
 
 
@@ -205,6 +211,11 @@ DOC_QUERIES = [
     # tiny per-source token pools
     "q_pipeline_curriculum",
     "q_pipeline_epoch_plan",
+    # round 8: KL / bigram-LM scoring over empty/whitespace/unicode/
+    # duplicated texts (the empty-token filter and the >= 2-token
+    # bigram guard are exactly what the ugly corpus stresses)
+    "q_text_kl_divergence",
+    "q_text_perplexity",
 ]
 
 
@@ -281,6 +292,9 @@ EMB_QUERIES = [
     # round 7 batch 3: knn graph vs the zero vector (NaN cosine must
     # rank identically cross-engine), exact-dup pair, single-member cell
     "q_sim_knn_graph",
+    # round 8: clip gate vs the zero vector (NaN score; NaN-is-greatest
+    # comparison semantics agree cross-engine) and duplicate vectors
+    "q_multimodal_clip_gate",
 ]
 
 
@@ -340,6 +354,9 @@ REL_QUERIES = [
     # (filtered at the edge build) and orphan custkeys (layer counts
     # stay formula-consistent with the oracle)
     "q_graph_bfs",
+    # round 8: the Hilbert walk with NULL o_custkey rows (whole-curve
+    # NULL; pinned NULLS LAST keeps them out of the top-200 probe)
+    "q_sort_hilbert",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

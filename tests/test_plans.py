@@ -733,3 +733,97 @@ def test_epoch_plan_is_one_grouped_pass_plus_scalar_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in simple
     assert "CartesianProduct" not in simple
     assert "windowspecdefinition" not in simple
+
+
+# ---- round-8 additions ------------------------------------------------ #
+
+
+def test_hilbert_is_one_fused_codegen_pass(spark, sf_dir):
+    # the 8 chained xy2d steps must fuse: ONE scan, the top-200 probe
+    # via TakeOrderedAndProject (per-task heap, no global sort
+    # exchange), zero joins, zero Python
+    simple = plan_of(spark, "q_sort_hilbert", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in simple
+    assert "Exchange hashpartitioning" not in simple
+    assert "Join" not in simple
+    assert "BatchEvalPython" not in simple
+    plan = plan_of(spark, "q_sort_hilbert", sf_dir)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for l in reads:
+        assert "o_totalprice" not in l and "o_comment" not in l
+
+
+def test_reservoir_is_one_exchange_with_group_limit(spark, sf_dir):
+    # per-group top-k by seeded hash: one exchange on the group key,
+    # WindowGroupLimit capping map-side AND post-shuffle; the scan
+    # prunes to (event_type, event_id)
+    simple = plan_of(spark, "q_sample_reservoir", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert simple.count("WindowGroupLimit") == 2
+    plan = plan_of(spark, "q_sample_reservoir", sf_dir)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for l in reads:
+        assert "value" not in l and "props" not in l and "user_id" not in l
+
+
+def test_volume_anomaly_rollup_then_spine_sized(spark, sf_dir):
+    # one fact rollup exchange + one spine window exchange; the spine
+    # join broadcasts (bounds frame is types-sized); nothing re-reads
+    # the fact at event grain
+    simple = plan_of(spark, "q_dq_volume_anomaly", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in simple
+    plan = plan_of(spark, "q_dq_volume_anomaly", sf_dir)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for l in reads:
+        assert "value" not in l and "props" not in l and "user_id" not in l
+
+
+def test_backtest_windows_share_one_exchange(spark, sf_dir):
+    # lag + trailing-sum windows and the final per-type agg all ride
+    # the event_type partitioning: 2 exchanges total (rollup + window),
+    # errors stay integer (no decimal/double cast before the agg)
+    simple = plan_of(spark, "q_ts_backtest", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_kl_divergence_derives_all_frames_from_one_count(spark, sf_dir):
+    # the executed plan must collapse the shared (source, term) count
+    # subtree via ReusedExchange (the naive five-frame form re-tokenizes
+    # the corpus five times), and the dense join must be shuffle-hash —
+    # the count frame is corpus-vocab-sized at scale, never broadcast
+    df = REGISTRY["q_text_kl_divergence"].fn(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    assert final.count("ReusedExchange") >= 2
+    assert final.count("FileScan parquet") <= 3
+    assert final.count("ShuffledHashJoin") == 1
+    assert final.count("BroadcastHashJoin") == 0
+
+
+def test_perplexity_count_joins_are_shuffle_hash(spark, sf_dir):
+    # both LM count frames (bigram, unigram) are corpus-vocab-sized:
+    # the pinned shape shuffles the probe side onto them — a broadcast
+    # would OOM at 100 TB vocabulary
+    simple = plan_of(spark, "q_text_perplexity", sf_dir, mode="simple")
+    assert simple.count("ShuffledHashJoin") == 2
+    assert "BroadcastHashJoin" not in simple
+    assert "SortMergeJoin" not in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_clip_gate_shuffles_both_corpus_sides(spark, sf_dir):
+    # documents x embeddings id join: both sides corpus-sized at scale,
+    # so the pinned plan is shuffle-hash; the payload text never
+    # reaches an exchange (byte_len is computed in the scan projection)
+    simple = plan_of(spark, "q_multimodal_clip_gate", sf_dir, mode="simple")
+    assert simple.count("ShuffledHashJoin") == 1
+    assert "BroadcastHashJoin" not in simple
+    plan = plan_of(spark, "q_multimodal_clip_gate", sf_dir)
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("text#" in l for l in ex_lines)
