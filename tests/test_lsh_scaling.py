@@ -13,6 +13,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from pokertracker_cassandra_st_spark.catalog import TABLES
+
 from pokertracker_cassandra_st_spark.llm.dedup import (
     SIMHASH_BUCKET_CAP,
     SIMHASH_LAYOUTS,
@@ -167,3 +169,64 @@ def test_subcell_engages_past_target(spark) -> None:
     n_cells = out["subcell"].nunique()
     assert n_cells > 1, "ladder did not engage past CELL_TARGET"
     assert out["subcell"].between(0, 3).all()  # cb=2 -> 4 subcells
+
+
+def test_knn_graph_multiprobe_recall_contract(spark, tmp_path_factory) -> None:
+    """Quantify the q_sim_knn_graph recall contract (VERDICT r7 #2): at
+    a corpus size that forces cb=2, hamming<=1 multi-probe covers 3 of
+    4 subcells, and hyperplane-LSH sign agreement biases true neighbors
+    into them. Measured here against the EXACT per-label top-3:
+    overall recall must clear the documented floor, and planted
+    near-duplicate twins (the neighbors that matter for dedup /
+    clustering consumers) must be found essentially always."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pokertracker_cassandra_st_spark.registry import REGISTRY
+
+    rng = np.random.RandomState(41)
+    n = 600  # one label -> past CELL_TARGET -> ladder picks cb=2
+    base = rng.randn(n, 64).astype("float32") * 0.2
+    twins = list(range(0, 60, 2))  # 30 planted near-dup pairs
+    for i in twins:
+        base[i + 1] = base[i] + rng.randn(64).astype("float32") * 0.002
+    d = str(tmp_path_factory.mktemp("knn_recall"))
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [base[i] for i in range(n)],
+            "label": np.zeros(n, dtype="int32"),
+        }
+    ).to_parquet(f"{d}/embeddings.parquet", index=False)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
+
+    got = (
+        REGISTRY["q_sim_knn_graph"].fn(spark, d).toPandas()
+    )
+    got_edges = set(zip(got["vec_id"], got["nbr_id"]))
+
+    v = base.astype("float64")
+    sims = v @ v.T / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    np.fill_diagonal(sims, -2.0)
+    exact_edges = set()
+    for i in range(n):
+        # cosine desc, nbr_id asc — the query's own tie rule
+        order = sorted(range(n), key=lambda j: (-round(sims[i, j], 6), j))
+        for j in order[:3]:
+            exact_edges.add((i, j))
+
+    recall = len(got_edges & exact_edges) / len(exact_edges)
+    assert recall >= 0.75, f"multi-probe recall@3 {recall:.3f} below floor"
+    # the planted twin must be each twin-pair member's top-1 and found
+    twin_pairs = [(i, i + 1) for i in twins] + [(i + 1, i) for i in twins]
+    found = sum((a, b) in got_edges for a, b in twin_pairs)
+    assert found >= 0.95 * len(twin_pairs), (
+        f"planted near-dup twins found {found}/{len(twin_pairs)}"
+    )
