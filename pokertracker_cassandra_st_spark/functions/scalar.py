@@ -631,3 +631,110 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("multibyte_overhead"),
     ).orderBy("doc_id")
+
+
+# ---- q_fn_geo --------------------------------------------------------- #
+# Geospatial scalar family: haversine great-circle distance, initial
+# bearing, and a Morton-interleaved integer geocell — the three
+# primitives behind q_join_spatial_grid's blocking and any
+# geo-partitioned layout. Coordinates are derived deterministically
+# from event columns (the fixture has no geo data); trig goes through
+# the q_fn_trig doctrine (round 6 on both sides — libm last-ulp
+# divergence), while the geocell is pure integer arithmetic and exact.
+_GEO_R_KM = 6371.0
+
+
+def _geocell_interleave(lat_e: str, lon_e: str, div: str) -> str:
+    """8+8-bit Morton interleave of quantized lat/lon degrees (1-degree
+    cells) — portable +,*,div,% arithmetic, the q_sort_zorder helper
+    shape specialized to geo."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({lat_e}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({lon_e}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_LAT = "(CAST(user_id AS DOUBLE) * 7 % 180) - 90"
+_LON = "(CAST(event_id AS DOUBLE) * 13 % 360) - 180"
+_QLAT = "CAST((user_id * 7) % 180 AS BIGINT)"
+_QLON = "CAST((event_id * 13) % 360 AS BIGINT)"
+
+
+@register(
+    "q_fn_geo",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id,
+         {_LAT} AS lat, {_LON} AS lon,
+         {_QLAT} AS qlat, {_QLON} AS qlon
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+       round(lat, 6) AS lat, round(lon, 6) AS lon,
+       round(2 * {_GEO_R_KM} * asin(sqrt(
+         pow(sin(radians(lat) / 2), 2) +
+         cos(radians(lat)) * cos(radians(0)) *
+         pow(sin(radians(lon) / 2), 2)
+       )), 6) AS dist_km,
+       round(degrees(atan2(
+         sin(radians(lon)) * cos(radians(0)),
+         cos(radians(lat)) * sin(radians(0)) -
+         sin(radians(lat)) * cos(radians(0)) * cos(radians(lon))
+       )), 6) AS bearing_to_origin_deg,
+       CAST({_geocell_interleave('qlat', 'qlon', '//')} AS BIGINT) AS geocell
+FROM pts
+""",
+    tags=("fn",),
+)
+def q_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo scalar family over synthetic event coordinates: haversine
+    distance to the origin, initial bearing toward the origin, and a
+    1-degree Morton geocell id.
+
+    All three stay in whole-stage codegen: the trig pair rounds to 6dp
+    both sides (q_fn_trig doctrine), the geocell is exact integer
+    interleave — the key you'd repartitionByRange on to co-locate
+    spatial neighbors at 100 TB (q_join_spatial_grid consumes exactly
+    this blocking; q_sort_hilbert is the locality upgrade when range
+    predicates dominate).
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    lat = F.expr(_LAT)
+    lon = F.expr(_LON)
+    lat_r = F.radians(lat)
+    lon_r = F.radians(lon)
+    dist = (
+        F.lit(2.0)
+        * _GEO_R_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(lat_r / 2), 2)
+                + F.cos(lat_r) * F.cos(F.radians(F.lit(0.0)))
+                * F.pow(F.sin(lon_r / 2), 2)
+            )
+        )
+    )
+    bearing = F.degrees(
+        F.atan2(
+            F.sin(lon_r) * F.cos(F.radians(F.lit(0.0))),
+            F.cos(lat_r) * F.sin(F.radians(F.lit(0.0)))
+            - F.sin(lat_r) * F.cos(F.radians(F.lit(0.0))) * F.cos(lon_r),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.round(lat, 6).alias("lat"),
+        F.round(lon, 6).alias("lon"),
+        F.round(dist, 6).alias("dist_km"),
+        F.round(bearing, 6).alias("bearing_to_origin_deg"),
+        F.expr(
+            _geocell_interleave(
+                f"CAST((user_id * 7) % 180 AS BIGINT)",
+                f"CAST((event_id * 13) % 360 AS BIGINT)",
+                "DIV",
+            )
+        )
+        .cast("long")
+        .alias("geocell"),
+    )

@@ -1118,3 +1118,109 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-nll_sum / F.count("*")), 6).alias("ppl"),
         )
     )
+
+
+# ---- q_text_bpe_train ------------------------------------------------ #
+# Three unrolled byte-pair-encoding merge iterations — q_text_bpe_step
+# is ONE turn of the tokenizer-training loop; this runs the loop and
+# emits the learned merge table (the actual artifact BPE training
+# produces). Fresh symbols are control chars \x01 \x02 \x03 — absent
+# from sane corpora, and even if present the rewrite is the same
+# deterministic string op in both engines. Ties break lexically.
+_BPE_SYMS = ["\x01", "\x02", "\x03"]
+
+
+def _bpe_train_oracle() -> str:
+    # AS MATERIALIZED on every chain level: each p{k} is consumed
+    # twice (the merge-table row AND the next rewrite) and each c{k}
+    # feeds a whole sub-chain — without it DuckDB re-inlines the
+    # rewrite lineage per consumer and the oracle goes quadratic in
+    # merge count (the q_graph_bfs / q_graph_kcore lesson)
+    ctes = [
+        "c0 AS MATERIALIZED (SELECT text FROM documents WHERE length(text) >= 2)"
+    ]
+    selects = []
+    for k, sym in enumerate(_BPE_SYMS):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT bg AS pair, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, length(text)),
+                  i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+    FROM c{k}
+  ) GROUP BY bg ORDER BY cnt DESC, pair LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"c{k + 1} AS MATERIALIZED "
+            f"(SELECT replace(c.text, p.pair, chr({ord(sym)})) AS text "
+            f"FROM c{k} c CROSS JOIN p{k} p)"
+        )
+        selects.append(
+            f"SELECT {k + 1} AS merge_no, pair, cnt FROM p{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("q_text_bpe_train", oracle=_bpe_train_oracle(), tags=("llm", "text"))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, three merge iterations unrolled: each
+    round counts all adjacent character pairs over the current corpus,
+    adopts the most frequent as a new vocabulary symbol (tie: lexical),
+    rewrites the corpus, and repeats — output is the learned merge
+    table (merge_no, pair, count), the artifact a tokenizer trainer
+    ships. q_text_bpe_step exhibits one turn of this loop; this is the
+    loop.
+
+    Every iteration is the same dataflow: a partial-aggregated bigram
+    count, a 1-row top-1 broadcast, a codegen string rewrite — no
+    driver-side collect between rounds. Each rewritten corpus is
+    localCheckpointed (the q_dedup_components fixed-point precedent):
+    without it the level-k plan re-derives every earlier rewrite and
+    total work goes quadratic in merge count; with it each merge costs
+    exactly one corpus pass — the property that lets production BPE
+    run hundreds of merges. The corpus is also repartitioned to the
+    executor parallelism first: a merge chain inherits the FILE
+    layout's partition count otherwise, and a few large text files
+    would serialize the whole explode (measured 80 s -> 8 s at the
+    10x sweep's 2-file corpus).
+    """
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def bigrams(col: str):
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, length({col}) - 1),"
+                f" i -> substring({col}, i, 2))"
+            )
+        )
+
+    merges = []
+    cur = corpus
+    for k, sym in enumerate(_BPE_SYMS):
+        top1 = (
+            cur.select(bigrams("text").alias("bg"))
+            .groupBy("bg")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "bg")
+            .limit(1)
+            .select(F.col("bg").alias("pair"), "cnt")
+        )
+        merges.append(
+            top1.select(
+                F.lit(k + 1).cast("int").alias("merge_no"), "pair", "cnt"
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(F.replace(F.col("text"), F.col("pair"), F.lit(sym)).alias("text"))
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

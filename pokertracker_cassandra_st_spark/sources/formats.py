@@ -281,3 +281,57 @@ def q_source_text_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BLOB_ORACLE = """
+SELECT 'blob_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha
+FROM documents
+WHERE doc_id < 40 AND octet_length(encode(text)) > 0
+"""
+
+
+@register("q_source_binaryfile", oracle=_BLOB_ORACLE, tags=("source", "multimodal"))
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-file source (``spark.read.format("binaryFile")``):
+    a directory of raw .bin payloads — the layout image/audio corpora
+    actually arrive in before any table exists — read as (path,
+    length, content) rows and reduced to name + size + content hash.
+    The oracle recomputes all three from the SOURCE rows, so the test
+    proves the byte round-trip is lossless (the same contract as the
+    CSV/JSON/ORC/XML round-trips, for the fifth and rawest format).
+
+    Pinned Spark behavior: the binaryFile source SKIPS zero-byte files
+    (its file index drops them before any task runs), so the contract
+    — and the oracle — covers non-empty payloads only; an ingest that
+    must notice empty blobs lists the directory itself. Scale notes:
+    binaryFile parallelizes by file and prunes on the
+    metadata columns (path/length filters never read content); at
+    100 TB the pattern is exactly q_multimodal_meta's — land blobs,
+    extract typed metadata once, rewrite to parquet with the payload
+    as a binary column so column pruning keeps bytes on disk. Small
+    files are the known hazard (driver-side file listing, task
+    per file) — the documented fix is the compaction pass
+    (q_sink_compaction) at ingest. The fixture write is a driver-side
+    loop over 40 tiny files — it BUILDS the external-world input, it
+    is not part of the measured query plan.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = scratch_dir(sf_dir, "binary_blob")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(out, exist_ok=True)
+    for r in docs:
+        with open(f"{out}/blob_{r['doc_id']}.bin", "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    raw = spark.read.format("binaryFile").load(f"{out}/*.bin")
+    return raw.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").alias("byte_len"),
+        F.sha2("content", 256).alias("content_sha"),
+    )

@@ -100,6 +100,8 @@ EVENT_QUERIES = [
     "q_sample_reservoir",
     "q_dq_volume_anomaly",
     "q_ts_backtest",
+    # round 8 batch 2: trig/geocell arithmetic under skewed ids
+    "q_fn_geo",
 ]
 
 
@@ -216,6 +218,11 @@ DOC_QUERIES = [
     # bigram guard are exactly what the ugly corpus stresses)
     "q_text_kl_divergence",
     "q_text_perplexity",
+    # round 8 batch 2: BPE merges over unicode/empty/duplicated texts
+    # (char-based substr parity) and raw-byte blob round-trip of the
+    # same ugly texts
+    "q_text_bpe_train",
+    "q_source_binaryfile",
 ]
 
 

@@ -38,6 +38,11 @@ ANY_ARG_ACTIONS = {"head", "take", "toLocalIterator"}
 EXEMPT: dict[str, int] = {
     "player_api.py": 4,  # id assignment x2 + GET/findAll serving reads
     "llm/dedup.py": 1,  # label-propagation convergence probe
+    # q_source_binaryfile's 40-file fixture write: it BUILDS the
+    # external raw-blob directory the source under test reads — the
+    # external world's side, not the query plan's (the measured query
+    # is the binaryFile read that follows)
+    "sources/formats.py": 1,
 }
 
 

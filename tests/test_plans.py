@@ -827,3 +827,38 @@ def test_clip_gate_shuffles_both_corpus_sides(spark, sf_dir):
     plan = plan_of(spark, "q_multimodal_clip_gate", sf_dir)
     ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert not any("text#" in l for l in ex_lines)
+
+
+def test_bpe_train_truncates_lineage_between_merges(spark, sf_dir):
+    # each merge must consume the PREVIOUS level's materialized corpus
+    # (localCheckpoint -> ExistingRDD scan), not re-derive the whole
+    # rewrite chain — the property that keeps k merges at k corpus
+    # passes instead of k^2/2
+    df = REGISTRY["q_text_bpe_train"].fn(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "ExistingRDD" in simple
+    assert "BatchEvalPython" not in simple
+    assert "SortMergeJoin" not in simple
+
+
+def test_binaryfile_source_is_shuffle_free_map(spark, sf_dir):
+    # blob dir -> (name, len, sha): parallel by file, pure projection,
+    # no exchange of any kind
+    simple = plan_of(spark, "q_source_binaryfile", sf_dir, mode="simple")
+    assert "binaryFile" in simple
+    assert "Exchange" not in simple
+    assert "Join" not in simple
+
+
+def test_geo_family_is_single_pruned_scan(spark, sf_dir):
+    # scalar family: one scan, no shuffle, pushdown on event_id, and
+    # only (event_id, user_id) reach the parquet reader
+    simple = plan_of(spark, "q_fn_geo", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Exchange" not in simple
+    plan = plan_of(spark, "q_fn_geo", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "event_id" in pushed and "LessThan" in pushed
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for l in reads:
+        assert "value" not in l and "props" not in l and "event_type" not in l
