@@ -157,3 +157,28 @@ def o_md5_32bit(arg_sql: str) -> str:
         f" * {16 ** (7 - i)}"
         for i in range(8)
     ) + ")"
+
+
+def fround(col: str | Column, scale: int = 6) -> Column:
+    """Float-path deterministic round — use on values that can land ON
+    a decimal rounding boundary (e.g. dyadic folds of 2-decimal
+    inputs: EWMA with a=0.5 produces exact multiples of 0.01/2^k).
+
+    Spark's ``F.round(double, n)`` routes through BigDecimal's
+    SHORTEST-STRING representation with HALF_UP — on a value whose
+    shortest repr ends in '5' at position n+1 it rounds UP even when
+    the binary double sits just below the tie, while DuckDB rounds the
+    binary value itself (std::round of x*10^n): found live at sf0.1 by
+    q_stream_ewma (32.6353125 -> Spark 32.635313, DuckDB 32.635312).
+    This helper reproduces DuckDB's float path exactly —
+    sign * floor(|x| * 10^n + 0.5) / 10^n, every step correctly
+    rounded IEEE on identical inputs — so the engines agree on ties
+    by construction. (The pandas-side twin is the holt ``rnd()``.)
+    For organic float noise that never lands on an exact tie,
+    ``F.round`` remains fine and is used throughout.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**scale)
+    return (
+        F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
+    ).cast("double")

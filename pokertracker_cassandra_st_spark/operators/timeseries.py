@@ -492,9 +492,16 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         present = F.when(lj.isNotNull(), wj).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = present if den is None else den + present
+    from pokertracker_cassandra_st_spark.exprs import fround
+
     return (
         lagged.filter(F.col("_rn") <= 20)
-        .select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
+        # fround, NOT F.round: with a = 0.5 the weighted sum and the
+        # renormalizer are exact dyadics, so the ratio can land ON a
+        # 6dp rounding tie where F.round's BigDecimal-string path
+        # disagrees with DuckDB's float round (exprs.fround; the
+        # q_stream_ewma sf0.1 finding, fixed in the same round)
+        .select("event_id", "user_id", fround(num / den, 6).alias("ewma"))
     )
 
 

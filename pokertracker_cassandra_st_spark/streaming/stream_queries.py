@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pokertracker_cassandra_st_spark.catalog import table
-from pokertracker_cassandra_st_spark.exprs import o_fmt_ts
+from pokertracker_cassandra_st_spark.exprs import fround, o_fmt_ts
 from pokertracker_cassandra_st_spark.operators.replay import TOMBSTONE
 from pokertracker_cassandra_st_spark.registry import register
 from pokertracker_cassandra_st_spark.streaming.runner import run_to_table, stream_events
@@ -695,6 +695,10 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("s.n_obs").alias("n_obs"),
-            F.round("s.ewma", 6).alias("ewma"),
+            # fround, NOT F.round: the a=0.5 fold emits exact dyadic
+            # multiples of 0.01/2^k that land ON 6dp rounding ties,
+            # where F.round's BigDecimal-string path disagrees with
+            # DuckDB's float round (see exprs.fround — found at sf0.1)
+            fround("s.ewma", 6).alias("ewma"),
         )
     )
