@@ -1036,3 +1036,223 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KNN_K)
         .select("vec_id", "nbr_id", "cosine", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---- q_sim_hybrid_search ---------------------------------------------- #
+# The RAG retrieval stack: lexical BM25 over an inverted-posting join +
+# vector cosine top-k, fused by reciprocal-rank fusion (RRF, Cormack et
+# al.) — the hybrid shape production retrieval runs because neither
+# signal alone survives both paraphrase and keyword queries. Query set:
+# five corpus documents (doc_id % 100 == 7, < 500) playing the role of
+# incoming queries against everything else.
+#
+# Determinism doctrine: BM25 per-term scores are computed from exact
+# integers (tf, df, N, doc/avg lengths) and quantized to 1e-12 scaled
+# longs BEFORE the per-(query, doc) sum (the PSI/KL ln() rule), so the
+# text rank orders exact integers; the vector rank orders 6dp-rounded
+# cosines (the q_sim_topk rule); RRF then maps two int ranks through a
+# fixed expression — every rank is tie-broken by doc id.
+_HYB_K1 = 1.2
+_HYB_B = 0.75
+_HYB_SIDE_K = 20
+_HYB_K = 5
+_HYB_RRF = 60
+_HYB_Q = 12
+
+_HYBRID_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS MATERIALIZED (
+  SELECT doc_id, count(*) AS len_d FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS avglen
+  FROM toks
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qt AS (
+  SELECT DISTINCT tf.doc_id AS qid, tf.term
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  WHERE tf.doc_id % 100 = 7 AND tf.doc_id < 500
+    AND df * 2 <= n_docs
+), bm AS (
+  SELECT q.qid, tf.doc_id,
+         sum(CAST(round(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf.tf * ({_HYB_K1} + 1)
+           / (tf.tf + {_HYB_K1} * (1 - {_HYB_B} + {_HYB_B} * dl.len_d / avglen))
+           * 1e{_HYB_Q}) AS BIGINT)) AS score_q
+  FROM qt q
+  JOIN tf ON tf.term = q.term AND tf.doc_id <> q.qid
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+), trank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id)
+           AS rt
+  FROM bm QUALIFY rt <= {_HYB_SIDE_K}
+), qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb
+  FROM embeddings WHERE vec_id % 100 = 7 AND vec_id < 500
+), cv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings
+), vrank AS (
+  SELECT qid, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+           AS rv
+  FROM (
+    SELECT qid, vec_id,
+           round(list_dot_product(q_emb, c_emb) /
+                 (sqrt(list_dot_product(q_emb, q_emb)) *
+                  sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+    FROM qv JOIN cv ON vec_id <> qid
+  ) QUALIFY rv <= {_HYB_SIDE_K}
+), fused AS (
+  SELECT coalesce(t.qid, v.qid) AS qid,
+         coalesce(t.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / ({_HYB_RRF} + t.rt), 0.0)
+           + coalesce(1.0 / ({_HYB_RRF} + v.rv), 0.0) AS rrf,
+         CASE WHEN t.qid IS NOT NULL AND v.qid IS NOT NULL THEN 'both'
+              WHEN t.qid IS NOT NULL THEN 'text' ELSE 'vec' END AS src
+  FROM trank t FULL OUTER JOIN vrank v
+    ON t.qid = v.qid AND t.doc_id = v.doc_id
+)
+SELECT qid, doc_id, round(rrf, 6) AS rrf, src,
+       row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+         AS frank
+FROM fused QUALIFY frank <= {_HYB_K}
+"""
+
+
+@register("q_sim_hybrid_search", oracle=_HYBRID_ORACLE, tags=("llm", "similarity", "text"))
+def q_sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (k1=1.2, b=0.75, stopword terms with
+    df > N/2 dropped from queries) and cosine similarity each produce
+    a top-20 list per query document; reciprocal-rank fusion
+    (1/(60+rank), summed across the lists a doc appears in) picks the
+    final top-5 — the lexical+dense retrieval stack behind RAG
+    pipelines and contamination checks.
+
+    Scale notes: the BM25 candidate join is the inverted-index shape —
+    (query-term x posting-list) keyed on term, payloads are
+    (qid, doc_id, tf) only; the df > N/2 stopword drop removes exactly
+    the keys that would run hot, and the per-(q,d) sum partial-
+    aggregates map-side. Query-side frames (5 rows) broadcast; the
+    corpus-sized tf/df/length frames join SHUFFLE_HASH on term/doc.
+    The vector side is the q_sim_topk broadcast-probe tier; its scale
+    path is IVF (q_sim_ivf). RRF then touches only 2 x top-20 rows per
+    query. No floats cross an aggregation unquantized (module note).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    # every lexical frame derives from the ONE (doc, term) tf count —
+    # len_d = sum(tf) per doc, df = count per term, corpus token total
+    # = sum of len_d — so the executed plan collapses the tokenize to
+    # a ReusedExchange instead of re-exploding the corpus per frame
+    # (the q_text_kl_divergence lesson)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len_d"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.sum("len_d").alias("n_toks")).crossJoin(
+        F.broadcast(d.agg(F.count("*").alias("n_docs")))
+    ).select(
+        "n_docs",
+        (F.col("n_toks").cast("double") / F.col("n_docs")).alias("avglen"),
+    )
+    is_query = (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 500)
+    qt = (
+        tf.filter(is_query)
+        .join(df_.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tnorm = F.col("tf") + _HYB_K1 * (
+        1 - _HYB_B + _HYB_B * F.col("len_d") / F.col("avglen")
+    )
+    term_q = slong(idf * F.col("tf") * (_HYB_K1 + 1) / tnorm, _HYB_Q)
+    bm = (
+        F.broadcast(qt)
+        .join(
+            tf.hint("shuffle_hash"),
+            (tf["term"] == qt["term"]) & (tf["doc_id"] != qt["qid"]),
+        )
+        .drop(qt["term"])
+        # df is corpus-vocab-sized — never broadcast (the perplexity
+        # count-join rule); the candidate side is already keyed on term
+        .join(df_.hint("shuffle_hash"), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(term_q).alias("score_q"))
+    )
+    w_t = Window.partitionBy("qid").orderBy(F.desc("score_q"), "doc_id")
+    trank = (
+        bm.withColumn("rt", F.row_number().over(w_t))
+        .filter(F.col("rt") <= _HYB_SIDE_K)
+        .select("qid", "doc_id", "rt")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    cv = e.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w_v = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    vrank = (
+        F.broadcast(qv)
+        .join(cv, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("rv", F.row_number().over(w_v))
+        .filter(F.col("rv") <= _HYB_SIDE_K)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rv")
+    )
+    t, v = trank.alias("t"), vrank.alias("v")
+    rrf = F.coalesce(1.0 / (_HYB_RRF + F.col("t.rt")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_HYB_RRF + F.col("v.rv")), F.lit(0.0)
+    )
+    src = (
+        F.when(F.col("t.qid").isNotNull() & F.col("v.qid").isNotNull(), "both")
+        .when(F.col("t.qid").isNotNull(), "text")
+        .otherwise("vec")
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        t.join(
+            v,
+            (F.col("t.qid") == F.col("v.qid"))
+            & (F.col("t.doc_id") == F.col("v.doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("t.qid"), F.col("v.qid")).alias("qid"),
+            F.coalesce(F.col("t.doc_id"), F.col("v.doc_id")).alias("doc_id"),
+            rrf.alias("rrf"),
+            src.alias("src"),
+        )
+        .withColumn("frank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("frank") <= _HYB_K)
+        .select("qid", "doc_id", F.round("rrf", 6).alias("rrf"), "src", "frank")
+    )

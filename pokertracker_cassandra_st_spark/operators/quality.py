@@ -605,3 +605,124 @@ def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.when(var7 > 0, F.abs(z) > _VOL_Z).alias("is_anomaly"),
     )
+
+
+# ---- q_dq_profile ---------------------------------------------------- #
+# The Deequ/Great-Expectations column PROFILER (the step that writes
+# the expectations q_dq_expectations later asserts): one aggregation
+# pass computes every column's null count, exact distinct count, and
+# min/max, stacked tall. Min/max canonicalize to strings for the
+# mixed-type stack — through DECIMAL for the double column and ISO for
+# the date (double->string formatting diverges cross-engine; decimal
+# and date strings are pinned parity-safe).
+
+
+@register(
+    "q_dq_profile",
+    oracle="""
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+         CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
+         CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+         count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+         CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+         CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+         count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+         min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+         count(o_totalprice) AS nn_pr, count(DISTINCT o_totalprice) AS nd_pr,
+         CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR) AS mn_pr,
+         CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR) AS mx_pr,
+         count(o_orderdate) AS nn_dt, count(DISTINCT o_orderdate) AS nd_dt,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn_dt,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx_dt,
+         count(o_orderpriority) AS nn_pri,
+         count(DISTINCT o_orderpriority) AS nd_pri,
+         min(o_orderpriority) AS mn_pri, max(o_orderpriority) AS mx_pri
+  FROM orders
+), tall AS (
+  SELECT 'o_orderkey' AS column_name, n, n - nn_key AS n_null,
+         nd_key AS n_distinct, mn_key AS min_s, mx_key AS max_s FROM m
+  UNION ALL SELECT 'o_custkey', n, n - nn_cust, nd_cust, mn_cust, mx_cust FROM m
+  UNION ALL SELECT 'o_orderstatus', n, n - nn_st, nd_st, mn_st, mx_st FROM m
+  UNION ALL SELECT 'o_totalprice', n, n - nn_pr, nd_pr, mn_pr, mx_pr FROM m
+  UNION ALL SELECT 'o_orderdate', n, n - nn_dt, nd_dt, mn_dt, mx_dt FROM m
+  UNION ALL SELECT 'o_orderpriority', n, n - nn_pri, nd_pri, mn_pri, mx_pri FROM m
+)
+SELECT column_name, n AS n_rows, n_null,
+       round(CAST(n_null AS DOUBLE) / n, 6) AS null_rate,
+       n_distinct, min_s, max_s
+FROM tall
+""",
+    tags=("quality",),
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over ``orders``: per column the row
+    count, null count/rate, EXACT distinct count, and canonical-string
+    min/max — the discovery step that seeds a declared-expectation
+    suite (q_dq_expectations asserts what this measures).
+
+    All metrics ride ONE aggregation (map-side partials; the exact
+    count(distinct)s share the expand), then a constant 6-row stack.
+    At 100 TB with a distinct-tolerance declared, swap the exact
+    distincts for approx_count_distinct and the expand disappears —
+    the q_agg_approx_distinct trade, documented where it would flip.
+    """
+    o = table(spark, sf_dir, "orders")
+
+    def canon_dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(12,2)").cast("string")
+
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        F.count("o_totalprice").alias("nn_pr"),
+        F.countDistinct("o_totalprice").alias("nd_pr"),
+        F.min(F.col("o_totalprice")).cast("decimal(12,2)").cast("string").alias("mn_pr"),
+        F.max(F.col("o_totalprice")).cast("decimal(12,2)").cast("string").alias("mx_pr"),
+        F.count("o_orderdate").alias("nn_dt"),
+        F.countDistinct("o_orderdate").alias("nd_dt"),
+        # the fixture ships o_orderdate as timestamp — canonicalize
+        # through DATE so both engines print ISO dates
+        F.min("o_orderdate").cast("date").cast("string").alias("mn_dt"),
+        F.max("o_orderdate").cast("date").cast("string").alias("mx_dt"),
+        F.count("o_orderpriority").alias("nn_pri"),
+        F.countDistinct("o_orderpriority").alias("nd_pri"),
+        F.min("o_orderpriority").alias("mn_pri"),
+        F.max("o_orderpriority").alias("mx_pri"),
+    )
+    tall = m.select(
+        F.expr(
+            "stack(6, "
+            "'o_orderkey', n - nn_key, nd_key, mn_key, mx_key, "
+            "'o_custkey', n - nn_cust, nd_cust, mn_cust, mx_cust, "
+            "'o_orderstatus', n - nn_st, nd_st, mn_st, mx_st, "
+            "'o_totalprice', n - nn_pr, nd_pr, mn_pr, mx_pr, "
+            "'o_orderdate', n - nn_dt, nd_dt, mn_dt, mx_dt, "
+            "'o_orderpriority', n - nn_pri, nd_pri, mn_pri, mx_pri"
+            ") AS (column_name, n_null, n_distinct, min_s, max_s)"
+        ),
+        F.col("n").alias("n_rows"),
+    )
+    return tall.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null").cast("double") / F.col("n_rows"), 6).alias(
+            "null_rate"
+        ),
+        "n_distinct",
+        "min_s",
+        "max_s",
+    )

@@ -223,6 +223,9 @@ DOC_QUERIES = [
     # same ugly texts
     "q_text_bpe_train",
     "q_source_binaryfile",
+    # round 8 batch 3: hybrid BM25+vector fusion where only query doc 7
+    # survives the id filter and stopword-df drop meets the tiny corpus
+    "q_sim_hybrid_search",
 ]
 
 
@@ -337,6 +340,9 @@ REL_QUERIES = [
     "q_sql_cte",
     # round 4: null o_custkey probes + null c_mktsegment insert rows
     "q_agg_bloom",
+    # round 8 batch 3: the column profiler vs injected NULL o_custkey /
+    # o_totalprice (null counts, distinct-with-nulls, decimal min/max)
+    "q_dq_profile",
     # round 5: the round-4 final-commit additions (ADVICE r4) — listagg
     # meets NULL c_mktsegment groups, skewkurt NULL l_quantity, the
     # graph pair NULL o_custkey edge endpoints

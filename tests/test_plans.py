@@ -862,3 +862,31 @@ def test_geo_family_is_single_pruned_scan(spark, sf_dir):
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     for l in reads:
         assert "value" not in l and "props" not in l and "event_type" not in l
+
+
+def test_hybrid_search_lexical_joins_never_broadcast_vocab(spark, sf_dir):
+    # the BM25 candidate join keys on term against corpus-vocab-sized
+    # count frames (tf/df/dl): all shuffle-hash; the only broadcasts
+    # are the 5-row query frames and 1-row stats scalars; the executed
+    # plan must reuse the shared tf exchange rather than re-tokenize
+    df = REGISTRY["q_sim_hybrid_search"].fn(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    assert final.count("ShuffledHashJoin") >= 3
+    assert final.count("ReusedExchange") >= 2
+    # vector side broadcasts only the bounded query frame; the corpus
+    # candidate side must not be a broadcast build
+    simple = plan_of(spark, "q_sim_hybrid_search", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+
+
+def test_profile_is_one_pass_stack(spark, sf_dir):
+    # one scan, one aggregation exchange (the exact-distinct Expand
+    # rides it), then a constant 6-row stack — never one job per column
+    simple = plan_of(spark, "q_dq_profile", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert simple.count("Expand") == 1
+    assert "Join" not in simple
