@@ -226,19 +226,32 @@ def main() -> None:
 
         from tests.differ import assert_frames_match
 
-        con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings"
-        ).split():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
+        def fresh_con() -> "duckdb.DuckDBPyConnection":
+            c = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem events "
+                "documents embeddings"
+            ).split():
+                c.execute(
+                    f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            return c
+
+        con = fresh_con()
         failures: list[str] = []
         names = checked_names(REGISTRY)
         if only is not None:
             names = [n for n in names if n in only]
-        for name in names:
+        for i, name in enumerate(names):
+            # DuckDB's spill files (.tmp/duckdb_temp_storage-*) live for
+            # the CONNECTION: one connection across a 250-query sweep at
+            # 100x accumulated 71 GB and ENOSPC'd the host (round-8
+            # finding). Recycle the connection every few queries so the
+            # spill high-water mark stays one-query-sized.
+            if i and i % 5 == 0:
+                con.close()
+                con = fresh_con()
             q = REGISTRY[name]
             t0 = time.perf_counter()
             try:
