@@ -232,40 +232,54 @@ def test_round7_window_ran_as_planned():
     )
 
 
-def test_round8_window_is_active_and_ledgered():
-    """Round-8 rotation contract (VERDICT r7 'Next round #1'):
-    WINDOW_R8 is the active window, led by every POST_ROTATION_R7
-    query (the 13 round-7 additions with no driver row yet — cumulative
-    driver coverage reaches 239/239 when it runs); any query registered
-    DURING round 8 must join POST_ROTATION_R8 in the same commit or
-    this test fails loudly."""
+def test_round8_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r08.json must cover exactly the 50
+    WINDOW_R8 slots — the round-8 rotation executed as drafted."""
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R8
+
+    r08 = set(json.load(open("/root/repo/CORRECTNESS_r08.json")))
+    assert r08 == set(WINDOW_R8), (
+        f"r08 artifact vs WINDOW_R8: missing={sorted(set(WINDOW_R8) - r08)} "
+        f"extra={sorted(r08 - set(WINDOW_R8))}"
+    )
+
+
+def test_round9_window_is_active_and_ledgered():
+    """Round-9 rotation contract (VERDICT r8 'Next round #1'):
+    WINDOW_R9 is the active window, led by every POST_ROTATION_R8
+    query (the 12 round-8 additions with no driver row yet — cumulative
+    driver coverage reaches the full registry when it runs); any query
+    registered DURING round 9 must join POST_ROTATION_R9 in the same
+    commit or this test fails loudly."""
     from pokertracker_cassandra_st_spark.registry import (
-        POST_ROTATION_R7,
         POST_ROTATION_R8,
-        WINDOW_R8,
-        _R8_REP_POOL,
+        POST_ROTATION_R9,
+        WINDOW_R9,
+        _R9_REP_POOL,
     )
 
     qs = get_queries()
     oracles = get_oracles()
-    assert WINDOW is WINDOW_R8, "round-8 window must be active"
-    assert WINDOW_R8[: len(POST_ROTATION_R7)] == list(POST_ROTATION_R7)
-    assert len(WINDOW_R8) == 50 == len(set(WINDOW_R8))
-    no_oracle = [n for n in WINDOW_R8 if n not in oracles]
-    assert not no_oracle, f"WINDOW_R8 entries without an oracle: {no_oracle}"
+    assert WINDOW is WINDOW_R9, "round-9 window must be active"
+    assert WINDOW_R9[: len(POST_ROTATION_R8)] == list(POST_ROTATION_R8)
+    assert len(WINDOW_R9) == 50 == len(set(WINDOW_R9))
+    no_oracle = [n for n in WINDOW_R9 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R9 entries without an oracle: {no_oracle}"
     # every never-driver-checked query is either in the active window
-    # (getting its row this round) or ledgered as a round-8 addition
+    # (getting its row this round) or ledgered as a round-9 addition
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - set(WINDOW_R8) - set(POST_ROTATION_R8))
+    stranded = sorted(never - set(WINDOW_R9) - set(POST_ROTATION_R9))
     assert not stranded, (
-        f"queries registered during round 8 without joining "
-        f"POST_ROTATION_R8: {stranded}"
+        f"queries registered during round 9 without joining "
+        f"POST_ROTATION_R9: {stranded}"
     )
-    undeclared = [n for n in POST_ROTATION_R8 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R8 names not registered: {undeclared}"
-    # the 37 rep slots must all carry a prior driver row
-    unchecked_reps = sorted(set(_R8_REP_POOL) - checked)
+    undeclared = [n for n in POST_ROTATION_R9 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R9 names not registered: {undeclared}"
+    # the 38 rep slots must all carry a prior driver row
+    unchecked_reps = sorted(set(_R9_REP_POOL) - checked)
     assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
 
 
