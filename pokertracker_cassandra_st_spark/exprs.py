@@ -55,12 +55,15 @@ def slong(col: str | Column, scale: int) -> Column:
     below are the unbounded fallback.
     """
     c = F.col(col) if isinstance(col, str) else col
-    # floor(x+0.5), not round(): Spark's round on double goes through a
-    # per-row BigDecimal (~3x slower); floor stays in primitive codegen.
-    # Equal to round-half-up for non-negative inputs, and our inputs are
-    # k-decimal values sitting ~1e-9 from an integer — never at a .5
-    # boundary — so it also equals the oracle's round().
-    return F.floor(c * (10**scale) + F.lit(0.5)).cast("long")
+    # signum * floor(|x|+0.5), not round(): Spark's round on double goes
+    # through a per-row BigDecimal (~3x slower); this stays in primitive
+    # codegen. The signum branch makes it half-AWAY-FROM-ZERO for both
+    # signs — exactly DuckDB's round() — so negative inputs (ln terms,
+    # KL summands) are covered too, not just the non-negative domain.
+    # Off a .5 tie it equals plain floor(x+0.5) for every sign.
+    return (F.signum(c) * F.floor(F.abs(c) * (10**scale) + F.lit(0.5))).cast(
+        "long"
+    )
 
 
 def o_slong(expr: str, scale: int) -> str:

@@ -645,12 +645,18 @@ _GEO_R_KM = 6371.0
 
 
 def _geocell_interleave(lat_e: str, lon_e: str, div: str) -> str:
-    """8+8-bit Morton interleave of quantized lat/lon degrees (1-degree
+    """8+9-bit Morton interleave of quantized lat/lon degrees (1-degree
     cells) — portable +,*,div,% arithmetic, the q_sort_zorder helper
-    shape specialized to geo."""
+    shape specialized to geo. Latitude spans [0, 180) = 8 bits; the
+    longitude domain [0, 360) needs a 9th bit (without it, lon in
+    [256, 359] would alias onto [0, 103] — distant cells colliding),
+    which lands at position 16, just above the interleaved pairs."""
     terms = []
-    for i in range(8):
-        terms.append(f"((({lat_e}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    for i in range(9):
+        if i < 8:
+            terms.append(
+                f"((({lat_e}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+            )
         terms.append(f"((({lon_e}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
     return " + ".join(terms)
 
@@ -677,11 +683,15 @@ SELECT event_id,
          cos(radians(lat)) * cos(radians(0)) *
          pow(sin(radians(lon) / 2), 2)
        )), 6) AS dist_km,
-       round(degrees(atan2(
-         sin(radians(lon)) * cos(radians(0)),
+       CASE WHEN round(degrees(atan2(
+         sin(radians(-lon)) * cos(radians(0)),
          cos(radians(lat)) * sin(radians(0)) -
-         sin(radians(lat)) * cos(radians(0)) * cos(radians(lon))
-       )), 6) AS bearing_to_origin_deg,
+         sin(radians(lat)) * cos(radians(0)) * cos(radians(-lon))
+       )), 6) = -180 THEN 180 ELSE round(degrees(atan2(
+         sin(radians(-lon)) * cos(radians(0)),
+         cos(radians(lat)) * sin(radians(0)) -
+         sin(radians(lat)) * cos(radians(0)) * cos(radians(-lon))
+       )), 6) END AS bearing_to_origin_deg,
        CAST({_geocell_interleave('qlat', 'qlon', '//')} AS BIGINT) AS geocell
 FROM pts
 """,
@@ -715,19 +725,28 @@ def q_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # the TO-ORIGIN longitude delta is (0 - lon): sin flips sign with
+    # it, cos does not — sin(-x)/cos(-x) are exact IEEE reflections, so
+    # engine parity is unaffected. The due-south edge (lon = 0, lat > 0)
+    # rides on the SIGN OF ZERO through atan2(±0, x<0) = ±pi, and the
+    # engines disagree on which zero -lon produces — canonicalize the
+    # antimeridian bearing to +180 after rounding, on both sides.
+    dlon_r = F.radians(-lon)
     bearing = F.degrees(
         F.atan2(
-            F.sin(lon_r) * F.cos(F.radians(F.lit(0.0))),
+            F.sin(dlon_r) * F.cos(F.radians(F.lit(0.0))),
             F.cos(lat_r) * F.sin(F.radians(F.lit(0.0)))
-            - F.sin(lat_r) * F.cos(F.radians(F.lit(0.0))) * F.cos(lon_r),
+            - F.sin(lat_r) * F.cos(F.radians(F.lit(0.0))) * F.cos(dlon_r),
         )
     )
+    bearing6 = F.round(bearing, 6)
+    bearing6 = F.when(bearing6 == -180, F.lit(180.0)).otherwise(bearing6)
     return ev.select(
         "event_id",
         F.round(lat, 6).alias("lat"),
         F.round(lon, 6).alias("lon"),
         F.round(dist, 6).alias("dist_km"),
-        F.round(bearing, 6).alias("bearing_to_origin_deg"),
+        bearing6.alias("bearing_to_origin_deg"),
         F.expr(
             _geocell_interleave(
                 f"CAST((user_id * 7) % 180 AS BIGINT)",

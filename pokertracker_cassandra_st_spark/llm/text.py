@@ -1120,73 +1120,88 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- q_text_bpe_train ------------------------------------------------ #
-# Three unrolled byte-pair-encoding merge iterations — q_text_bpe_step
-# is ONE turn of the tokenizer-training loop; this runs the loop and
-# emits the learned merge table (the actual artifact BPE training
-# produces). Fresh symbols are control chars \x01 \x02 \x03 — absent
-# from sane corpora, and even if present the rewrite is the same
+# ---- q_text_bpe_train / q_text_bpe_apply ----------------------------- #
+# Byte-pair-encoding merge iterations — q_text_bpe_step exhibits ONE
+# turn of the tokenizer-training loop; q_text_bpe_train runs the loop
+# for k merges and emits the learned merge table (the actual artifact
+# BPE training produces); q_text_bpe_apply replays that table over the
+# corpus (tokenizer deployment). Fresh symbols are control chars
+# \x01 \x02 ... (skipping \t \n \r, which legitimately occur in text) —
+# absent from sane corpora, and even if present the rewrite is the same
 # deterministic string op in both engines. Ties break lexically.
-_BPE_SYMS = ["\x01", "\x02", "\x03"]
+_BPE_K = 3  # the registered queries' merge count; scale harness runs k=10
+_BPE_SYM_POOL = [chr(c) for c in range(1, 32) if c not in (9, 10, 13)]
 
 
-def _bpe_train_oracle() -> str:
-    # AS MATERIALIZED on every chain level: each p{k} is consumed
-    # twice (the merge-table row AND the next rewrite) and each c{k}
+def _bpe_syms(k: int) -> list[str]:
+    if k > len(_BPE_SYM_POOL):
+        raise ValueError(f"at most {len(_BPE_SYM_POOL)} merges supported")
+    return _BPE_SYM_POOL[:k]
+
+
+def _bpe_train_ctes(k: int) -> list[str]:
+    # AS MATERIALIZED on every chain level: each p{i} is consumed
+    # twice (the merge-table row AND the next rewrite) and each c{i}
     # feeds a whole sub-chain — without it DuckDB re-inlines the
     # rewrite lineage per consumer and the oracle goes quadratic in
-    # merge count (the q_graph_bfs / q_graph_kcore lesson)
+    # merge count (the q_graph_bfs / q_graph_kcore lesson).
+    # length(text) >= 2 is re-applied at EVERY level, not just c0: a
+    # merge can collapse an exact-pair doc to one char, and the Spark
+    # side must drop it before the next bigram pass (see
+    # q_text_bpe_train) — here the filter is a no-op for counts
+    # (range(1, 1) is empty) but keeps the two engines' corpus states
+    # token-identical.
     ctes = [
         "c0 AS MATERIALIZED (SELECT text FROM documents WHERE length(text) >= 2)"
     ]
-    selects = []
-    for k, sym in enumerate(_BPE_SYMS):
+    for i, sym in enumerate(_bpe_syms(k)):
         ctes.append(
-            f"""p{k} AS MATERIALIZED (
+            f"""p{i} AS MATERIALIZED (
   SELECT bg AS pair, count(*) AS cnt FROM (
     SELECT unnest(list_transform(range(1, length(text)),
                   i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
-    FROM c{k}
+    FROM c{i} WHERE length(text) >= 2
   ) GROUP BY bg ORDER BY cnt DESC, pair LIMIT 1
 )"""
         )
         ctes.append(
-            f"c{k + 1} AS MATERIALIZED "
+            f"c{i + 1} AS MATERIALIZED "
             f"(SELECT replace(c.text, p.pair, chr({ord(sym)})) AS text "
-            f"FROM c{k} c CROSS JOIN p{k} p)"
+            f"FROM c{i} c CROSS JOIN p{i} p WHERE length(c.text) >= 2)"
         )
-        selects.append(
-            f"SELECT {k + 1} AS merge_no, pair, cnt FROM p{k}"
-        )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    return ctes
 
 
-@register("q_text_bpe_train", oracle=_bpe_train_oracle(), tags=("llm", "text"))
-def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, three merge iterations unrolled: each
-    round counts all adjacent character pairs over the current corpus,
-    adopts the most frequent as a new vocabulary symbol (tie: lexical),
-    rewrites the corpus, and repeats — output is the learned merge
-    table (merge_no, pair, count), the artifact a tokenizer trainer
-    ships. q_text_bpe_step exhibits one turn of this loop; this is the
-    loop.
+def _bpe_train_oracle(k: int) -> str:
+    selects = [
+        f"SELECT {i + 1} AS merge_no, pair, cnt FROM p{i}" for i in range(k)
+    ]
+    return (
+        "WITH " + ",\n".join(_bpe_train_ctes(k)) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
 
-    Every iteration is the same dataflow: a partial-aggregated bigram
-    count, a 1-row top-1 broadcast, a codegen string rewrite — no
-    driver-side collect between rounds. Each rewritten corpus is
+
+def _bpe_merge_tables(
+    spark: SparkSession, sf_dir: str, k: int
+) -> list[DataFrame]:
+    """The k-merge BPE training loop; returns one 1-row (pair, cnt)
+    DataFrame per merge, each computed on the corpus state its merge
+    saw. Every iteration is the same dataflow: a partial-aggregated
+    bigram count, a 1-row top-1 broadcast, a codegen string rewrite —
+    no driver-side collect between rounds. Each rewritten corpus is
     localCheckpointed (the q_dedup_components fixed-point precedent):
-    without it the level-k plan re-derives every earlier rewrite and
+    without it the level-i plan re-derives every earlier rewrite and
     total work goes quadratic in merge count; with it each merge costs
     exactly one corpus pass — the property that lets production BPE
-    run hundreds of merges. The corpus is also repartitioned to the
-    executor parallelism first: a merge chain inherits the FILE
-    layout's partition count otherwise, and a few large text files
-    would serialize the whole explode (measured 80 s -> 8 s at the
-    10x sweep's 2-file corpus).
+    run hundreds of merges (k=10 linearity measured in SCALE.md r9).
+    The corpus is repartitioned to the executor parallelism first: a
+    merge chain inherits the FILE layout's partition count otherwise,
+    and a few large text files would serialize the whole explode
+    (measured 80 s -> 8 s at the 10x sweep's 2-file corpus).
     """
     corpus = (
         table(spark, sf_dir, "documents")
-        .filter(F.length("text") >= 2)
         .select("text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -1199,9 +1214,16 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    merges = []
+    tops: list[DataFrame] = []
     cur = corpus
-    for k, sym in enumerate(_BPE_SYMS):
+    for sym in _bpe_syms(k):
+        # re-filter EVERY round, not just on entry: a merge collapses an
+        # exact-pair doc to one char, where Spark's sequence(1, 0)
+        # yields the DESCENDING [1, 0] (never empty) and would fabricate
+        # two spurious 'bigram' rows the oracle's range(1, 1) = [] never
+        # sees — and a \x01-prefixed key wins any count tie lexically,
+        # silently flipping the learned merge table (ADVICE r8)
+        cur = cur.filter(F.length("text") >= 2)
         top1 = (
             cur.select(bigrams("text").alias("bg"))
             .groupBy("bg")
@@ -1210,17 +1232,93 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.col("bg").alias("pair"), "cnt")
         )
-        merges.append(
-            top1.select(
-                F.lit(k + 1).cast("int").alias("merge_no"), "pair", "cnt"
-            )
-        )
+        tops.append(top1)
         cur = (
             cur.crossJoin(F.broadcast(top1))
-            .select(F.replace(F.col("text"), F.col("pair"), F.lit(sym)).alias("text"))
+            .select(
+                F.replace(F.col("text"), F.col("pair"), F.lit(sym)).alias("text")
+            )
             .localCheckpoint()
         )
+    return tops
+
+
+@register(
+    "q_text_bpe_train", oracle=_bpe_train_oracle(_BPE_K), tags=("llm", "text")
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, k merge iterations: each round counts
+    all adjacent character pairs over the current corpus, adopts the
+    most frequent as a new vocabulary symbol (tie: lexical), rewrites
+    the corpus, and repeats — output is the learned merge table
+    (merge_no, pair, count), the artifact a tokenizer trainer ships.
+    The loop body and its scale doctrine live in _bpe_merge_tables.
+    """
+    tops = _bpe_merge_tables(spark, sf_dir, _BPE_K)
+    merges = [
+        t.select(F.lit(i + 1).cast("int").alias("merge_no"), "pair", "cnt")
+        for i, t in enumerate(tops)
+    ]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    # the apply chain a{i} threads doc_id and keeps EVERY doc (the
+    # tokenizer encodes the whole corpus, including docs too short to
+    # have contributed training bigrams); replace() on a doc shorter
+    # than the pair is a no-op in both engines
+    ctes = _bpe_train_ctes(k)
+    ctes.append("a0 AS (SELECT doc_id, text, length(text) AS n0 FROM documents)")
+    for i, sym in enumerate(_bpe_syms(k)):
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED "
+            f"(SELECT a.doc_id, replace(a.text, p.pair, chr({ord(sym)})) AS text,"
+            f" a.n0 FROM a{i} a CROSS JOIN p{i} p)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens,"
+        f" CAST(n0 - length(text) AS BIGINT) AS n_merged FROM a{k}"
+    )
+
+
+@register(
+    "q_text_bpe_apply", oracle=_bpe_apply_oracle(_BPE_K), tags=("llm", "text")
+)
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer deployment — the other half of q_text_bpe_train: apply
+    the learned merge table to the full corpus in merge order and emit
+    per-document token counts (doc_id, n_tokens, n_merged). n_tokens is
+    the character-level token count after all merges; n_merged is how
+    many merge applications the doc absorbed (original length minus
+    encoded length).
+
+    Each merge is a broadcast of the 1-row merge entry + a codegen
+    string rewrite over the corpus — a narrow map, no shuffle; at
+    100 TB this is exactly how a trained tokenizer's merge table rides
+    along: k broadcast-joins replayed over every shard, cost linear in
+    k corpus passes (shared training prefix via the same
+    localCheckpoint chain as the trainer). All docs are encoded,
+    including the short ones training filtered out — replace() on a
+    doc shorter than its pair is a no-op.
+    """
+    tops = _bpe_merge_tables(spark, sf_dir, _BPE_K)
+    enc = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").alias("n0"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    for sym, top1 in zip(_bpe_syms(_BPE_K), tops):
+        enc = enc.crossJoin(F.broadcast(top1)).select(
+            "doc_id",
+            F.replace(F.col("text"), F.col("pair"), F.lit(sym)).alias("text"),
+            "n0",
+        )
+    return enc.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_tokens"),
+        (F.col("n0") - F.length("text")).cast("long").alias("n_merged"),
+    )

@@ -112,10 +112,13 @@ def _z_interleave(xe: str, ye: str, div: str) -> str:
 
 
 _Z_X = "o_custkey % 65536"
-_Z_Y_SPARK = "least(datediff(o_orderdate, DATE '1995-01-01'), 65535)"
+# greatest(..., 0) lower clamp: a pre-anchor date would otherwise make
+# the day offset negative, where Spark DIV (truncate toward zero) and
+# DuckDB // (floor) diverge — the walk must be total on ANY date
+_Z_Y_SPARK = "greatest(least(datediff(o_orderdate, DATE '1995-01-01'), 65535), 0)"
 _Z_Y_DUCK = (
-    "least(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)),"
-    " 65535)"
+    "greatest(least(date_diff('day', DATE '1995-01-01',"
+    " CAST(o_orderdate AS DATE)), 65535), 0)"
 )
 
 _ZORDER_ORACLE = f"""
@@ -202,10 +205,12 @@ def _hilbert_step(s: int, div: str) -> dict[str, str]:
 
 
 _H_X = "o_custkey % 256"
-_H_Y_SPARK = "least(datediff(o_orderdate, DATE '1995-01-01'), 255)"
+# greatest(..., 0) lower clamp, same rationale as the zorder key: keep
+# the quad CASE's rx*2+ry in range for dates before the anchor
+_H_Y_SPARK = "greatest(least(datediff(o_orderdate, DATE '1995-01-01'), 255), 0)"
 _H_Y_DUCK = (
-    "least(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)),"
-    " 255)"
+    "greatest(least(date_diff('day', DATE '1995-01-01',"
+    " CAST(o_orderdate AS DATE)), 255), 0)"
 )
 
 

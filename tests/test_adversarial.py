@@ -226,6 +226,9 @@ DOC_QUERIES = [
     # round 8 batch 3: hybrid BM25+vector fusion where only query doc 7
     # survives the id filter and stopword-df drop meets the tiny corpus
     "q_sim_hybrid_search",
+    # round 9: tokenizer deployment over empty/whitespace/unicode docs
+    # (every doc is encoded, including ones too short to train on)
+    "q_text_bpe_apply",
 ]
 
 
@@ -786,3 +789,58 @@ def test_epoch_plan_long_numeric_source_suffixes(spark, tmp_path_factory):
     finally:
         con.close()
     assert_frames_match(pdf, odf, "q_pipeline_epoch_plan[long_suffix]")
+
+
+def test_bpe_exact_pair_doc_collapse(spark, tmp_path_factory):
+    """ADVICE r8 regression: a doc whose text EQUALS the winning merge
+    pair collapses to length 1 after the rewrite, where Spark's
+    sequence(1, 0) = [1, 0] (descending, never empty) would fabricate
+    two single-char 'bigram' rows that DuckDB's range(1, 1) = [] never
+    sees — and a \\x01-prefixed key wins any count tie lexically,
+    silently flipping merge 2. The corpus is built so that exact
+    failure mode fires: 'ab' wins merge 1 (count 5) and doc0 == 'ab'
+    collapses; without the per-round length filter Spark's merge 2
+    becomes the spurious '\\x01' instead of '\\x01\\x01'."""
+    d = str(tmp_path_factory.mktemp("bpe_collapse"))
+    texts = ["ab", "ababab", "abc", "x"]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    df.to_parquet(f"{d}/documents.parquet", index=False)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    q = REGISTRY["q_text_bpe_train"]
+    pdf = q.fn(spark, d).toPandas()
+    con = duck_connection(d)
+    try:
+        odf = con.execute(q.oracle).fetchdf()
+        qa = REGISTRY["q_text_bpe_apply"]
+        pdf_a = qa.fn(spark, d).toPandas()
+        odf_a = con.execute(qa.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, "q_text_bpe_train[collapse]")
+    assert_frames_match(pdf_a, odf_a, "q_text_bpe_apply[collapse]")
+    # the learned table is exactly the hand-derivable one
+    got = {int(r.merge_no): (r.pair, int(r.cnt)) for r in pdf.itertuples()}
+    assert got[1] == ("ab", 5)
+    assert got[2] == ("\x01\x01", 2), "merge 2 flipped — collapse leak"
+    assert got[3] == ("\x01c", 1)
+    # apply round-trip: replay the merge table in pandas independently
+    merges = [got[i + 1][0] for i in range(3)]
+    syms = ["\x01", "\x02", "\x03"]
+    enc = dict(zip(df.doc_id, df.text))
+    for pair, sym in zip(merges, syms):
+        enc = {i: t.replace(pair, sym) for i, t in enc.items()}
+    by_id = dict(zip(pdf_a.doc_id, pdf_a.n_tokens))
+    assert {i: len(t) for i, t in enc.items()} == {
+        int(k): int(v) for k, v in by_id.items()
+    }

@@ -841,6 +841,18 @@ def test_bpe_train_truncates_lineage_between_merges(spark, sf_dir):
     assert "SortMergeJoin" not in simple
 
 
+def test_bpe_apply_is_broadcast_rewrite_chain(spark, sf_dir):
+    # tokenizer deployment: each merge entry rides a 1-row broadcast
+    # into a codegen string rewrite — the encode pass must never
+    # shuffle the corpus (no exchange carrying text) nor sort-merge
+    df = REGISTRY["q_text_bpe_apply"].fn(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("BroadcastNestedLoopJoin") == 3  # one per merge
+    assert "SortMergeJoin" not in simple
+    assert "ShuffledHashJoin" not in simple
+    assert "BatchEvalPython" not in simple
+
+
 def test_binaryfile_source_is_shuffle_free_map(spark, sf_dir):
     # blob dir -> (name, len, sha): parallel by file, pure projection,
     # no exchange of any kind
