@@ -657,65 +657,120 @@ FROM tall
     tags=("quality",),
 )
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass column profiler over ``orders``: per column the row
-    count, null count/rate, EXACT distinct count, and canonical-string
-    min/max — the discovery step that seeds a declared-expectation
-    suite (q_dq_expectations asserts what this measures).
+    """Column profiler over ``orders``: per column the row count, null
+    count/rate, EXACT distinct count, and canonical-string min/max —
+    the discovery step that seeds a declared-expectation suite
+    (q_dq_expectations asserts what this measures).
 
-    All metrics ride ONE aggregation (map-side partials; the exact
-    count(distinct)s share the expand), then a constant 6-row stack.
-    At 100 TB with a distinct-tolerance declared, swap the exact
-    distincts for approx_count_distinct and the expand disappears —
-    the q_agg_approx_distinct trade, documented where it would flip.
+    The exact distincts deliberately do NOT ride countDistinct in one
+    aggregation: six distinct sets multiply the scan through a 6-way
+    Expand whose shuffle carries ~7x the raw rows (measured 91 s at the
+    100x sweep — VERDICT r8's one weak plan). Instead:
+
+      * null/min/max metrics ride ONE plain aggregation (map-side
+        partials, single-row shuffle, no Expand);
+      * the dense-int columns (o_orderkey, o_custkey, and o_totalprice
+        via its exact x100 scaled-long — 2-decimal money, injective)
+        take the MERGEABLE BITMAP path of q_agg_bitmap: the shuffle
+        carries (column, bucket, <=4 KiB bitmap) partials instead of
+        every distinct value — the only exact-distinct shape that
+        survives 1.5e9 distinct keys per column at 100 TB;
+      * the bounded-domain columns (o_orderstatus, o_orderpriority,
+        o_orderdate — a few values to a few thousand days) melt to
+        (column, canonical value) and two-phase distinct: map-side
+        partial dedup means the shuffle carries only the tiny distinct
+        sets. Bitmaps would LOSE here — day-granular timestamps are
+        micro-sparse, one value per 32 Ki bucket.
+
+    The three passes are column-pruned single-column scans; total
+    shuffle bytes drop from ~7x raw rows to partials + bitmaps + tiny
+    value sets. Same exact semantics, same oracle, no Expand (plan-
+    locked by test_dq_profile_avoids_expand).
     """
     o = table(spark, sf_dir, "orders")
 
-    def canon_dec(c: str) -> F.Column:
-        return F.col(c).cast("decimal(12,2)").cast("string")
-
+    # pass 1 — counts + canonical min/max, no distinct aggregates
     m = o.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("o_orderkey").alias("nn_key"),
-        F.countDistinct("o_orderkey").alias("nd_key"),
         F.min("o_orderkey").cast("string").alias("mn_key"),
         F.max("o_orderkey").cast("string").alias("mx_key"),
         F.count("o_custkey").alias("nn_cust"),
-        F.countDistinct("o_custkey").alias("nd_cust"),
         F.min("o_custkey").cast("string").alias("mn_cust"),
         F.max("o_custkey").cast("string").alias("mx_cust"),
         F.count("o_orderstatus").alias("nn_st"),
-        F.countDistinct("o_orderstatus").alias("nd_st"),
         F.min("o_orderstatus").alias("mn_st"),
         F.max("o_orderstatus").alias("mx_st"),
         F.count("o_totalprice").alias("nn_pr"),
-        F.countDistinct("o_totalprice").alias("nd_pr"),
         F.min(F.col("o_totalprice")).cast("decimal(12,2)").cast("string").alias("mn_pr"),
         F.max(F.col("o_totalprice")).cast("decimal(12,2)").cast("string").alias("mx_pr"),
         F.count("o_orderdate").alias("nn_dt"),
-        F.countDistinct("o_orderdate").alias("nd_dt"),
         # the fixture ships o_orderdate as timestamp — canonicalize
         # through DATE so both engines print ISO dates
         F.min("o_orderdate").cast("date").cast("string").alias("mn_dt"),
         F.max("o_orderdate").cast("date").cast("string").alias("mx_dt"),
         F.count("o_orderpriority").alias("nn_pri"),
-        F.countDistinct("o_orderpriority").alias("nd_pri"),
         F.min("o_orderpriority").alias("mn_pri"),
         F.max("o_orderpriority").alias("mx_pri"),
     )
     tall = m.select(
         F.expr(
             "stack(6, "
-            "'o_orderkey', n - nn_key, nd_key, mn_key, mx_key, "
-            "'o_custkey', n - nn_cust, nd_cust, mn_cust, mx_cust, "
-            "'o_orderstatus', n - nn_st, nd_st, mn_st, mx_st, "
-            "'o_totalprice', n - nn_pr, nd_pr, mn_pr, mx_pr, "
-            "'o_orderdate', n - nn_dt, nd_dt, mn_dt, mx_dt, "
-            "'o_orderpriority', n - nn_pri, nd_pri, mn_pri, mx_pri"
-            ") AS (column_name, n_null, n_distinct, min_s, max_s)"
+            "'o_orderkey', n - nn_key, mn_key, mx_key, "
+            "'o_custkey', n - nn_cust, mn_cust, mx_cust, "
+            "'o_orderstatus', n - nn_st, mn_st, mx_st, "
+            "'o_totalprice', n - nn_pr, mn_pr, mx_pr, "
+            "'o_orderdate', n - nn_dt, mn_dt, mx_dt, "
+            "'o_orderpriority', n - nn_pri, mn_pri, mx_pri"
+            ") AS (column_name, n_null, min_s, max_s)"
         ),
         F.col("n").alias("n_rows"),
     )
-    return tall.select(
+
+    # pass 2 — dense-int exact distincts via mergeable bitmaps (the
+    # q_agg_bitmap shape): melt to (column, long), then per-(column,
+    # bucket) dense bitsets whose popcounts sum to the distinct count.
+    # floor(x*100 + 0.5) is exact and injective on 2-decimal money.
+    ints = (
+        o.selectExpr(
+            "stack(3, "
+            "'o_orderkey', o_orderkey, "
+            "'o_custkey', o_custkey, "
+            "'o_totalprice', CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ") AS (column_name, v)"
+        )
+        .filter(F.col("v").isNotNull())
+        .select(
+            "column_name",
+            F.expr("bitmap_bucket_number(v)").alias("bkt"),
+            F.expr("bitmap_bit_position(v)").alias("pos"),
+        )
+        .groupBy("column_name", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("column_name")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct"))
+    )
+
+    # pass 3 — bounded-domain exact distincts via melt + two-phase
+    # distinct (canonical strings keep the stack type-uniform and are
+    # injective per column: raw status/priority, full timestamp text)
+    vals = (
+        o.selectExpr(
+            "stack(3, "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_orderdate', CAST(o_orderdate AS STRING)"
+            ") AS (column_name, v)"
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("column_name", "v")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("column_name")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+
+    nd = ints.unionByName(vals)
+    return tall.join(F.broadcast(nd), "column_name").select(
         "column_name",
         "n_rows",
         "n_null",
