@@ -1183,7 +1183,10 @@ def _bpe_train_oracle(k: int) -> str:
 
 
 def _bpe_merge_tables(
-    spark: SparkSession, sf_dir: str, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    merge_walls: list[float] | None = None,
 ) -> list[DataFrame]:
     """The k-merge BPE training loop; returns one 1-row (pair, cnt)
     DataFrame per merge, each computed on the corpus state its merge
@@ -1214,9 +1217,12 @@ def _bpe_merge_tables(
             )
         )
 
+    import time as _time
+
     tops: list[DataFrame] = []
     cur = corpus
     for sym in _bpe_syms(k):
+        _t0 = _time.monotonic()
         # re-filter EVERY round, not just on entry: a merge collapses an
         # exact-pair doc to one char, where Spark's sequence(1, 0)
         # yields the DESCENDING [1, 0] (never empty) and would fabricate
@@ -1240,6 +1246,11 @@ def _bpe_merge_tables(
             )
             .localCheckpoint()
         )
+        if merge_walls is not None:
+            # localCheckpoint is eager, so the rewrite (and the top-1
+            # count feeding it) has fully executed here — the per-merge
+            # wall the SCALE.md k-linearity row records
+            merge_walls.append(_time.monotonic() - _t0)
     return tops
 
 

@@ -844,3 +844,40 @@ def test_bpe_exact_pair_doc_collapse(spark, tmp_path_factory):
     assert {i: len(t) for i, t in enc.items()} == {
         int(k): int(v) for k, v in by_id.items()
     }
+
+
+def test_bpe_train_k10_differential(spark):
+    """The registered query unrolls k=3; production tokenizers run
+    hundreds of merges. The parameterized loop must stay oracle-green
+    at k=10 (symbols cross into \\x0b+ territory, skipping \\t \\n \\r),
+    with the merge-table oracle extended to k rows — and per-merge wall
+    flat in k (the localCheckpoint k-pass contract; measured at 10x in
+    SCALE.md r9: ~1.4 s/merge steady state)."""
+    import duckdb
+
+    from pokertracker_cassandra_st_spark.llm.text import (
+        _bpe_merge_tables,
+        _bpe_train_oracle,
+    )
+    from pyspark.sql import functions as F
+
+    tops = _bpe_merge_tables(spark, BASE, 10)
+    out = tops[0].select(
+        F.lit(1).cast("int").alias("merge_no"), "pair", "cnt"
+    )
+    for i, t in enumerate(tops[1:], start=2):
+        out = out.unionByName(
+            t.select(F.lit(i).cast("int").alias("merge_no"), "pair", "cnt")
+        )
+    pdf = out.toPandas()
+    assert len(pdf) == 10
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{BASE}/documents.parquet')"
+        )
+        odf = con.execute(_bpe_train_oracle(10)).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, "q_text_bpe_train[k=10]")

@@ -171,13 +171,35 @@ def test_subcell_engages_past_target(spark) -> None:
     assert out["subcell"].between(0, 3).all()  # cb=2 -> 4 subcells
 
 
-def test_knn_graph_multiprobe_recall_contract(spark, tmp_path_factory) -> None:
-    """Quantify the q_sim_knn_graph recall contract (VERDICT r7 #2): at
-    a corpus size that forces cb=2, hamming<=1 multi-probe covers 3 of
-    4 subcells, and hyperplane-LSH sign agreement biases true neighbors
-    into them. Measured here against the EXACT per-label top-3:
-    overall recall must clear the documented floor, and planted
-    near-duplicate twins (the neighbors that matter for dedup /
+@pytest.mark.parametrize(
+    ("n", "cb", "recall_floor"),
+    [
+        # one label, n=600 -> ladder picks cb=2: hamming<=1 probes 3/4
+        # subcells; measured 0.866 recall@3 on this corpus (r8)
+        (600, 2, 0.75),
+        # one label, n=4000 -> ladder picks cb=6 (the 100x-sweep rung):
+        # hamming<=1 probes 7/64 subcells, so more true neighbors of
+        # these weakly-LSH-correlated Gaussian vectors cross subcell
+        # boundaries; measured 0.537 recall@3 (r9). The floor documents
+        # the rung's trade: graph recall decays with cell fan-out while
+        # planted near-dup twins — the edges dedup/clustering consumers
+        # act on — stay at 60/60 (sign agreement is ~certain at cosine
+        # ~1). Real clustered corpora sit above this Gaussian worst-ish
+        # case; raising hamming to <=2 (22/64 cells, ~3x pairs) is the
+        # documented knob if a consumer needs mid-recall at cb>=6.
+        (4000, 6, 0.45),
+    ],
+)
+def test_knn_graph_multiprobe_recall_contract(
+    spark, tmp_path_factory, n, cb, recall_floor
+) -> None:
+    """Quantify the q_sim_knn_graph recall contract (VERDICT r7 #2,
+    extended to the cb=6 rung by VERDICT r8 #4): at corpus sizes that
+    force each ladder rung, hamming<=1 multi-probe covers the ring of
+    adjacent subcells, and hyperplane-LSH sign agreement biases true
+    neighbors into them. Measured here against the EXACT per-label
+    top-3: overall recall must clear the rung's documented floor, and
+    planted near-duplicate twins (the neighbors that matter for dedup /
     clustering consumers) must be found essentially always."""
     import os
 
@@ -187,12 +209,11 @@ def test_knn_graph_multiprobe_recall_contract(spark, tmp_path_factory) -> None:
     from pokertracker_cassandra_st_spark.registry import REGISTRY
 
     rng = np.random.RandomState(41)
-    n = 600  # one label -> past CELL_TARGET -> ladder picks cb=2
     base = rng.randn(n, 64).astype("float32") * 0.2
     twins = list(range(0, 60, 2))  # 30 planted near-dup pairs
     for i in twins:
         base[i + 1] = base[i] + rng.randn(64).astype("float32") * 0.002
-    d = str(tmp_path_factory.mktemp("knn_recall"))
+    d = str(tmp_path_factory.mktemp(f"knn_recall_cb{cb}"))
     pd.DataFrame(
         {
             "vec_id": np.arange(n, dtype="int64"),
@@ -223,7 +244,9 @@ def test_knn_graph_multiprobe_recall_contract(spark, tmp_path_factory) -> None:
             exact_edges.add((i, j))
 
     recall = len(got_edges & exact_edges) / len(exact_edges)
-    assert recall >= 0.75, f"multi-probe recall@3 {recall:.3f} below floor"
+    assert recall >= recall_floor, (
+        f"multi-probe recall@3 {recall:.3f} below cb={cb} floor {recall_floor}"
+    )
     # the planted twin must be each twin-pair member's top-1 and found
     twin_pairs = [(i, i + 1) for i in twins] + [(i + 1, i) for i in twins]
     found = sum((a, b) in got_edges for a, b in twin_pairs)
