@@ -762,3 +762,89 @@ def q_pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deficit_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------- #
+# temperature-resampled source mixture                              #
+# ---------------------------------------------------------------- #
+
+# p_i ∝ n_i^alpha with alpha < 1 (T5/multilingual-LM mixing): small
+# sources are upsampled toward uniform, big ones damped. alpha=0.3 is
+# the published multilingual default. q_pipeline_mixture is the
+# fixed-weight sibling; this derives the weights from corpus counts.
+_TEMP_ALPHA = "0.3"
+_TEMP_Q = 6  # pow() output quantized to 1e-6 scaled longs (exprs doctrine)
+
+_TEMPERATURE_ORACLE = f"""
+WITH w AS (
+  SELECT source, count(*) AS n_src,
+         CAST(round(pow(count(*), {_TEMP_ALPHA}) * {10**_TEMP_Q}) AS BIGINT)
+           AS w_q6
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_src) AS BIGINT) AS n_total,
+         CAST(SUM(w_q6) AS BIGINT) AS sum_w FROM w
+)
+SELECT w.source, w.n_src, w.w_q6,
+       CAST((w.w_q6 * {10**_TEMP_Q}) // tot.sum_w AS BIGINT) AS p_q6,
+       CAST(((w.w_q6 * {10**_TEMP_Q}) // tot.sum_w) * tot.n_total // w.n_src
+            AS BIGINT) AS epochs_q6
+FROM w, tot
+"""
+
+
+@register(
+    "q_pipeline_temperature", oracle=_TEMPERATURE_ORACLE, tags=("llm", "pipeline")
+)
+def q_pipeline_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled domain mixture: per-source sampling
+    probability p_i ∝ n_i^0.3 and the implied per-source epoch factor
+    (how many passes over source i a one-corpus-sized budget makes:
+    >1e6 means upsampled). The knob every multilingual / multi-domain
+    pre-training mix is tuned with; q_pipeline_mixture applies a given
+    weight table, this DERIVES one from the corpus.
+
+    Determinism: pow(n, 0.3) quantizes to 1e-6 scaled longs at the
+    agg boundary (the q_text_kl_divergence doctrine — libm last-ulp
+    noise cannot flip a 6dp quantization off a tie for these count
+    inputs), and every downstream step is integer arithmetic (// on
+    non-negative longs ≡ Spark DIV).
+
+    Scale notes: ONE per-source aggregate (map-side partials) over a
+    single pruned corpus scan; the totals ride a global window over
+    the already-aggregated sources-bounded frame (a separate aggregate
+    branch would re-scan the corpus — the plan test pins one scan).
+    The derived table would broadcast straight into
+    q_pipeline_mixture's keep-decision map at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents").select("source")
+    w = d.groupBy("source").agg(
+        F.count("*").alias("n_src"),
+        F.floor(
+            F.pow(F.count("*"), F.lit(float(_TEMP_ALPHA))) * (10**_TEMP_Q)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_q6"),
+    )
+    # global window over the ~n_sources-row frame (post-aggregation —
+    # the SinglePartition here holds one row per SOURCE, never corpus)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    totd = w.select(
+        "source",
+        "n_src",
+        "w_q6",
+        F.sum("n_src").over(wall).cast("long").alias("n_total"),
+        F.sum("w_q6").over(wall).cast("long").alias("sum_w"),
+    )
+    return totd.select(
+        "source",
+        "n_src",
+        "w_q6",
+        F.expr(f"(w_q6 * {10**_TEMP_Q}) DIV sum_w").cast("long").alias("p_q6"),
+        F.expr(f"((w_q6 * {10**_TEMP_Q}) DIV sum_w) * n_total DIV n_src")
+        .cast("long")
+        .alias("epochs_q6"),
+    )

@@ -1333,3 +1333,83 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_tokens"),
         (F.col("n0") - F.length("text")).cast("long").alias("n_merged"),
     )
+
+
+# ---- q_text_vocab_build ----------------------------------------------- #
+# Vocabulary construction — the embedding-table / tokenizer-vocab
+# precursor: count whitespace tokens over the corpus, drop the
+# long tail below a min-count cutoff, and assign DENSE frequency-
+# ordered ids (id 0 = most frequent; ties break lexically).
+_VOCAB_MIN_COUNT = 3
+_VOCAB_OUT_IDS = 2000  # bound the emitted head; the id assignment is total
+
+_VOCAB_ORACLE = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT tok, count(*) AS cnt FROM t WHERE tok <> ''
+  GROUP BY tok HAVING count(*) >= {_VOCAB_MIN_COUNT}
+), r AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS vocab_id
+  FROM c
+)
+SELECT tok, cnt, vocab_id FROM r WHERE vocab_id < {_VOCAB_OUT_IDS}
+"""
+
+
+@register("q_text_vocab_build", oracle=_VOCAB_ORACLE, tags=("llm", "text"))
+def q_text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered vocabulary with a min-count cutoff: token
+    counts over the corpus, cnt >= {min_count} survivors, dense ids by
+    (cnt DESC, tok ASC), head of the table emitted.
+
+    Scale notes: the id assignment is the q_pipeline_shuffle two-phase
+    distributed rank — NO global window. Tokens count via one
+    (tok)-keyed shuffle with map-side partials; the rank then
+    partitions the VOCAB frame by (cnt, first-char-of-token) buckets,
+    ranks within buckets (parallel windows ordered by tok), and adds
+    bucket offsets from a distinct-bucket-sized aggregate cumsum
+    (ordered cnt DESC, prefix ASC — exactly the global (cnt DESC, tok)
+    order since buckets partition its equivalence prefix). Equal-count
+    tail buckets (the min-count mass, most of any Zipf vocabulary)
+    spread across 36+ prefix buckets instead of serializing into one
+    reducer. The offsets frame is O(distinct counts x prefixes) — tiny
+    at any corpus size; cnt is long-exact so ordering never ties
+    ambiguously across engines.
+    """
+    d = table(spark, sf_dir, "documents").select("text")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    c = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= _VOCAB_MIN_COUNT)
+        .withColumn("pfx", F.substring("tok", 1, 1))
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("cnt", "pfx").orderBy("tok")
+    )
+    ranked = c.withColumn("local_rn", local_rn)
+    counts = c.groupBy("cnt", "pfx").agg(F.count("*").alias("nb"))
+    off = counts.select(
+        "cnt",
+        "pfx",
+        F.coalesce(
+            F.sum("nb").over(
+                Window.orderBy(F.col("cnt").desc(), F.col("pfx").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        ranked.join(F.broadcast(off), ["cnt", "pfx"])
+        .select(
+            "tok",
+            "cnt",
+            (F.col("off") + F.col("local_rn") - 1).alias("vocab_id"),
+        )
+        .filter(F.col("vocab_id") < _VOCAB_OUT_IDS)
+    )

@@ -1089,3 +1089,88 @@ def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- q_agg_weighted_percentile ---------------------------------------- #
+# Exact WEIGHTED percentiles (inverted-CDF / "lower" rule: the smallest
+# value whose cumulative weight reaches p of the total) — the quantile
+# a data pipeline needs when rows carry mass (tokens, bytes, quantity)
+# rather than counting equally. q_agg_percentile_exact is the unweighted
+# sibling; this one cannot ride percentile()/quantile_cont at all, so
+# the cumulative-weight formulation IS the operator.
+
+_WPCT_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(round((l_extendedprice) * 100) AS BIGINT) AS qv,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), pv AS (
+  SELECT grp, qv, CAST(SUM(w) AS BIGINT) AS wv FROM v GROUP BY grp, qv
+), c AS (
+  SELECT grp, qv, wv,
+         SUM(wv) OVER (PARTITION BY grp ORDER BY qv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM pv
+), t AS (
+  SELECT grp, CAST(SUM(wv) AS BIGINT) AS total_w, COUNT(*) AS n_values
+  FROM pv GROUP BY grp
+)
+SELECT c.grp, t.n_values, t.total_w,
+       MIN(CASE WHEN 4 * cumw >= 1 * t.total_w THEN qv END) AS wp25_q2,
+       MIN(CASE WHEN 4 * cumw >= 2 * t.total_w THEN qv END) AS wp50_q2,
+       MIN(CASE WHEN 4 * cumw >= 3 * t.total_w THEN qv END) AS wp75_q2
+FROM c JOIN t ON c.grp = t.grp
+GROUP BY c.grp, t.n_values, t.total_w
+"""
+
+
+@register(
+    "q_agg_weighted_percentile", oracle=_WPCT_ORACLE, tags=("agg", "stats")
+)
+def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price percentiles per return flag:
+    wp(p) = min{ v : sum of weights at values <= v >= p * total } —
+    integer-exact end to end (prices as x100 scaled longs, quantities
+    as longs, thresholds by 4*cumw >= k*total cross-multiplication, no
+    division anywhere).
+
+    Scale notes: the raw fact table collapses FIRST to one row per
+    (group, value) with map-side partial sums — the cumulative window
+    then runs over a VALUE-DOMAIN-bounded frame (2-decimal prices cap
+    at ~10.5M distinct per group regardless of row count), not over
+    raw rows; that is what makes an exact weighted quantile viable at
+    100 TB where a sort of the fact table would not be. Few-group
+    window skew is bounded by the same domain cap.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        slong("l_extendedprice", 2).alias("qv"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    pv = v.groupBy("grp", "qv").agg(F.sum("w").alias("wv"))
+    cum = pv.withColumn(
+        "cumw",
+        F.sum("wv").over(
+            Window.partitionBy("grp")
+            .orderBy("qv")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = pv.groupBy("grp").agg(
+        F.sum("wv").alias("total_w"), F.count("*").alias("n_values")
+    )
+
+    def wp(k: int, name: str) -> F.Column:
+        return F.min(
+            F.when(4 * F.col("cumw") >= k * F.col("total_w"), F.col("qv"))
+        ).alias(name)
+
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "n_values", "total_w")
+        .agg(wp(1, "wp25_q2"), wp(2, "wp50_q2"), wp(3, "wp75_q2"))
+    )

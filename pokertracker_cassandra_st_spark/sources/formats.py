@@ -335,3 +335,75 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("byte_len"),
         F.sha2("content", 256).alias("content_sha"),
     )
+
+
+_CSV_MALFORMED_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       count(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_corrupt,
+       count(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS n_clean,
+       {o_dsum('CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END')}
+         AS total_clean,
+       max(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey END)
+         AS max_clean_key
+FROM orders
+"""
+
+
+@register("q_source_csv_malformed", oracle=_CSV_MALFORMED_ORACLE, tags=("source",))
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode CSV ingest of a feed with malformed rows — the
+    real-world interchange case the clean round-trips skip: every 7th
+    order line carries a non-numeric price field ('N/A'), and the read
+    must keep the well-formed rows, null the unparseable field, and
+    let downstream audit-count the damage rather than abort (FAILFAST)
+    or silently drop rows (DROPMALFORMED — the wrong default for a
+    lineage-tracked pipeline).
+
+    The corrupt classification is read from the nulled typed field
+    (the source has no NULL prices, so price IS NULL <=> the cast
+    failed). That is deliberate: filtering on the raw
+    columnNameOfCorruptRecord column requires caching the frame in
+    Spark (the documented internal-column restriction) — the typed-
+    field audit gives the same counts with a plain streaming read. The
+    oracle recomputes all metrics from the original parquet and the
+    known corruption rule, so the ingest proves it loses exactly the
+    corrupted field and nothing else.
+
+    Scale notes: the fixture write is line-templated from the orders
+    projection (executor-parallel text sink, builds the external-world
+    input, not part of the measured read); the measured path is a
+    schema'd CSV scan + one aggregate — no shuffle beyond the 1-row
+    partial merge. CSV keeps no pushdown (the round-trip docstring's
+    interchange-not-storage point) — at 100 TB this query IS the
+    quarantine step that moves a feed into parquet.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = scratch_dir(sf_dir, "csv_malformed")
+    src = table(spark, sf_dir, "orders").select(*_PROJ_COLS)
+    price_s = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("N/A")).otherwise(price_s),
+    )
+    src.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    back = (
+        spark.read.schema(_READ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .csv(out)
+    )
+    clean_price = F.when(
+        F.col("o_totalprice").isNotNull(), F.col("o_totalprice")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("n_corrupt"),
+        F.count("o_totalprice").alias("n_clean"),
+        dsum(clean_price).alias("total_clean"),
+        F.max(
+            F.when(F.col("o_totalprice").isNotNull(), F.col("o_orderkey"))
+        ).alias("max_clean_key"),
+    )

@@ -229,6 +229,12 @@ DOC_QUERIES = [
     # round 9: tokenizer deployment over empty/whitespace/unicode docs
     # (every doc is encoded, including ones too short to train on)
     "q_text_bpe_apply",
+    # round 9 batch 2: vocabulary build over the ugly corpus (empty-
+    # token filter, min-count cutoff on duplicated texts, two-phase
+    # rank over heavily-tied counts); temperature mixing over the tiny
+    # skewed source split (one source can dominate)
+    "q_text_vocab_build",
+    "q_pipeline_temperature",
 ]
 
 
@@ -373,6 +379,10 @@ REL_QUERIES = [
     # round 8: the Hilbert walk with NULL o_custkey rows (whole-curve
     # NULL; pinned NULLS LAST keeps them out of the top-200 probe)
     "q_sort_hilbert",
+    # round 9: weighted percentiles where NULL l_quantity weights are
+    # skipped by SUM in both engines and NULL l_returnflag forms its
+    # own group (three-valued cumulative thresholds)
+    "q_agg_weighted_percentile",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

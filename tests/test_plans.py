@@ -915,3 +915,48 @@ def test_profile_is_one_pass_stack(spark, sf_dir):
     assert simple.count("Exchange hashpartitioning") == 1
     assert simple.count("Expand") == 1
     assert "Join" not in simple
+
+
+def test_vocab_build_rank_is_two_phase(spark, sf_dir):
+    # the vocab frame must never pass through a single-partition global
+    # window: local ranks partition by (cnt, pfx); only the tiny
+    # distinct-bucket offsets frame may hit SinglePartition
+    simple = plan_of(spark, "q_text_vocab_build", sf_dir, mode="simple")
+    assert simple.count("Exchange SinglePartition") <= 1
+    assert "windowspecdefinition(cnt" in simple
+    assert "partial_count" in simple  # map-side combine on token counts
+    assert "BatchEvalPython" not in simple
+
+
+def test_weighted_percentile_windows_value_domain(spark, sf_dir):
+    # raw facts must collapse to per-(group, value) partial sums BEFORE
+    # the cumulative window (the domain-bounded frame), and the totals
+    # frame joins via broadcast
+    simple = plan_of(spark, "q_agg_weighted_percentile", sf_dir, mode="simple")
+    assert "partial_sum" in simple  # map-side combine before the shuffle
+    assert "windowspecdefinition(grp" in simple
+    assert "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_temperature_is_single_tiny_agg(spark, sf_dir):
+    # ONE per-source aggregate over ONE pruned single-column scan; the
+    # totals ride a global window over the post-agg sources frame (a
+    # second aggregate branch would re-scan the corpus)
+    simple = plan_of(spark, "q_pipeline_temperature", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_count" in simple
+    assert "Join" not in simple
+    plan = plan_of(spark, "q_pipeline_temperature", sf_dir)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("text" not in l and "doc_id" not in l for l in reads)
+
+
+def test_csv_malformed_read_is_shuffle_free_agg(spark, sf_dir):
+    # the measured path is a schema'd CSV scan + one global aggregate:
+    # partial agg per task, single-row final merge, no joins
+    simple = plan_of(spark, "q_source_csv_malformed", sf_dir, mode="simple")
+    assert "FileScan csv" in simple
+    assert "Join" not in simple
+    assert "partial_count" in simple
