@@ -1413,3 +1413,120 @@ def q_text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vocab_id") < _VOCAB_OUT_IDS)
     )
+
+
+# ---- q_text_kneser_ney ------------------------------------------------ #
+# Per-document NLL under an interpolated Kneser-Ney bigram LM — the
+# smoothing the CCNet-style quality pipeline actually trains its
+# filter LM with (add-1 over-penalizes frequent contexts; KN backs off
+# to CONTINUATION counts: how many distinct contexts a word follows,
+# not how often it occurs). D = 0.75, the standard discount; every
+# bigram scored is in-corpus (cb >= 1), so cb - D > 0 and the
+# max(., 0) clamp is vacuous by construction.
+_KN_D = "0.75"
+
+
+@register(
+    "q_text_kneser_ney",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS r(i)
+  WHERE tk[i] <> '' AND tk[i + 1] <> ''
+), bcnt AS (
+  SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, count(*) AS n_after
+  FROM bcnt GROUP BY w1
+), cont AS (
+  SELECT w2, count(*) AS n_before FROM bcnt GROUP BY w2
+), nb AS (SELECT count(*) AS nbt FROM bcnt),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(
+           ln((bc.cb - {_KN_D}) / x.c1
+              + ({_KN_D} * x.n_after / x.c1) * (co.n_before / nb.nbt))
+           * 1e{_KL_Q}
+         ) AS BIGINT) AS nll_q
+  FROM big b
+  JOIN bcnt bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN ctx x ON b.w1 = x.w1
+  JOIN cont co ON b.w2 = co.w2
+  CROSS JOIN nb
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-(CAST(sum(nll_q) AS DOUBLE) / 1e{_KL_Q}) / count(*), 6)
+         AS avg_nll,
+       round(exp(-(CAST(sum(nll_q) AS DOUBLE) / 1e{_KL_Q}) / count(*)), 6)
+         AS ppl
+FROM scored
+GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated KNESER-NEY bigram
+    LM (D = 0.75): p(w2|w1) = (c(w1 w2) - D)/c(w1) + lambda(w1) *
+    P_cont(w2), lambda(w1) = D * N1+(w1 .)/c(w1), P_cont(w2) =
+    N1+(. w2)/|bigram types|. q_text_perplexity is the add-1 sibling;
+    KN is what a CCNet-style filter LM uses, and its continuation
+    counts are what keep "Francisco" (frequent but one-context) from
+    outranking genuinely productive words in the backoff mass.
+
+    Every model frame derives from ONE bigram-count aggregate: c(w1)
+    and N1+(w1 .) are a groupBy(w1) over bcnt (sum + row count),
+    N1+(. w2) a groupBy(w2), |types| a 1-row count — so the model
+    build adds two vocab-sized shuffles to the perplexity plan, never
+    a second corpus pass. Scoring joins carry (doc_id, counts) only;
+    vocab-sized frames take the SHUFFLE_HASH doctrine, the 1-row type
+    count broadcasts. ln() terms quantize to scaled longs (module
+    doctrine) so per-doc sums are order-independent cross-engine; the
+    probability expression is token-identical in both engines (same
+    IEEE ops, same order), and cb >= 1 keeps cb - D positive without
+    a clamp.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    big = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2)), "
+                    "s -> s.w1 <> '' AND s.w2 <> '')"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = bcnt.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1"), F.count("*").alias("n_after")
+    )
+    cont = bcnt.groupBy("w2").agg(F.count("*").alias("n_before"))
+    nb = bcnt.agg(F.count("*").alias("nbt"))
+    kn_d = F.lit(float(_KN_D))
+    p = (F.col("cb") - kn_d) / F.col("c1") + (
+        kn_d * F.col("n_after") / F.col("c1")
+    ) * (F.col("n_before") / F.col("nbt"))
+    nll_q = slong(F.log(p), _KL_Q)
+    nll_sum = F.sum("nll_q").cast("double") / F.lit(float(10**_KL_Q))
+    return (
+        big.join(bcnt.hint("shuffle_hash"), ["w1", "w2"])
+        .join(ctx.hint("shuffle_hash"), ["w1"])
+        .join(cont.hint("shuffle_hash"), ["w2"])
+        .crossJoin(F.broadcast(nb))
+        .select("doc_id", nll_q.alias("nll_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-nll_sum / F.count("*"), 6).alias("avg_nll"),
+            F.round(F.exp(-nll_sum / F.count("*")), 6).alias("ppl"),
+        )
+    )

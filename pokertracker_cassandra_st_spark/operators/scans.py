@@ -368,3 +368,103 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
     )
+
+
+# ---- q_scan_manifest_prune -------------------------------------------- #
+# Stats-manifest data skipping — the Iceberg/Delta planning pattern,
+# built from primitives: a date-clustered parquet layout plus a
+# per-file (min, max, rows) manifest lets a range query open only the
+# files whose stat interval intersects the predicate. Partition-value
+# pruning (q_scan_dpp) needs the predicate to be ALGEBRAIC in the
+# partition column; a manifest prunes on what the data actually
+# landed as — the mechanism that survives data-driven file boundaries.
+
+_MANIFEST_LO = "DATE '1996-01-01'"
+_MANIFEST_HI = "DATE '1996-12-31'"
+
+
+@register(
+    "q_scan_manifest_prune",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       max(o_orderkey) AS max_key
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN {_MANIFEST_LO} AND {_MANIFEST_HI}
+""",
+    tags=("scan",),
+)
+def q_scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregate over a date-clustered layout, planned through a
+    file-stats MANIFEST: cluster orders by o_orderdate into 8 files
+    (repartitionByRange + sortWithinPartitions — the write shape
+    q_sort_zorder/hilbert document), derive a per-file (min, max,
+    rows) manifest, keep only files whose [min, max] intersects the
+    query range, and aggregate over just those files. The oracle is
+    the plain range aggregate over the source table, so the pruned
+    read must lose nothing.
+
+    Planning is coordinator-side BY DESIGN — the same shape every
+    table format uses: the collected frame is the MANIFEST (bounded by
+    file count, 8 rows here, never row data), exactly like an Iceberg
+    planner reading manifest files before task scheduling. In
+    production the manifest is written once at ingest (a tiny
+    side-table next to the data) rather than derived per query; the
+    derivation here is itself one column-pruned scan. Scale notes: at
+    100 TB with ~1e5 files, the manifest is a few MB at the planner,
+    and the read opens only intersecting files — on this fixture the
+    companion pytest asserts >= half the files are skipped, on top of
+    the row-group min/max skipping parquet already does inside each
+    opened file.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = scratch_dir(sf_dir, "manifest_prune")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"),
+        "o_totalprice",
+    )
+    (
+        src.repartitionByRange(8, "o_date")
+        .sortWithinPartitions("o_date")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    manifest = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("o_date").alias("mn"), F.max("o_date").alias("mx"))
+    )
+    lo, hi = _MANIFEST_LO.split("'")[1], _MANIFEST_HI.split("'")[1]
+    kept = [
+        r["file"]
+        for r in manifest.filter(
+            ~((F.col("mx") < F.lit(lo)) | (F.col("mn") > F.lit(hi)))
+        ).collect()  # planner-side manifest, file-count-bounded (8 rows)
+    ]
+    back = spark.read.parquet(*kept).filter(
+        F.col("o_date").between(F.lit(lo), F.lit(hi))
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _manifest_prune_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Test hook: (files_total, files_kept) for the manifest layout the
+    query just planned over — asserts the skipping is real."""
+    out = scratch_dir(sf_dir, "manifest_prune")
+    manifest = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("o_date").alias("mn"), F.max("o_date").alias("mx"))
+    )
+    lo, hi = _MANIFEST_LO.split("'")[1], _MANIFEST_HI.split("'")[1]
+    total = manifest.count()
+    kept = manifest.filter(
+        ~((F.col("mx") < F.lit(lo)) | (F.col("mn") > F.lit(hi)))
+    ).count()
+    return total, kept

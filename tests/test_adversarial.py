@@ -235,6 +235,10 @@ DOC_QUERIES = [
     # skewed source split (one source can dominate)
     "q_text_vocab_build",
     "q_pipeline_temperature",
+    # round 9 batch 3: KN continuation counts over the degenerate
+    # corpus (stopword-only docs give massive-cb bigrams; empty/
+    # whitespace docs contribute none)
+    "q_text_kneser_ney",
 ]
 
 
@@ -383,6 +387,10 @@ REL_QUERIES = [
     # skipped by SUM in both engines and NULL l_returnflag forms its
     # own group (three-valued cumulative thresholds)
     "q_agg_weighted_percentile",
+    # round 9 batch 3: manifest skipping where NULL o_totalprice rows
+    # ride inside kept files (decimal SUM skips them identically) —
+    # the range aggregate must lose nothing to pruning on ugly data
+    "q_scan_manifest_prune",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

@@ -960,3 +960,31 @@ def test_csv_malformed_read_is_shuffle_free_agg(spark, sf_dir):
     assert "FileScan csv" in simple
     assert "Join" not in simple
     assert "partial_count" in simple
+
+
+def test_kneser_ney_model_frames_shuffle_hash(spark, sf_dir):
+    # all three model frames (bigram counts, context stats, continuation
+    # counts) are corpus-vocab-sized: shuffle-hash, never broadcast; the
+    # only broadcast is the 1-row bigram-type count
+    simple = plan_of(spark, "q_text_kneser_ney", sf_dir, mode="simple")
+    assert simple.count("ShuffledHashJoin") == 3
+    assert "BroadcastHashJoin" not in simple
+    assert "SortMergeJoin" not in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_manifest_prune_actually_skips_files(spark, sf_dir):
+    # the manifest plan must keep strictly fewer than half the files on
+    # the date-clustered fixture (a no-op manifest would still be
+    # oracle-correct — this pins that the SKIPPING is real), and the
+    # pruned read is a plain scan + aggregate, no joins
+    from pokertracker_cassandra_st_spark.operators.scans import (
+        _manifest_prune_stats,
+    )
+
+    df = REGISTRY["q_scan_manifest_prune"].fn(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "Join" not in simple
+    total, kept = _manifest_prune_stats(spark, sf_dir)
+    assert kept >= 1
+    assert kept <= total / 2, f"manifest kept {kept}/{total} files — no skipping"
