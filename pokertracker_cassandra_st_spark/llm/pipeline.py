@@ -213,3 +213,74 @@ def q_pipeline_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cnt("pass_len") - cnt("pass_quality")).alias("dropped_quality"),
         (cnt("pass_quality") - cnt("pass_dedup")).alias("dropped_dup"),
     )
+
+
+# ---- q_pipeline_dataset_diff ------------------------------------------ #
+# Dataset snapshot diff — the versioning audit a training-data pipeline
+# runs between corpus releases: which docs were added, removed,
+# changed, unchanged, counted per source. Two snapshots derive
+# deterministically from the one fixture (old drops doc_id%10==7, new
+# drops %10==3 and rewrites %10==5), so both engines diff identical
+# inputs.
+
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 <> 7
+), new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END) AS h
+  FROM documents WHERE doc_id % 10 <> 3
+), j AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source, status, count(*) AS n
+FROM j GROUP BY source, status
+"""
+
+
+@register("q_pipeline_dataset_diff", oracle=_DIFF_ORACLE, tags=("llm", "pipeline"))
+def q_pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff: full-outer join of two snapshot manifests on
+    doc_id, classify each doc added / removed / changed / unchanged by
+    content digest, count per (source, status) — the audit table a
+    dataset card's "what changed since v1" section is built from.
+
+    Scale notes: each snapshot collapses to its MANIFEST (doc_id,
+    source, md5(text)) in the scan projection, so the join shuffles
+    digests only — document text never reaches an exchange (the
+    q_dedup_exact digest doctrine). The full-outer join keys on
+    doc_id (unskewed by construction); the status classifier is pure
+    projection and the audit rollup is a tiny (source x status)
+    aggregate. At 100 TB both manifests would be stored tables written
+    at release time; the diff cost is two manifest scans + one
+    digest-width shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_source"),
+        F.md5("text").alias("o_h"),
+    )
+    new = d.filter(F.col("doc_id") % 10 != 3).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_source"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 5, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("n_h"),
+    )
+    j = old.join(new, old["o_id"] == new["n_id"], "full_outer").select(
+        F.coalesce("o_source", "n_source").alias("source"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("source", "status").agg(F.count("*").alias("n"))

@@ -453,18 +453,17 @@ def q_scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _manifest_prune_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    """Test hook: (files_total, files_kept) for the manifest layout the
-    query just planned over — asserts the skipping is real."""
+def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest over the layout the query just planned (test hook:
+    tests/test_plans.py counts total vs range-intersecting files to
+    assert the skipping is real)."""
     out = scratch_dir(sf_dir, "manifest_prune")
-    manifest = (
+    lo, hi = _MANIFEST_LO.split("'")[1], _MANIFEST_HI.split("'")[1]
+    return (
         spark.read.parquet(out)
         .groupBy(F.input_file_name().alias("file"))
         .agg(F.min("o_date").alias("mn"), F.max("o_date").alias("mx"))
+        .withColumn(
+            "kept", ~((F.col("mx") < F.lit(lo)) | (F.col("mn") > F.lit(hi)))
+        )
     )
-    lo, hi = _MANIFEST_LO.split("'")[1], _MANIFEST_HI.split("'")[1]
-    total = manifest.count()
-    kept = manifest.filter(
-        ~((F.col("mx") < F.lit(lo)) | (F.col("mn") > F.lit(hi)))
-    ).count()
-    return total, kept

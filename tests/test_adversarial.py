@@ -239,6 +239,9 @@ DOC_QUERIES = [
     # corpus (stopword-only docs give massive-cb bigrams; empty/
     # whitespace docs contribute none)
     "q_text_kneser_ney",
+    # round 9 batch 4: snapshot diff where exact-duplicate texts hash
+    # equal (unchanged) and empty/whitespace docs diff like any other
+    "q_pipeline_dataset_diff",
 ]
 
 

@@ -43,6 +43,11 @@ EXEMPT: dict[str, int] = {
     # external world's side, not the query plan's (the measured query
     # is the binaryFile read that follows)
     "sources/formats.py": 1,
+    # q_scan_manifest_prune's planning collect: coordinator-side
+    # manifest read, bounded by FILE COUNT (8 rows here, never row
+    # data) — the exact shape every table format's planner performs
+    # before task scheduling (see the query docstring)
+    "operators/scans.py": 1,
 }
 
 

@@ -907,14 +907,14 @@ def test_hybrid_search_lexical_joins_never_broadcast_vocab(spark, sf_dir):
     assert "CartesianProduct" not in simple
 
 
-def test_profile_is_one_pass_stack(spark, sf_dir):
-    # one scan, one aggregation exchange (the exact-distinct Expand
-    # rides it), then a constant 6-row stack — never one job per column
+def test_profile_is_three_pruned_passes(spark, sf_dir):
+    # r9 rework (supersedes the r8 one-pass-with-Expand pin): three
+    # column-pruned scans — plain metrics, bitmap distincts, melt
+    # distincts — and never one job per column; the Expand ban itself
+    # is test_dq_profile_avoids_expand
     simple = plan_of(spark, "q_dq_profile", sf_dir, mode="simple")
-    assert simple.count("FileScan parquet") == 1
-    assert simple.count("Exchange hashpartitioning") == 1
-    assert simple.count("Expand") == 1
-    assert "Join" not in simple
+    assert simple.count("FileScan parquet") == 3
+    assert "Expand" not in simple
 
 
 def test_vocab_build_rank_is_two_phase(spark, sf_dir):
@@ -978,13 +978,23 @@ def test_manifest_prune_actually_skips_files(spark, sf_dir):
     # the date-clustered fixture (a no-op manifest would still be
     # oracle-correct — this pins that the SKIPPING is real), and the
     # pruned read is a plain scan + aggregate, no joins
-    from pokertracker_cassandra_st_spark.operators.scans import (
-        _manifest_prune_stats,
-    )
+    from pokertracker_cassandra_st_spark.operators.scans import _manifest_frame
 
     df = REGISTRY["q_scan_manifest_prune"].fn(spark, sf_dir)
     simple = explain_str(df, "simple")
     assert "Join" not in simple
-    total, kept = _manifest_prune_stats(spark, sf_dir)
+    m = _manifest_frame(spark, sf_dir).toPandas()
+    total, kept = len(m), int(m["kept"].sum())
     assert kept >= 1
     assert kept <= total / 2, f"manifest kept {kept}/{total} files — no skipping"
+
+
+def test_dataset_diff_shuffles_digests_only(spark, sf_dir):
+    # both snapshot manifests collapse to (id, source, md5) in the scan
+    # projection: no exchange line may carry the text column
+    plan = plan_of(spark, "q_pipeline_dataset_diff", sf_dir)
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("text#" in l for l in ex_lines)
+    simple = plan_of(spark, "q_pipeline_dataset_diff", sf_dir, mode="simple")
+    assert "FullOuter" in simple
+    assert "BatchEvalPython" not in simple
