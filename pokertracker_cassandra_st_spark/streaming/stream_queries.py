@@ -702,3 +702,61 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround("s.ewma", 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "q_stream_topk",
+    oracle="""
+WITH c AS (
+  SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+                  ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT window_start, event_type, n, rk FROM r WHERE rk <= 3
+""",
+    tags=("stream",),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 1-hour tumbling window — the live
+    leaderboard / trending-panel shape: the STREAM maintains the
+    windowed counts (the corpus-scale work, complete mode here; at
+    production scale watermark + update mode with a sink that upserts
+    per window), and the RANK runs over the materialized aggregate —
+    windows x types rows, leaderboard-sized, never event-sized. Ties
+    break (count DESC, type ASC) identically in both engines via
+    exact integer ordering.
+
+    Scale notes: ranking inside the stream would need per-window state
+    over all types; ranking the sink is the standard split — the
+    streaming job stays a pure windowed count (mergeable, partial-agg
+    map-side), and the top-k is a window function over the aggregate
+    table any dashboard query engine runs cheaply.
+    """
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    sink = run_to_table(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        sink.select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )

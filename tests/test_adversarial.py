@@ -405,6 +405,9 @@ STREAM_QUERIES = [
     "q_stream_session",
     "q_stream_dedup",
     "q_stream_static_join",
+    # round 9: leaderboard rank over the windowed aggregate where
+    # celebrity skew concentrates one type per window (tie order pinned)
+    "q_stream_topk",
 ]
 
 
