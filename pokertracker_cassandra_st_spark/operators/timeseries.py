@@ -1279,3 +1279,69 @@ def q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tie")
         .alias("winner"),
     )
+
+
+# ---- q_ts_twa --------------------------------------------------------- #
+# Time-WEIGHTED average — the metric plain AVG gets wrong on irregular
+# samples: each observation holds until the next one, so its value is
+# weighted by how long it was current (last-observation-carried-forward
+# integral / total time). The TimescaleDB/monitoring-stack aggregate.
+
+
+@register(
+    "q_ts_twa",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         (CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+          - CAST(floor(epoch(ts)) AS BIGINT)) AS dt_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(CASE WHEN value IS NOT NULL THEN dt_s END) AS n_segments,
+       CAST(SUM(CASE WHEN value IS NOT NULL THEN dt_s END) AS BIGINT)
+         AS total_s,
+       CAST(SUM(CASE WHEN value IS NOT NULL
+                     THEN CAST(value AS DECIMAL(12,2)) * dt_s END) AS DOUBLE)
+         / SUM(CASE WHEN value IS NOT NULL THEN dt_s END) AS twa
+FROM seg
+WHERE dt_s IS NOT NULL AND dt_s > 0
+GROUP BY user_id
+""",
+    tags=("timeseries",),
+)
+def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (LOCF integral over
+    observation-to-next-observation segments, divided by covered
+    time). Zero-length segments (same-second repeat observations) and
+    the trailing open segment carry no weight; NULL-value segments are
+    excluded from BOTH numerator and denominator (three-valued parity
+    with the oracle's CASE arms).
+
+    Determinism: dt is exact integer seconds (the fixture's ts
+    granularity), value an exact 2-decimal DECIMAL — the numerator
+    sums exactly, converts to double once (correctly rounded from the
+    same exact value in both engines), then one division. Scale notes:
+    one hash exchange on user_id feeds the lead() window, then a
+    partial-aggregated groupBy on the SAME key reuses the partitioning
+    (no second shuffle) — the q_ts_sessionize single-exchange shape.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    dt_s = (
+        F.floor(F.unix_micros(F.lead("ts").over(w)) / 1_000_000)
+        - F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+    ).alias("dt_s")
+    seg = ev.select("user_id", "value", dt_s).filter(
+        F.col("dt_s").isNotNull() & (F.col("dt_s") > 0)
+    )
+    w_dt = F.when(F.col("value").isNotNull(), F.col("dt_s"))
+    num = F.when(
+        F.col("value").isNotNull(), F.col("value").cast(DEC) * F.col("dt_s")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(w_dt).alias("n_segments"),
+        F.sum(w_dt).cast("long").alias("total_s"),
+        (F.sum(num).cast("double") / F.sum(w_dt)).alias("twa"),
+    )

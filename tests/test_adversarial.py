@@ -102,6 +102,10 @@ EVENT_QUERIES = [
     "q_ts_backtest",
     # round 8 batch 2: trig/geocell arithmetic under skewed ids
     "q_fn_geo",
+    # round 9: time-weighted average where NULL-value segments drop
+    # from both integral and covered time (three-valued CASE parity)
+    # and same-second repeats carry zero weight
+    "q_ts_twa",
 ]
 
 

@@ -998,3 +998,12 @@ def test_dataset_diff_shuffles_digests_only(spark, sf_dir):
     simple = plan_of(spark, "q_pipeline_dataset_diff", sf_dir, mode="simple")
     assert "FullOuter" in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_twa_single_exchange(spark, sf_dir):
+    # lead() window and the per-user aggregate share ONE hash exchange
+    # on user_id (the q_ts_sessionize shape)
+    simple = plan_of(spark, "q_ts_twa", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "Window" in simple
+    assert "BatchEvalPython" not in simple
