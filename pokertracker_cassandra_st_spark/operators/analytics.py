@@ -319,3 +319,85 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ---- q_agg_basket_pairs ------------------------------------------------ #
+# Market-basket co-occurrence: the classic frequent-itemset-pairs query
+# (which parts ship together more often than chance). Pair generation
+# is ORDER-LOCAL — each order contributes C(items, 2) pairs with a
+# p1 < p2 canonical orientation — so the blowup is bounded by basket
+# size squared, never corpus²; lift is exact integer arithmetic.
+
+
+def _basket_oracle() -> str:
+    return """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, count(*) AS n_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+), freq AS (
+  SELECT pkey, count(*) AS n_p FROM items GROUP BY pkey
+), tot AS (SELECT count(DISTINCT okey) AS n_orders FROM items)
+SELECT p.p1, p.p2, p.n_ab, fa.n_p AS n_p1, fb.n_p AS n_p2,
+       CAST((p.n_ab * t.n_orders * 1000000) // (fa.n_p * fb.n_p) AS BIGINT)
+         AS lift_q6
+FROM pairs p
+JOIN freq fa ON p.p1 = fa.pkey
+JOIN freq fb ON p.p2 = fb.pkey
+CROSS JOIN tot t
+ORDER BY p.n_ab DESC, p.p1, p.p2
+LIMIT 20
+"""
+
+
+@register("q_agg_basket_pairs", oracle=_basket_oracle(), tags=("agg", "analytics"))
+def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs with exact integer lift
+    (n_ab * N_orders * 1e6 DIV (n_p1 * n_p2)) — the market-basket
+    affinity query behind recommendations and assortment analysis.
+
+    Scale notes: the pair generator self-joins the DISTINCT
+    (order, part) item table on its ORDER key, so each order expands
+    to at most C(basket, 2) pairs locally after one hash exchange on
+    okey — basket sizes are bounded (TPC-H ~7), so pair volume is
+    linear in orders at any corpus size, never all-pairs across parts.
+    Pair counts shuffle on (p1, p2); part frequencies are a
+    parts-bounded frame joined SHUFFLE_HASH on each endpoint (at 100 TB
+    the parts dimension can exceed broadcast limits); the 1-row order
+    count broadcasts; the final top-20 rides TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    a = items.select("okey", F.col("pkey").alias("p1"))
+    b = items.select("okey", F.col("pkey").alias("p2"))
+    pairs = (
+        a.join(b, ["okey"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    freq = items.groupBy("pkey").agg(F.count("*").alias("n_p"))
+    tot = items.agg(F.countDistinct("okey").alias("n_orders"))
+    fa = freq.select(F.col("pkey").alias("p1"), F.col("n_p").alias("n_p1"))
+    fb = freq.select(F.col("pkey").alias("p2"), F.col("n_p").alias("n_p2"))
+    return (
+        pairs.join(fa.hint("shuffle_hash"), ["p1"])
+        .join(fb.hint("shuffle_hash"), ["p2"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n_p1",
+            "n_p2",
+            F.expr("(n_ab * n_orders * 1000000) DIV (n_p1 * n_p2)")
+            .cast("long")
+            .alias("lift_q6"),
+        )
+        .orderBy(F.desc("n_ab"), "p1", "p2")
+        .limit(20)
+    )

@@ -398,6 +398,10 @@ REL_QUERIES = [
     # ride inside kept files (decimal SUM skips them identically) —
     # the range aggregate must lose nothing to pruning on ugly data
     "q_scan_manifest_prune",
+    # round 9 batch 4: basket pairs on the null-injected lineitem
+    # (key columns stay non-null; the distinct item table and exact
+    # integer lift must hold regardless)
+    "q_agg_basket_pairs",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

@@ -1007,3 +1007,14 @@ def test_twa_single_exchange(spark, sf_dir):
     assert simple.count("Exchange") == 1
     assert "Window" in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_basket_pairs_order_local_expansion(spark, sf_dir):
+    # the pair self-join keys on the ORDER (bounded baskets -> linear
+    # pair volume), part-frequency frames join shuffle-hash, the 1-row
+    # order count broadcasts, and the top-20 rides the heap operator
+    simple = plan_of(spark, "q_agg_basket_pairs", sf_dir, mode="simple")
+    assert simple.count("ShuffledHashJoin") >= 2
+    assert "CartesianProduct" not in simple
+    assert "TakeOrderedAndProject" in simple
+    assert "BatchEvalPython" not in simple
