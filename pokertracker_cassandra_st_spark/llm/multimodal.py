@@ -537,3 +537,128 @@ def q_multimodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= _CLIP_T).alias("passed"),
         )
     )
+
+
+# ---- q_multimodal_webdataset_roundtrip --------------------------------- #
+# WebDataset-style shard export + re-ingest — the layout multimodal
+# training corpora actually ship in (tar shards of member files,
+# streamed sequentially by data loaders). The writer packs each shard's
+# payloads into one .tar on the EXECUTOR (applyInPandas group = shard;
+# deterministic member order, zeroed mtimes); the reader ingests the
+# shard directory via binaryFile and unpacks members in a mapInPandas
+# pass. The oracle recomputes every shard's member count, byte total,
+# and content-hash sum straight from the source table — proving the
+# tar round-trip is lossless.
+
+_WDS_SHARDS = 4
+_WDS_LIMIT = 200
+
+_WDS_HASH = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ")"
+)
+
+
+@register(
+    "q_multimodal_webdataset_roundtrip",
+    oracle=f"""
+SELECT doc_id % {_WDS_SHARDS} AS shard,
+       count(*) AS n_members,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM({_WDS_HASH}) AS BIGINT) AS content_hash_sum
+FROM documents
+WHERE doc_id < {_WDS_LIMIT}
+GROUP BY 1
+""",
+    tags=("llm", "multimodal", "source"),
+)
+def q_multimodal_webdataset_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pack payloads into tar shards (WebDataset layout), re-ingest the
+    shard directory, and audit each shard (member count, byte total,
+    16-bit-md5 content-hash sum) against the source table.
+
+    Scale notes: packing is shard-parallel (one applyInPandas group
+    per shard — at production scale thousands of shards, each a
+    sequential tar stream sized to ~1 GB for loader throughput);
+    payload bytes go executor-disk directly, never through a shuffle
+    of the full corpus (the group exchange carries payloads exactly
+    once — the unavoidable co-location of members into their shard
+    file, the same exchange a real exporter pays). Re-ingest is
+    binaryFile (file-parallel) + a narrow Arrow unpack pass; the audit
+    is a shards-bounded aggregate. Member order inside a tar and all
+    mtimes are fixed, so shard BYTES are deterministic too.
+    """
+    import os as _os
+
+    from pokertracker_cassandra_st_spark.catalog import scratch_dir
+    from pokertracker_cassandra_st_spark.exprs import md5_16bit
+
+    out = scratch_dir(sf_dir, "webdataset")
+    _os.makedirs(out, exist_ok=True)
+    for f in _os.listdir(out):
+        if f.endswith(".tar"):
+            _os.remove(_os.path.join(out, f))
+
+    payloads = (
+        _payloads(spark, sf_dir)
+        .filter(F.col("doc_id") < _WDS_LIMIT)
+        .select(
+            "doc_id",
+            "payload",
+            (F.col("doc_id") % _WDS_SHARDS).alias("shard"),
+        )
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        path = f"{out}/shard_{shard:05d}.tar"
+        with tarfile.open(path, "w") as tf:
+            for _, row in pdf.iterrows():
+                data = bytes(row["payload"])
+                info = tarfile.TarInfo(name=f"{int(row['doc_id']):08d}.txt")
+                info.size = len(data)
+                info.mtime = 0  # deterministic shard bytes
+                tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame({"shard": [shard], "n_written": [len(pdf)]})
+
+    written = payloads.groupBy("shard").applyInPandas(
+        _pack, "shard int, n_written long"
+    )
+    # materialize the export (the action IS the sink; count of shards)
+    assert written.count() == _WDS_SHARDS
+
+    raw = spark.read.format("binaryFile").load(f"{out}/*.tar")
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                shard = int(row["path"].rsplit("shard_", 1)[1][:5])
+                with tarfile.open(fileobj=io.BytesIO(bytes(row["content"]))) as tf:
+                    for m in tf.getmembers():
+                        data = tf.extractfile(m).read() if m.size else b""
+                        rows.append((shard, m.name, data))
+            yield pd.DataFrame(rows, columns=["shard", "member", "content"])
+
+    members = raw.select("path", "content").mapInPandas(
+        _unpack, "shard int, member string, content binary"
+    )
+    return members.select(F.col("shard").cast("long").alias("shard"), "content").groupBy("shard").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.octet_length("content")).cast("long").alias("total_bytes"),
+        F.sum(md5_16bit(F.col("content"))).cast("long").alias("content_hash_sum"),
+    )

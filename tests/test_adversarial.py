@@ -246,6 +246,9 @@ DOC_QUERIES = [
     # round 9 batch 4: snapshot diff where exact-duplicate texts hash
     # equal (unchanged) and empty/whitespace docs diff like any other
     "q_pipeline_dataset_diff",
+    # round 9 batch 5: tar shard round-trip of the ugly payloads
+    # (empty members, multibyte unicode bytes through tar and back)
+    "q_multimodal_webdataset_roundtrip",
 ]
 
 

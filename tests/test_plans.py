@@ -1018,3 +1018,14 @@ def test_basket_pairs_order_local_expansion(spark, sf_dir):
     assert "CartesianProduct" not in simple
     assert "TakeOrderedAndProject" in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_webdataset_reingest_single_exchange(spark, sf_dir):
+    # the re-ingest path: binaryFile scan -> Arrow unpack -> ONE shard
+    # exchange for the audit aggregate; payloads never shuffle raw
+    # (the export side's group exchange is the separate write job)
+    df = REGISTRY["q_multimodal_webdataset_roundtrip"].fn(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "binaryFile" in simple
+    assert "MapInPandas" in simple
+    assert simple.count("Exchange hashpartitioning") == 1
