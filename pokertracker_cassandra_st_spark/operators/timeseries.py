@@ -1345,3 +1345,83 @@ def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(w_dt).cast("long").alias("total_s"),
         (F.sum(num).cast("double") / F.sum(w_dt)).alias("twa"),
     )
+
+# ---- q_ts_rate --------------------------------------------------------- #
+# Counter rate with reset handling — the monitoring-stack rate()
+# semantic: the column is read as a cumulative counter; each adjacent
+# sample pair contributes its increase, and a DECREASE means the
+# counter reset (process restart), where the post-reset value itself
+# is the increase. q_ts_twa integrates a GAUGE; this differentiates a
+# COUNTER — the two halves of time-series ingestion.
+
+
+@register(
+    "q_ts_rate",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         lag(CAST(value AS DECIMAL(12,2))) OVER w AS pv,
+         (CAST(floor(epoch(ts)) AS BIGINT)
+          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)) AS dt_s
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), inc AS (
+  SELECT user_id, dt_s,
+         CASE WHEN v >= pv THEN v - pv ELSE v END AS d,
+         CASE WHEN v < pv THEN 1 END AS reset
+  FROM s WHERE pv IS NOT NULL AND dt_s > 0
+)
+SELECT user_id,
+       count(*) AS n_pairs,
+       count(reset) AS n_resets,
+       CAST(CAST(SUM(d) AS DECIMAL(18,4)) AS DOUBLE) AS total_increase,
+       CAST(CAST(SUM(d) AS DECIMAL(18,4)) AS DOUBLE) / SUM(dt_s)
+         AS rate_per_s
+FROM inc
+GROUP BY user_id
+""",
+    tags=("timeseries",),
+)
+def q_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user counter rate: adjacent-sample increases with reset
+    handling (a decrease restarts the counter; the new value is the
+    increase), summed exactly in DECIMAL and divided once by the
+    covered seconds. NULL samples are excluded before pairing (the
+    pair spans the gap); same-second repeat samples carry no interval
+    and are dropped from pairing in both engines.
+
+    Scale notes: the lag() window and the per-user aggregate share one
+    hash exchange on user_id (the q_ts_twa / sessionize shape); all
+    comparisons and sums are exact decimal, one double conversion at
+    the end.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value").cast("decimal(12,2)")
+    s = ev.select(
+        "user_id",
+        v.alias("v"),
+        F.lag(v).over(w).alias("pv"),
+        (
+            F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+            - F.floor(F.unix_micros(F.lag("ts").over(w)) / 1_000_000)
+        ).alias("dt_s"),
+    ).filter(F.col("pv").isNotNull() & (F.col("dt_s") > 0))
+    d = F.when(F.col("v") >= F.col("pv"), F.col("v") - F.col("pv")).otherwise(
+        F.col("v")
+    )
+    inc = s.select(
+        "user_id",
+        "dt_s",
+        d.alias("d"),
+        F.when(F.col("v") < F.col("pv"), F.lit(1)).alias("reset"),
+    )
+    tot = F.sum("d").cast("decimal(18,4)").cast("double")
+    return inc.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.count("reset").alias("n_resets"),
+        tot.alias("total_increase"),
+        (tot / F.sum("dt_s")).alias("rate_per_s"),
+    )

@@ -106,6 +106,10 @@ EVENT_QUERIES = [
     # from both integral and covered time (three-valued CASE parity)
     # and same-second repeats carry zero weight
     "q_ts_twa",
+    # round 9 batch 5: counter rate where random gauge values reset
+    # constantly (decrease => reset branch) and NULL samples pair
+    # across the gap
+    "q_ts_rate",
 ]
 
 

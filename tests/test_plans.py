@@ -1029,3 +1029,12 @@ def test_webdataset_reingest_single_exchange(spark, sf_dir):
     assert "binaryFile" in simple
     assert "MapInPandas" in simple
     assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_rate_single_exchange(spark, sf_dir):
+    # lag() window and the per-user aggregate share ONE hash exchange
+    # on user_id; all arithmetic exact decimal until the final divide
+    simple = plan_of(spark, "q_ts_rate", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "Window" in simple
+    assert "BatchEvalPython" not in simple
