@@ -1174,3 +1174,83 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "n_values", "total_w")
         .agg(wp(1, "wp25_q2"), wp(2, "wp50_q2"), wp(3, "wp75_q2"))
     )
+
+
+# ---- q_agg_decay_sum --------------------------------------------------- #
+# Exponentially time-decayed engagement score — the feature-store
+# aggregate behind "recent activity" features: each event's value is
+# weighted by 2^(-age_days / half_life) as of the corpus high-water
+# mark, so yesterday counts ~10% more than a week ago and history
+# fades smoothly instead of cliff-dropping at a window edge.
+_DECAY_HALF_LIFE_DAYS = 7
+_DECAY_Q = 9  # per-term quantization: |value*w| <= 500 -> 5e11 scaled;
+#               ~6M rows at 100x sum to ~3e18, inside int64 (bound
+#               documented here per the exprs.slong contract)
+
+
+@register(
+    "q_agg_decay_sum",
+    oracle=f"""
+WITH hw AS (
+  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS ref_s FROM events
+), t AS (
+  SELECT user_id,
+         CAST(round(
+           value * pow(0.5,
+             ((hw.ref_s - CAST(floor(epoch(ts)) AS BIGINT)) // 86400)
+               / {_DECAY_HALF_LIFE_DAYS}.0)
+           * 1e{_DECAY_Q}
+         ) AS BIGINT) AS term_q
+  FROM events CROSS JOIN hw
+  WHERE value IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(CAST(SUM(term_q) AS DOUBLE) / 1e{_DECAY_Q}, 6) AS decayed_score
+FROM t
+GROUP BY user_id
+""",
+    tags=("agg", "timeseries"),
+)
+def q_agg_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value sum (half-life 7 days,
+    anchored at the corpus high-water timestamp): the
+    recency-weighted engagement feature a ranking/feature-store
+    pipeline materializes per entity.
+
+    Determinism: age is exact integer days (epoch floor-div — the
+    DIV/// parity form for non-negative ages), the decay weight
+    quantizes per-term to 1e-9 scaled longs before summation (order
+    independence; the pow() libm last-ulp doctrine), and the per-term
+    bound keeps the sum inside int64 at 100x (documented above).
+    Scale notes: the high-water mark is a 1-row broadcast aggregate
+    (the lazy literal-frame pattern — no driver-side max() roundtrip),
+    then one partial-aggregated groupBy on user_id; mergeable, so
+    incremental refresh just re-anchors and re-sums the affected
+    partitions.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hw = ev.agg(
+        F.max(F.floor(F.unix_micros("ts") / 1_000_000))
+        .cast("long")
+        .alias("ref_s")
+    )
+    age_days = F.expr(
+        "(ref_s - CAST(floor(unix_micros(ts) / 1000000) AS BIGINT)) DIV 86400"
+    )
+    term_q = slong(
+        F.col("value")
+        * F.pow(F.lit(0.5), age_days / float(_DECAY_HALF_LIFE_DAYS)),
+        _DECAY_Q,
+    )
+    return (
+        ev.crossJoin(F.broadcast(hw))
+        .select("user_id", term_q.alias("term_q"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum("term_q").cast("double") / F.lit(float(10**_DECAY_Q)), 6
+            ).alias("decayed_score"),
+        )
+    )

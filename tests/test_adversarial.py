@@ -110,6 +110,10 @@ EVENT_QUERIES = [
     # constantly (decrease => reset branch) and NULL samples pair
     # across the gap
     "q_ts_rate",
+    # round 9 batch 6: decayed engagement where NULL values are
+    # excluded before weighting and celebrity skew concentrates one
+    # user's terms (long-sum bound still holds)
+    "q_agg_decay_sum",
 ]
 
 

@@ -1038,3 +1038,14 @@ def test_rate_single_exchange(spark, sf_dir):
     assert simple.count("Exchange") == 1
     assert "Window" in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_decay_sum_broadcasts_highwater(spark, sf_dir):
+    # the high-water anchor is a 1-row broadcast aggregate frame, never
+    # a driver-side max() roundtrip; the score is one partial-agg
+    # groupBy on user_id
+    simple = plan_of(spark, "q_agg_decay_sum", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" in simple or "BroadcastExchange" in simple
+    assert "partial_count" in simple
+    assert "SortMergeJoin" not in simple
+    assert "BatchEvalPython" not in simple
