@@ -781,3 +781,94 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_s",
         "max_s",
     )
+
+
+# ---- q_dq_reconciliation ----------------------------------------------- #
+# Cross-table financial reconciliation — the accounting audit every
+# warehouse runs between a header table and its detail lines: rebuild
+# each order's total from its lineitems (extendedprice * (1-discount)
+# * (1+tax), the pricing-summary formula) and bucket the relative
+# deviation from the header's o_totalprice. On real books the buckets
+# quantify drift/corruption; q_dq_referential checks key EXISTENCE,
+# this checks VALUE consistency.
+
+
+@register(
+    "q_dq_reconciliation",
+    oracle="""
+WITH detail AS (
+  SELECT l_orderkey AS okey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(6,4)))
+             * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS rebuilt
+  FROM lineitem
+  GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS header,
+         d.rebuilt,
+         CASE
+           WHEN d.rebuilt IS NULL THEN 'no_detail'
+           WHEN d.rebuilt = CAST(o.o_totalprice AS DECIMAL(12,2))
+             THEN 'exact'
+           WHEN abs(CAST(d.rebuilt AS DOUBLE)
+                    - CAST(o.o_totalprice AS DOUBLE))
+                  * 100 <= CAST(o.o_totalprice AS DOUBLE) THEN 'within_1pct'
+           WHEN abs(CAST(d.rebuilt AS DOUBLE)
+                    - CAST(o.o_totalprice AS DOUBLE))
+                  * 10 <= CAST(o.o_totalprice AS DOUBLE) THEN 'within_10pct'
+           ELSE 'mismatch'
+         END AS bucket
+  FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.okey
+)
+SELECT bucket, count(*) AS n, max(o_orderkey) AS max_key
+FROM j GROUP BY bucket
+""",
+    tags=("quality",),
+)
+def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: rebuild per-order totals from
+    lineitem pricing arithmetic (exact DECIMAL end to end), left-join
+    against the orders header, and bucket each order's deviation
+    (exact / within 1% / within 10% / mismatch / no_detail) — the
+    value-consistency audit that catches partial loads, double-applied
+    discounts, and currency drift between systems of record.
+
+    Determinism: the rebuild is exact decimal; the percentage gates
+    compare via cross-multiplication on doubles converted once from
+    exact decimals (identical in both engines). Scale notes: detail
+    collapses to one row per order with map-side partial aggregation
+    BEFORE the header join (shuffle carries per-order sums, not line
+    items); both sides then hash-join on the same orderkey
+    partitioning; the audit output is buckets-bounded.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rebuilt = (
+        li.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(6,4)"))
+                * (1 + F.col("l_tax").cast("decimal(6,4)"))
+            ).alias("rebuilt")
+        )
+    )
+    header = F.col("o_totalprice").cast("decimal(12,2)")
+    hd = F.col("header").cast("double")
+    rd = F.col("rebuilt").cast("double")
+    bucket = (
+        F.when(F.col("rebuilt").isNull(), "no_detail")
+        .when(F.col("rebuilt") == F.col("header"), "exact")
+        .when(F.abs(rd - hd) * 100 <= hd, "within_1pct")
+        .when(F.abs(rd - hd) * 10 <= hd, "within_10pct")
+        .otherwise("mismatch")
+    )
+    j = (
+        o.select("o_orderkey", header.alias("header"))
+        .join(rebuilt, o["o_orderkey"] == rebuilt["okey"], "left")
+        .select("o_orderkey", bucket.alias("bucket"))
+    )
+    return j.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.max("o_orderkey").alias("max_key")
+    )

@@ -409,6 +409,10 @@ REL_QUERIES = [
     # ride inside kept files (decimal SUM skips them identically) —
     # the range aggregate must lose nothing to pruning on ugly data
     "q_scan_manifest_prune",
+    # round 9 batch 6: reconciliation where NULL l_discount/l_tax null
+    # the rebuilt total (three-valued bucket CASE) and NULL
+    # o_totalprice headers bucket identically in both engines
+    "q_dq_reconciliation",
     # round 9 batch 4: basket pairs on the null-injected lineitem
     # (key columns stay non-null; the distinct item table and exact
     # integer lift must hold regardless)

@@ -1049,3 +1049,14 @@ def test_decay_sum_broadcasts_highwater(spark, sf_dir):
     assert "partial_count" in simple
     assert "SortMergeJoin" not in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_reconciliation_detail_collapses_before_join(spark, sf_dir):
+    # the detail side must partial-aggregate to one row per order
+    # BEFORE the header join (shuffle carries per-order sums, not
+    # line items), and both sides hash-join — no broadcast of a
+    # fact-sized frame, no nested loop
+    simple = plan_of(spark, "q_dq_reconciliation", sf_dir, mode="simple")
+    assert "partial_sum" in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "BatchEvalPython" not in simple
