@@ -299,3 +299,88 @@ def q_fn_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("roundtrip_ok"),
     ).orderBy("event_id")
+
+
+@register(
+    "q_fn_ip",
+    oracle="""
+WITH ips AS (
+  SELECT event_id,
+         (10 + (event_id * 131) % 213) || '.' ||
+         ((user_id * 17) % 256)        || '.' ||
+         ((event_id * 7) % 256)        || '.' ||
+         (1 + (event_id * 31) % 254) AS ip
+  FROM events
+), o AS (
+  SELECT event_id, ip,
+         CAST(split_part(ip, '.', 1) AS BIGINT) AS o1,
+         CAST(split_part(ip, '.', 2) AS BIGINT) AS o2,
+         CAST(split_part(ip, '.', 3) AS BIGINT) AS o3,
+         CAST(split_part(ip, '.', 4) AS BIGINT) AS o4
+  FROM ips
+)
+SELECT event_id, ip,
+       o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_u32,
+       o1 || '.' || o2 || '.' || o3 || '.0/24' AS net24,
+       (o1 = 10
+        OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+        OR (o1 = 192 AND o2 = 168)) AS is_private,
+       (o1 * 16777216 + o2 * 65536 + o3 * 256 + o4)
+         BETWEEN 10 * 16777216 + 42 * 65536
+             AND 10 * 16777216 + 42 * 65536 + 65535 AS in_blocklist
+FROM o
+""",
+    tags=("fn", "ip"),
+)
+def q_fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 scalar family over deterministic synthetic addresses (log
+    analytics staple): dotted-quad round-trip (string -> octets ->
+    uint32), /24 network rollup key, RFC-1918 private-range
+    classification, and containment in a fixed 10.42.0.0/16 block.
+
+    The differential is genuine on the parse: both engines SPLIT the
+    same dotted string back apart (Spark ``split``/element_at, DuckDB
+    ``split_part``) rather than reusing the generating arithmetic, so
+    agreement pins string-split + cast semantics. All narrow codegen'd
+    per-row expressions; ``ip_u32`` is the sortable/joinable form
+    (q_join_cidr builds its range join on exactly this) and ``net24``
+    the groupBy rollup key a 100 TB flow-log pipeline would
+    pre-aggregate on.
+    """
+    ev = table(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        (10 + (F.col("event_id") * 131) % 213).cast("string"),
+        ((F.col("user_id") * 17) % 256).cast("string"),
+        ((F.col("event_id") * 7) % 256).cast("string"),
+        (1 + (F.col("event_id") * 31) % 254).cast("string"),
+    )
+    o = ev.select("event_id", ip.alias("ip"))
+    parts = F.split(F.col("ip"), "\\.")
+    for i in (1, 2, 3, 4):
+        o = o.withColumn(f"o{i}", F.element_at(parts, i).cast("long"))
+    u32 = (
+        F.col("o1") * 16_777_216
+        + F.col("o2") * 65_536
+        + F.col("o3") * 256
+        + F.col("o4")
+    )
+    lo = 10 * 16_777_216 + 42 * 65_536
+    return o.select(
+        "event_id",
+        "ip",
+        u32.alias("ip_u32"),
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.lit("0/24"),
+        ).alias("net24"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+        u32.between(lo, lo + 65_535).alias("in_blocklist"),
+    )

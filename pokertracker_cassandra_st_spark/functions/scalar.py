@@ -683,7 +683,7 @@ SELECT event_id,
          cos(radians(lat)) * cos(radians(0)) *
          pow(sin(radians(lon) / 2), 2)
        )), 6) AS dist_km,
-       CASE WHEN round(degrees(atan2(
+       (CASE WHEN round(degrees(atan2(
          sin(radians(-lon)) * cos(radians(0)),
          cos(radians(lat)) * sin(radians(0)) -
          sin(radians(lat)) * cos(radians(0)) * cos(radians(-lon))
@@ -691,7 +691,7 @@ SELECT event_id,
          sin(radians(-lon)) * cos(radians(0)),
          cos(radians(lat)) * sin(radians(0)) -
          sin(radians(lat)) * cos(radians(0)) * cos(radians(-lon))
-       )), 6) END AS bearing_to_origin_deg,
+       )), 6) END) + 0.0 AS bearing_to_origin_deg,
        CAST({_geocell_interleave('qlat', 'qlon', '//')} AS BIGINT) AS geocell
 FROM pts
 """,
@@ -731,6 +731,12 @@ def q_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides on the SIGN OF ZERO through atan2(±0, x<0) = ±pi, and the
     # engines disagree on which zero -lon produces — canonicalize the
     # antimeridian bearing to +180 after rounding, on both sides.
+    # The due-NORTH twin (lon = 0, lat < 0) hits the other zero edge:
+    # DuckDB's round preserves atan2(-0.0, x>0) = -0.0 while Spark's
+    # F.round BigDecimal path normalizes to +0.0 (driver hash-red,
+    # round 9) — the final `+ 0.0` collapses both engines to +0.0
+    # (IEEE 754 round-to-nearest: -0.0 + 0.0 = +0.0, all other values
+    # unchanged), applied after the CASE on both sides.
     dlon_r = F.radians(-lon)
     bearing = F.degrees(
         F.atan2(
@@ -740,7 +746,7 @@ def q_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bearing6 = F.round(bearing, 6)
-    bearing6 = F.when(bearing6 == -180, F.lit(180.0)).otherwise(bearing6)
+    bearing6 = F.when(bearing6 == -180, F.lit(180.0)).otherwise(bearing6) + F.lit(0.0)
     return ev.select(
         "event_id",
         F.round(lat, 6).alias("lat"),

@@ -594,6 +594,16 @@ def q_multimodal_webdataset_roundtrip(
     binaryFile (file-parallel) + a narrow Arrow unpack pass; the audit
     is a shards-bounded aggregate. Member order inside a tar and all
     mtimes are fixed, so shard BYTES are deterministic too.
+
+    Filesystem contract (ADVICE r9 / VERDICT r9 #7): _pack writes tar
+    shards to a driver-derived scratch path FROM INSIDE applyInPandas,
+    and the driver re-reads that path via binaryFile — this requires
+    executors and driver to share a filesystem. True in local mode and
+    on clusters whose scratch_dir is NFS/Lustre/fuse-mounted object
+    storage; on a multi-node cluster with node-local disks the writer
+    must instead stream each shard to a shared object store (s3a/abfs
+    path + the store's SDK inside _pack) or the re-ingest will read
+    stale/missing files. See SCALE.md "local-vs-cluster deltas".
     """
     import os as _os
 

@@ -1109,7 +1109,7 @@ WITH v AS (
   SELECT grp, qv, CAST(SUM(w) AS BIGINT) AS wv FROM v GROUP BY grp, qv
 ), c AS (
   SELECT grp, qv, wv,
-         SUM(wv) OVER (PARTITION BY grp ORDER BY qv
+         SUM(wv) OVER (PARTITION BY grp ORDER BY qv ASC NULLS LAST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
   FROM pv
 ), t AS (
@@ -1152,11 +1152,15 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("w"),
     )
     pv = v.groupBy("grp", "qv").agg(F.sum("w").alias("wv"))
+    # NULLS LAST pinned explicitly: Spark ASC defaults to NULLS FIRST,
+    # DuckDB to NULLS LAST — a NULL qv (NULL l_extendedprice) would
+    # otherwise land its weight at opposite ends of the cumulative sum
+    # and shift cumw for every real row (ADVICE r9).
     cum = pv.withColumn(
         "cumw",
         F.sum("wv").over(
             Window.partitionBy("grp")
-            .orderBy("qv")
+            .orderBy(F.col("qv").asc_nulls_last())
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
@@ -1228,9 +1232,16 @@ def q_agg_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one partial-aggregated groupBy on user_id; mergeable, so
     incremental refresh just re-anchors and re-sums the affected
     partitions.
+
+    The high-water mark anchors on the UNFILTERED corpus (all events,
+    NULL values included) — matching the oracle's hw CTE and the
+    "corpus high-water" contract above. Anchoring on the value-filtered
+    frame would silently shift every decay weight whenever the globally
+    latest event carries a NULL value (ADVICE r9, high).
     """
-    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    hw = ev.agg(
+    ev_all = table(spark, sf_dir, "events")
+    ev = ev_all.filter(F.col("value").isNotNull())
+    hw = ev_all.agg(
         F.max(F.floor(F.unix_micros("ts") / 1_000_000))
         .cast("long")
         .alias("ref_s")
@@ -1252,5 +1263,76 @@ def q_agg_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("term_q").cast("double") / F.lit(float(10**_DECAY_Q)), 6
             ).alias("decayed_score"),
+        )
+    )
+
+
+# ---- q_agg_winsorized_mean --------------------------------------------- #
+# Winsorized (percentile-clamped) mean — the robust-statistics answer
+# to "the mean is dominated by outliers": clamp every value into the
+# group's exact [p25, p75] band, then average. The data-cleaning
+# doctrine for 100 TB feature pipelines where a handful of corrupt
+# rows would otherwise move a global feature.
+
+
+@register(
+    "q_agg_winsorized_mean",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 1000000) AS BIGINT) * 4 AS qv4
+  FROM lineitem
+), b AS (
+  SELECT grp,
+         count(qv4) AS n,
+         CAST(quantile_cont(qv4, 0.25) AS BIGINT) AS lo_q4,
+         CAST(quantile_cont(qv4, 0.75) AS BIGINT) AS hi_q4
+  FROM v GROUP BY grp
+)
+SELECT v.grp, b.n, b.lo_q4, b.hi_q4,
+       CAST(SUM(least(greatest(v.qv4, b.lo_q4), b.hi_q4)) AS DOUBLE)
+         / CAST(b.n * 4000000 AS DOUBLE) AS winsorized_mean
+FROM v JOIN b ON v.grp IS NOT DISTINCT FROM b.grp
+WHERE v.qv4 IS NOT NULL
+GROUP BY v.grp, b.n, b.lo_q4, b.hi_q4
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag winsorized mean of extended price: exact p25/p75
+    group bounds (the q_agg_percentile_exact quarters doctrine — x1e6
+    scaled longs times 4 make every interpolated quartile an exact
+    integer), every value clamped into [p25, p75], then one exact
+    integer sum divided once to double (identical operation order both
+    engines — bit-deterministic).
+
+    Scale notes: pass 1 is a partial-aggregated percentile per group
+    (5 groups, bounded buffers); pass 2 re-scans with the bounds as a
+    BROADCAST join (5 rows) — no fact-side shuffle at all for the
+    clamp, and the final groupBy partial-aggregates map-side. The
+    null-safe group join keeps NULL return flags (adversarial fixture)
+    as a real group, matching the oracle's IS NOT DISTINCT FROM.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (slong("l_extendedprice", 6) * 4).alias("qv4"),
+    )
+    b = v.groupBy("grp").agg(
+        F.count("qv4").alias("n"),
+        F.percentile("qv4", 0.25).cast("long").alias("lo_q4"),
+        F.percentile("qv4", 0.75).cast("long").alias("hi_q4"),
+    )
+    clamped = F.least(F.greatest(F.col("qv4"), F.col("lo_q4")), F.col("hi_q4"))
+    return (
+        v.filter(F.col("qv4").isNotNull())
+        .join(F.broadcast(b), v["grp"].eqNullSafe(b["grp"]))
+        .drop(b["grp"])
+        .groupBy("grp", "n", "lo_q4", "hi_q4")
+        .agg(
+            (
+                F.sum(clamped).cast("double")
+                / (F.col("n") * 4_000_000).cast("double")
+            ).alias("winsorized_mean")
         )
     )

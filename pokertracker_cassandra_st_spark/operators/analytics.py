@@ -401,3 +401,66 @@ def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "p1", "p2")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q10_shape",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(CAST(SUM({_REV}) AS BIGINT) AS DOUBLE) / 10000 AS revenue,
+       c.c_acctbal
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    tags=("analytics",),
+)
+def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue report: which customers
+    returned the most value in a quarter. Quarter filter on orders,
+    returnflag filter on lineitem, nation broadcast for display, top-20
+    by lost revenue (c_custkey tie-break).
+
+    Scale notes: both selective filters push into their parquet scans
+    BEFORE the fact-fact join (a quarter is ~1/8 of orders, 'R' is
+    ~1/3 of lineitem); the orders-lineitem join carries an explicit
+    SHUFFLE_HASH hint with the build on the quarter-filtered orders
+    side (the q5 doctrine — never sort or broadcast a fact), customer
+    joins AFTER aggregation-relevant columns are reduced, and nation
+    is a broadcast dim. The grouped top-20 ends in a partial
+    TakeOrdered, never a global sort of the aggregate.
+    """
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    rev = _rev_col()
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        orders.hint("shuffle_hash")
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -735,3 +735,130 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hot_key")
     )
+
+
+# ---- q_join_cidr -------------------------------------------------------- #
+# Point-in-CIDR-range join — the flow-log enrichment join: every event
+# carries an IPv4 address, a dimension holds CIDR blocks, and each
+# event must find the blocks containing its address. The naive form is
+# a pure range theta join (ip BETWEEN lo AND hi) — quadratic blowup on
+# a cluster. The scalable form used here: because every block is /16
+# or longer, each block lies inside exactly ONE (first, second)-octet
+# /16 cell, so the join becomes an EQUI join on that prefix cell plus
+# a residual range filter — hash-partitionable, broadcast-able, no
+# theta explosion. (Blocks shorter than /16 would expand to one row
+# per covered /16 cell — bounded fan-out, same equi shape.)
+
+_CIDR_BLOCKS_SQL = """
+  SELECT p_partkey AS block_id,
+         p_partkey % 200 AS so,
+         16 + 4 * (p_partkey % 3) AS plen,
+         CASE p_partkey % 3
+           WHEN 0 THEN 0
+           WHEN 1 THEN (p_partkey % 16) * 16
+           ELSE p_partkey % 256 END AS tho,
+         CAST(pow(2, 32 - (16 + 4 * (p_partkey % 3))) AS BIGINT) AS span
+  FROM part
+"""
+
+
+@register(
+    "q_join_cidr",
+    oracle=f"""
+WITH b0 AS ({_CIDR_BLOCKS_SQL}),
+b AS (
+  SELECT block_id, so, plen,
+         '10.' || so || '.' || tho || '.0/' || plen AS cidr,
+         10 * 16777216 + so * 65536 + tho * 256 AS lo,
+         10 * 16777216 + so * 65536 + tho * 256 + span - 1 AS hi
+  FROM b0
+),
+ips AS (
+  SELECT event_id,
+         10 * 16777216
+           + ((user_id * 17) % 256) * 65536
+           + ((event_id * 7) % 256) * 256
+           + 1 + (event_id * 31) % 254 AS ip_u32
+  FROM events
+)
+SELECT b.block_id, b.cidr, b.plen,
+       count(*) AS n_hits,
+       min(i.ip_u32) AS min_ip,
+       max(i.ip_u32) AS max_ip
+FROM b JOIN ips i ON i.ip_u32 BETWEEN b.lo AND b.hi
+GROUP BY b.block_id, b.cidr, b.plen
+""",
+    tags=("join", "ip"),
+)
+def q_join_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR containment join via /16 prefix blocking: blocks (derived
+    from `part`, prefix lengths 16/20/24) equi-join events' addresses
+    on the second octet — the /16 cell every such block lies inside —
+    then a residual lo<=ip<=hi filter keeps true containments.
+
+    The ORACLE is the naive range theta join (BETWEEN only, no prefix
+    key): agreement proves the prefix-blocked equi join computes
+    exactly the containment-join semantics. Spark never executes a
+    theta join here — the block side broadcasts (dim-sized) with the
+    equi key keeping the build table's per-cell lists short; at a
+    dimension too big to broadcast the same plan SHUFFLE_HASHes on the
+    prefix cell. Events' addresses reuse the q_fn_ip arithmetic with
+    the first octet pinned to 10 so containments exist.
+    """
+    blocks0 = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("block_id"),
+        (F.col("p_partkey") % 200).alias("so"),
+        (16 + 4 * (F.col("p_partkey") % 3)).alias("plen"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(0))
+        .when(F.col("p_partkey") % 3 == 1, (F.col("p_partkey") % 16) * 16)
+        .otherwise(F.col("p_partkey") % 256)
+        .alias("tho"),
+    )
+    blocks = blocks0.select(
+        "block_id",
+        "so",
+        "plen",
+        F.concat_ws(
+            "",
+            F.lit("10."),
+            F.col("so").cast("string"),
+            F.lit("."),
+            F.col("tho").cast("string"),
+            F.lit(".0/"),
+            F.col("plen").cast("string"),
+        ).alias("cidr"),
+        (
+            F.lit(10 * 16_777_216) + F.col("so") * 65_536 + F.col("tho") * 256
+        ).alias("lo"),
+        (
+            F.lit(10 * 16_777_216)
+            + F.col("so") * 65_536
+            + F.col("tho") * 256
+            + F.pow(F.lit(2.0), 32 - F.col("plen")).cast("long")
+            - 1
+        ).alias("hi"),
+    )
+    ips = table(spark, sf_dir, "events").select(
+        "event_id",
+        (
+            F.lit(10 * 16_777_216)
+            + ((F.col("user_id") * 17) % 256) * 65_536
+            + ((F.col("event_id") * 7) % 256) * 256
+            + 1
+            + (F.col("event_id") * 31) % 254
+        ).alias("ip_u32"),
+        (((F.col("user_id") * 17) % 256)).alias("pfx"),
+    )
+    return (
+        ips.join(
+            F.broadcast(blocks),
+            (F.col("pfx") == F.col("so"))
+            & F.col("ip_u32").between(F.col("lo"), F.col("hi")),
+        )
+        .groupBy("block_id", "cidr", "plen")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("ip_u32").alias("min_ip"),
+            F.max("ip_u32").alias("max_ip"),
+        )
+    )

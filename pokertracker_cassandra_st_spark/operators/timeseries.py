@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
-from pokertracker_cassandra_st_spark.exprs import DEC, fmt_ts
+from pokertracker_cassandra_st_spark.exprs import DEC, MONEY, fmt_ts
 from pokertracker_cassandra_st_spark.registry import register
 
 SCRATCH = "/root/repo/.scratch"
@@ -1320,7 +1320,10 @@ def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle's CASE arms).
 
     Determinism: dt is exact integer seconds (the fixture's ts
-    granularity), value an exact 2-decimal DECIMAL — the numerator
+    granularity), value an exact 2-decimal DECIMAL(12,2) — the SAME
+    quantization as the oracle's CAST (ADVICE r9: a DEC=18,4 cast here
+    would round >2-decimal values differently than the oracle's 12,2;
+    q_ts_rate's shared cast is the model) — the numerator
     sums exactly, converts to double once (correctly rounded from the
     same exact value in both engines), then one division. Scale notes:
     one hash exchange on user_id feeds the lead() window, then a
@@ -1338,7 +1341,7 @@ def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_dt = F.when(F.col("value").isNotNull(), F.col("dt_s"))
     num = F.when(
-        F.col("value").isNotNull(), F.col("value").cast(DEC) * F.col("dt_s")
+        F.col("value").isNotNull(), F.col("value").cast(MONEY) * F.col("dt_s")
     )
     return seg.groupBy("user_id").agg(
         F.count(w_dt).alias("n_segments"),

@@ -40,8 +40,12 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
-        if v == 0.0:
-            return "0"  # collapse -0.0 / 0.0
+        # signed zero is NOT collapsed: the driver's value hash
+        # distinguishes -0.0 from 0.0 (found round 9 — q_fn_geo was
+        # locally green under the old collapse but driver hash-red).
+        # repr() renders '-0.0' vs '0.0', matching driver strictness;
+        # queries whose zeros can carry a sign must canonicalize with
+        # `+ 0.0` on BOTH engine sides (see functions/scalar.py geo).
         return repr(v)
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).isoformat()

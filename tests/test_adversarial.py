@@ -129,6 +129,12 @@ def adv_dir():
     )
     value = np.round(rng.uniform(0.01, 500, size=n), 2)
     value[rng.rand(n) < 0.05] = np.nan
+    # the GLOBALLY LATEST event carries a NULL value (every max-ts row,
+    # so ties can't mask it): q_agg_decay_sum must still anchor its
+    # high-water mark on the unfiltered corpus (ADVICE r9, high — the
+    # pre-fix Spark side anchored on the value-filtered frame and this
+    # case only passed by seed luck)
+    value[ts == ts.max()] = np.nan
     props = np.array([f'{{"k": {int(k)}}}' for k in rng.randint(0, 100, size=n)], dtype=object)
     # valid JSON objects LACKING 'k': is_json must still be true and
     # k-derived columns NULL (q_fn_json validity is a parse check, not
@@ -436,7 +442,15 @@ STREAM_QUERIES = [
 
 def _inject_rel_nulls(rng, adv):
     li = pd.read_parquet(f"{BASE}/lineitem.parquet")
-    for col, frac in [("l_quantity", 0.05), ("l_discount", 0.05), ("l_tax", 0.03)]:
+    # l_extendedprice NULLs added round 10 (ADVICE r9): a NULL qv row in
+    # q_agg_weighted_percentile lands its weight at opposite ends of the
+    # cumulative sum unless NULLS LAST is pinned on both engines
+    for col, frac in [
+        ("l_quantity", 0.05),
+        ("l_discount", 0.05),
+        ("l_tax", 0.03),
+        ("l_extendedprice", 0.02),
+    ]:
         li.loc[rng.rand(len(li)) < frac, col] = np.nan
     li.loc[rng.rand(len(li)) < 0.02, "l_returnflag"] = None
     li.to_parquet(f"{adv}/lineitem.parquet", index=False)

@@ -246,40 +246,56 @@ def test_round8_window_ran_as_planned():
     )
 
 
-def test_round9_window_is_active_and_ledgered():
-    """Round-9 rotation contract (VERDICT r8 'Next round #1'):
-    WINDOW_R9 is the active window, led by every POST_ROTATION_R8
-    query (the 12 round-8 additions with no driver row yet — cumulative
-    driver coverage reaches the full registry when it runs); any query
-    registered DURING round 9 must join POST_ROTATION_R9 in the same
-    commit or this test fails loudly."""
+def test_round9_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r09.json must cover exactly the 50
+    WINDOW_R9 slots — the round-9 rotation executed as drafted."""
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R9
+
+    r09 = set(json.load(open("/root/repo/CORRECTNESS_r09.json")))
+    assert r09 == set(WINDOW_R9), (
+        f"r09 artifact vs WINDOW_R9: missing={sorted(set(WINDOW_R9) - r09)} "
+        f"extra={sorted(r09 - set(WINDOW_R9))}"
+    )
+
+
+def test_round10_window_is_active_and_ledgered():
+    """Round-10 rotation contract (VERDICT r9 'Next round #1/#3'):
+    WINDOW_R10 is the active window, led by every POST_ROTATION_R9
+    query (the 15 round-9 additions with no driver row yet — cumulative
+    driver coverage reaches the full 266-query registry when it runs)
+    and force-including q_fn_geo so its signed-zero fix re-lands
+    driver-green; any query registered DURING round 10 must join
+    POST_ROTATION_R10 in the same commit or this test fails loudly."""
     from pokertracker_cassandra_st_spark.registry import (
-        POST_ROTATION_R8,
         POST_ROTATION_R9,
-        WINDOW_R9,
-        _R9_REP_POOL,
+        POST_ROTATION_R10,
+        WINDOW_R10,
+        _R10_REP_POOL,
     )
 
     qs = get_queries()
     oracles = get_oracles()
-    assert WINDOW is WINDOW_R9, "round-9 window must be active"
-    assert WINDOW_R9[: len(POST_ROTATION_R8)] == list(POST_ROTATION_R8)
-    assert len(WINDOW_R9) == 50 == len(set(WINDOW_R9))
-    no_oracle = [n for n in WINDOW_R9 if n not in oracles]
-    assert not no_oracle, f"WINDOW_R9 entries without an oracle: {no_oracle}"
+    assert WINDOW is WINDOW_R10, "round-10 window must be active"
+    assert WINDOW_R10[: len(POST_ROTATION_R9)] == list(POST_ROTATION_R9)
+    assert len(WINDOW_R10) == 50 == len(set(WINDOW_R10))
+    assert "q_fn_geo" in WINDOW_R10, "q_fn_geo must re-land driver-green"
+    no_oracle = [n for n in WINDOW_R10 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R10 entries without an oracle: {no_oracle}"
     # every never-driver-checked query is either in the active window
-    # (getting its row this round) or ledgered as a round-9 addition
+    # (getting its row this round) or ledgered as a round-10 addition
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - set(WINDOW_R9) - set(POST_ROTATION_R9))
+    stranded = sorted(never - set(WINDOW_R10) - set(POST_ROTATION_R10))
     assert not stranded, (
-        f"queries registered during round 9 without joining "
-        f"POST_ROTATION_R9: {stranded}"
+        f"queries registered during round 10 without joining "
+        f"POST_ROTATION_R10: {stranded}"
     )
-    undeclared = [n for n in POST_ROTATION_R9 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R9 names not registered: {undeclared}"
-    # the 38 rep slots must all carry a prior driver row
-    unchecked_reps = sorted(set(_R9_REP_POOL) - checked)
+    undeclared = [n for n in POST_ROTATION_R10 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R10 names not registered: {undeclared}"
+    # the 35 rep slots must all carry a prior driver row
+    unchecked_reps = sorted(set(_R10_REP_POOL) - checked)
     assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
 
 
