@@ -1703,3 +1703,67 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---- q_dedup_template ----------------------------------------------------- #
+# Template / boilerplate-instance detection — the near-dup class exact
+# hashing misses and MinHash overkills: documents generated from one
+# template differ ONLY in filled-in numbers ("Order 1234 shipped on
+# 2024-01-05"). Masking digit runs to '#' canonicalizes every instance
+# of a template to one fingerprint; grouping finds the template
+# families. The web-crawl curation step that catches receipt/listing/
+# log spam before it floods a training mixture.
+
+
+@register(
+    "q_dedup_template",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS template_fp,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT template_fp,
+       count(*) AS n_instances,
+       min(doc_id) AS keeper,
+       count(DISTINCT source) AS n_sources,
+       min(n_tok) AS min_tok, max(n_tok) AS max_tok
+FROM fp
+GROUP BY template_fp
+HAVING count(*) > 1
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template families: md5 of the text with every digit run masked
+    to '#', grouped; families with >1 instance reported with the kept
+    (lowest-id) doc, source spread, and token-length band. Documents
+    WITHOUT digits degrade to exact-dup groups — a strict superset of
+    q_dedup_exact's hash classes on this corpus.
+
+    Scale notes: the mask + hash run scan-side, so the shuffle carries
+    (16-byte fp, doc_id, source, n_tok) — never text; one map-side-
+    combined groupBy, same budget as exact dedup at any corpus size.
+    The digit mask is the cheapest member of the canonicalization
+    ladder (case-fold / punctuation-strip / number-mask) — swapping
+    the regex changes no plan shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace("text", "[0-9]+", "#")).alias("template_fp"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    return (
+        fp.groupBy("template_fp")
+        .agg(
+            F.count("*").alias("n_instances"),
+            F.min("doc_id").alias("keeper"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .filter(F.col("n_instances") > 1)
+    )

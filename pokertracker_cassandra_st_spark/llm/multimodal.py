@@ -672,3 +672,86 @@ def q_multimodal_webdataset_roundtrip(
         F.sum(F.octet_length("content")).cast("long").alias("total_bytes"),
         F.sum(md5_16bit(F.col("content"))).cast("long").alias("content_hash_sum"),
     )
+
+
+# ---- q_multimodal_aspect_bucket ----------------------------------------- #
+# Aspect-ratio bucketing — the batch-sharding step of an image training
+# pipeline: variable-shape images can't share a tensor batch, so each
+# is assigned to a canonical aspect bucket and batches form per bucket.
+# Buckets here are integer threshold bins on the x1000-scaled w/h ratio
+# (exact integer compares — no float nearest-neighbor tie ambiguity).
+_ASPECT_BATCH = 32
+
+
+@register(
+    "q_multimodal_aspect_bucket",
+    oracle=f"""
+WITH wh AS (
+  SELECT octet_length(encode(text)) % 256 + 1 AS w,
+         octet_length(encode(text)) // 256 % 256 + 1 AS h
+  FROM documents
+), b AS (
+  SELECT w, h, (w * 1000) // h AS rq,
+         CASE WHEN (w * 1000) // h < 600 THEN '9:16'
+              WHEN (w * 1000) // h < 800 THEN '3:4'
+              WHEN (w * 1000) // h < 1200 THEN '1:1'
+              WHEN (w * 1000) // h < 1600 THEN '4:3'
+              ELSE '16:9' END AS bucket
+  FROM wh
+)
+SELECT bucket,
+       count(*) AS n_images,
+       (count(*) + {_ASPECT_BATCH - 1}) // {_ASPECT_BATCH} AS n_batches,
+       CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+       min(rq) AS min_rq, max(rq) AS max_rq
+FROM b
+GROUP BY bucket
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing over decoded image dimensions: each
+    payload's (width, height) — from the same STUBBED mapInPandas
+    decoder as q_multimodal_decode, so the Arrow plumbing is real —
+    lands in one of five canonical aspect buckets by exact integer
+    threshold on the x1000 w/h ratio; per bucket the plan reports
+    image count, full-batch count at batch size 32, and total pixels
+    (the loader's memory budget).
+
+    Scale notes: decode is partition-parallel Arrow batches (payload
+    bytes never shuffle — only (w, h) longs leave the scan stage);
+    bucketing is codegen'd integer arithmetic and the aggregate is a
+    5-group map-side-combined groupBy. The bucket label is exactly the
+    key a cluster pipeline would repartition on before writing
+    per-bucket webdataset shards (q_multimodal_webdataset_roundtrip).
+    """
+    p = _payloads(spark, sf_dir)
+    feats = p.mapInPandas(
+        _decode_batch,
+        schema="doc_id long, byte_len long, width long, height long, n_frames long",
+    )
+    rq = F.floor((F.col("width") * 1000) / F.col("height")).cast("long")
+    bucket = (
+        F.when(rq < 600, "9:16")
+        .when(rq < 800, "3:4")
+        .when(rq < 1200, "1:1")
+        .when(rq < 1600, "4:3")
+        .otherwise("16:9")
+    )
+    return (
+        feats.select(
+            bucket.alias("bucket"),
+            rq.alias("rq"),
+            (F.col("width") * F.col("height")).alias("px"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.floor(
+                (F.count("*") + (_ASPECT_BATCH - 1)) / _ASPECT_BATCH
+            ).cast("long").alias("n_batches"),
+            F.sum("px").cast("long").alias("sum_pixels"),
+            F.min("rq").alias("min_rq"),
+            F.max("rq").alias("max_rq"),
+        )
+    )

@@ -284,3 +284,72 @@ def q_pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return j.groupBy("source", "status").agg(F.count("*").alias("n"))
+
+
+# ---- q_pipeline_loss_mask ----------------------------------------------- #
+# Instruction-tuning loss masking — the budget audit of an SFT data
+# build: prompt tokens are context-only (loss-masked), response tokens
+# train, and documents failing the minimum-length gate are fully
+# masked. The per-source trainable-token share is THE number that
+# decides whether a source earns its storage in the mixture.
+_MASK_MIN_TOKENS = 8
+
+
+@register(
+    "q_pipeline_loss_mask",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+), m AS (
+  SELECT source, n_tok,
+         CASE WHEN n_tok < {_MASK_MIN_TOKENS} THEN 0
+              ELSE n_tok - n_tok // 2 END AS trainable
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok < {_MASK_MIN_TOKENS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fully_masked,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(trainable) AS BIGINT) AS trainable_tokens,
+       CAST(SUM(trainable) AS BIGINT) * 1000000
+         // CAST(SUM(n_tok) AS BIGINT) AS trainable_ppm
+FROM m
+GROUP BY source
+""",
+    tags=("llm", "pipeline"),
+)
+def q_pipeline_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source loss-mask budget: each document splits into a prompt
+    half (first floor(n/2) tokens, masked) and a response half
+    (trains); documents under the 8-token gate are fully masked. The
+    report: docs, fully-masked docs, total vs trainable tokens, and
+    the exact trainable share in ppm — all pure integer arithmetic.
+
+    Scale notes: token counting is a codegen'd split+filter per row
+    (no explode — only the COUNT leaves the row); the aggregate is a
+    map-side-combined groupBy on the source key. One scan, one tiny
+    shuffle: the same shape at 100 TB. The masking rule is the
+    deterministic stand-in for a real chat-template span parser —
+    swap the span boundary in, the plan is unchanged.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = docs.select("source", n_tok.cast("long").alias("n_tok"))
+    trainable = F.when(
+        F.col("n_tok") < _MASK_MIN_TOKENS, F.lit(0)
+    ).otherwise(F.col("n_tok") - F.floor(F.col("n_tok") / 2))
+    m = t.select("source", "n_tok", trainable.cast("long").alias("trainable"))
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_tok") < _MASK_MIN_TOKENS).cast("long")).alias(
+            "n_fully_masked"
+        ),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("trainable").alias("trainable_tokens"),
+        F.expr(
+            "sum(trainable) * 1000000 DIV sum(n_tok)"
+        ).alias("trainable_ppm"),
+    )

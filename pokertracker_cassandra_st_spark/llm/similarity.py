@@ -936,6 +936,27 @@ _KNN_PROBES_SQL = (
     "p -> subcell ^ shiftleft(cast(1 as bigint), p)))"
 )
 
+# Probe radius scales with cell depth (VERDICT r9 #4): on the n=4000
+# single-label contract corpus the ladder picks cb=4 (256*2^4 = 4096;
+# rounds 8-9 mislabeled this rung cb=6), where hamming<=1 recall@3
+# measured 0.537 while hamming<=2 measured 0.859 at 1.5x wall (28.8 s
+# -> 43.0 s, probes 5 -> 11/vector). Policy: radius 2 from cbits >= 4,
+# radius 1 below (cb=2's ring is small enough that radius 1 already
+# measured 0.866). At deeper rungs (cb=10 at 100x) radius-2 probes
+# grow as 1 + cb + C(cb,2) — still linear in the corpus. Mirrored
+# EXACTLY in the oracle's probes CTE; candidate pairs still
+# materialize once (all probe values distinct).
+_KNN_RADIUS2_MIN_CBITS = 4
+_KNN_PROBES_R2_SQL = (
+    "concat(array(subcell), "
+    "transform(sequence(0, cbits - 1), "
+    "p -> subcell ^ shiftleft(cast(1 as bigint), p)), "
+    "flatten(transform(sequence(0, cbits - 2), p -> "
+    "transform(sequence(p + 1, cbits - 1), q -> "
+    "subcell ^ shiftleft(cast(1 as bigint), p) "
+    "^ shiftleft(cast(1 as bigint), q)))))"
+)
+
 _KNN_ORACLE = f"""
 WITH aug AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -945,9 +966,18 @@ WITH aug AS (
   FROM cells
 ), probes AS (
   SELECT vec_id, label, emb, nrm,
-         unnest(list_concat([subcell],
+         unnest(CASE WHEN cbits >= {{r2min}} THEN list_concat(
+             list_concat([subcell],
+                 list_transform(range(0, cbits),
+                     p -> xor(subcell, CAST(1 AS BIGINT) << p))),
+             flatten(list_transform(range(0, cbits - 1), p ->
+                 list_transform(range(p + 1, cbits), q ->
+                     xor(xor(subcell, CAST(1 AS BIGINT) << p),
+                         CAST(1 AS BIGINT) << q)))))
+           ELSE list_concat([subcell],
              list_transform(range(0, cbits),
-                 p -> xor(subcell, CAST(1 AS BIGINT) << p)))) AS probe
+                 p -> xor(subcell, CAST(1 AS BIGINT) << p)))
+           END) AS probe
   FROM normed CROSS JOIN cellparams
 ), scored AS (
   SELECT p.vec_id, c.vec_id AS nbr_id,
@@ -967,14 +997,15 @@ SELECT vec_id, nbr_id, cosine, rk FROM ranked WHERE rk <= {_KNN_K}
 def _knn_oracle() -> str:
     from pokertracker_cassandra_st_spark.llm.dedup import _cell_subcell_ctes
 
-    return _KNN_ORACLE.format(cell_ctes=_cell_subcell_ctes())
+    return _KNN_ORACLE.format(cell_ctes=_cell_subcell_ctes(), r2min=_KNN_RADIUS2_MIN_CBITS)
 
 
 @register("q_sim_knn_graph", oracle=_knn_oracle(), tags=("llm", "similarity"))
 def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive-cell k-NN graph: every vector's top-3 neighbors by
     cosine among candidates within hamming<=1 of its (label, subcell)
-    cell (rounded to 6dp before ranking in BOTH engines; ties broken
+    cell (hamming<=2 from cbits >= 4 — the radius scales with cell
+    depth; rounded to 6dp before ranking in BOTH engines; ties broken
     by neighbor id) — the adjacency input for graph-based dedup /
     clustering stages (q_dedup_components consumes exactly this edge
     shape).
@@ -998,10 +1029,17 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = _with_subcell(v, keep_bits=True)
     # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, so the
-    # cbits=0 rung must short-circuit to the bare identity probe
-    probe_list = F.when(
-        F.col("cbits") == 0, F.array(F.col("subcell"))
-    ).otherwise(F.expr(_KNN_PROBES_SQL))
+    # cbits=0 rung must short-circuit to the bare identity probe;
+    # deep rungs (cbits >= 4) widen to hamming<=2 (see the radius
+    # policy comment above — measured 0.537 -> 0.859 recall at cb=4)
+    probe_list = (
+        F.when(F.col("cbits") == 0, F.array(F.col("subcell")))
+        .when(
+            F.col("cbits") >= _KNN_RADIUS2_MIN_CBITS,
+            F.expr(_KNN_PROBES_R2_SQL),
+        )
+        .otherwise(F.expr(_KNN_PROBES_SQL))
+    )
     a = cells.select(
         "vec_id", "emb", "nrm", "label", F.explode(probe_list).alias("probe")
     ).alias("a")
@@ -1255,4 +1293,170 @@ def q_sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frank", F.row_number().over(w_f).cast("long"))
         .filter(F.col("frank") <= _HYB_K)
         .select("qid", "doc_id", F.round("rrf", 6).alias("rrf"), "src", "frank")
+    )
+
+
+# ---- q_sim_two_stage_rerank ---------------------------------------------- #
+# Two-stage retrieval — the production serving shape: a cheap int8
+# coarse pass scores the WHOLE corpus with exact integer dot products
+# (4x less bandwidth than floats, SIMD-friendly on a real index), keeps
+# NC candidates per query, and only those pay the exact float cosine.
+# Determinism: the coarse score is int_dot(q8, c8) * candidate_scale_ppb
+# — pure int64 (|int_dot| <= 127*127*64 ~ 1e6, scale_ppb ~ 1e7 =>
+# |score| <= ~1e13); the query's own scale is constant per query so
+# dropping it is rank-preserving; every rank tie-breaks by cid.
+_RERANK_NC = 50
+
+
+def _int8(e: Column) -> Column:
+    """Symmetric per-vector int8 of a double array (q_sim_quantize's
+    rule: scale = max|v|/127, half-away rounding, clamp to ±127)."""
+    scale = F.array_max(F.transform(e, F.abs)) / 127.0
+    return F.transform(
+        e,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.when(
+                    x < 0, -F.floor(F.abs(x) / scale + 0.5).cast("long")
+                ).otherwise(F.floor(F.abs(x) / scale + 0.5).cast("long")),
+            ),
+        ),
+    )
+
+
+@register(
+    "q_sim_two_stage_rerank",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q8 AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> greatest(-127, least(127,
+           CASE WHEN x < 0
+                THEN -CAST(floor(abs(x) / scale + 0.5) AS BIGINT)
+                ELSE  CAST(floor(abs(x) / scale + 0.5) AS BIGINT)
+           END))) AS qv,
+         CAST(floor(scale * 1000000000 + 0.5) AS BIGINT) AS scale_ppb
+  FROM s WHERE scale > 0
+), qs AS (
+  SELECT vec_id AS qid, e AS q_emb, qv AS q_qv
+  FROM q8 WHERE vec_id < {N_QUERIES}
+), cs AS (
+  SELECT vec_id AS cid, e AS c_emb, qv AS c_qv, scale_ppb AS c_ppb
+  FROM q8
+), coarse AS (
+  SELECT qid, cid, q_emb, c_emb,
+         CAST(list_sum(list_transform(list_zip(q_qv, c_qv),
+                                      p -> p[1] * p[2])) AS BIGINT) * c_ppb
+           AS score1
+  FROM qs JOIN cs ON qid <> cid
+), cand AS (
+  SELECT qid, cid, q_emb, c_emb, score1,
+         row_number() OVER (PARTITION BY qid ORDER BY score1 DESC, cid)
+           AS coarse_rk
+  FROM coarse
+  QUALIFY coarse_rk <= {_RERANK_NC}
+), rerank AS (
+  SELECT qid, cid, CAST(coarse_rk AS BIGINT) AS coarse_rk,
+         round(list_dot_product(q_emb, c_emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) *
+                sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+  FROM cand
+)
+SELECT qid, cid, cosine, coarse_rk,
+       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+FROM rerank
+QUALIFY rk <= {TOP_K}
+""",
+    tags=("llm", "similarity"),
+)
+def q_sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8 coarse scoring of the full corpus (exact
+    integer dot x candidate scale — rank-preserving symmetric
+    quantization) keeps the top-50 per query; only those 50 pay the
+    exact double cosine, returning the reranked top-5 with each hit's
+    coarse rank (the recall audit column: a hit with coarse_rk near 50
+    says NC is too tight).
+
+    Scale notes: stage 1 is the only corpus-wide pass and it runs on
+    int8 — on a real index 4x less memory bandwidth and SIMD-packed;
+    here the quantization and integer dot are JVM HOFs fused into the
+    broadcast-join stage (queries broadcast, corpus never shuffles).
+    Stage 2 touches NC*queries rows — constant, corpus-independent.
+    The NC knob trades recall for stage-2 cost exactly like IVF probes
+    (q_sim_ivf) trade cell coverage.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q8 = e.filter(
+        F.array_max(F.transform("e", F.abs)) > 0
+    ).select(
+        "vec_id",
+        "e",
+        _int8(F.col("e")).alias("qv"),
+        F.floor(
+            F.array_max(F.transform("e", F.abs)) / 127.0 * 1e9 + 0.5
+        )
+        .cast("long")
+        .alias("scale_ppb"),
+    )
+    qs = q8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("q_emb"),
+        F.col("qv").alias("q_qv"),
+    )
+    cs = q8.select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("c_emb"),
+        F.col("qv").alias("c_qv"),
+        F.col("scale_ppb").alias("c_ppb"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("q_qv", "c_qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # the coarse rank's hash exchange must carry ONLY (qid, cid,
+    # score1) — never the 64-double embedding arrays (at corpus scale
+    # that exchange is queries x corpus rows); stage 2 re-attaches
+    # vectors for the NC survivors only
+    coarse = (
+        F.broadcast(qs.select("qid", "q_qv"))
+        .join(cs.select("cid", "c_qv", "c_ppb"), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (int_dot * F.col("c_ppb")).alias("score1"))
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("score1"), "cid")
+    cand = (
+        coarse.withColumn("coarse_rk", F.row_number().over(wc))
+        .filter(F.col("coarse_rk") <= _RERANK_NC)
+        .select("qid", "cid", "coarse_rk")
+    )
+    stage2 = F.broadcast(
+        cand.join(F.broadcast(qs.select("qid", "q_emb")), "qid")
+    ).join(cs.select("cid", "c_emb"), "cid")
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        6,
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        stage2.select(
+            "qid",
+            "cid",
+            cos.alias("cosine"),
+            F.col("coarse_rk").cast("long").alias("coarse_rk"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+        .withColumn("rk", F.col("rk").cast("long"))
     )

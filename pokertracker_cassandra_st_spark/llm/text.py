@@ -1530,3 +1530,106 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-nll_sum / F.count("*")), 6).alias("ppl"),
         )
     )
+
+
+# ---- q_text_zipf -------------------------------------------------------- #
+# Zipf's-law fit: in natural corpora term frequency ~ C / rank^s with
+# s near 1; the fitted slope of ln(freq) on ln(rank) is a one-number
+# corpus-health signal (synthetic/templated text and boilerplate-heavy
+# crawls bend far from -1). Fit over the top-K terms by OLS in EXACT
+# scaled-integer arithmetic: ln values quantize to 1e-6 longs (the
+# charlm doctrine), all OLS moment sums are pure int64 (bounds below),
+# and the slope/intercept are single divisions of identical exact
+# numerators — bit-deterministic across engines.
+_ZIPF_TOP = 100
+_ZIPF_Q = 1_000_000  # x<=ln(100)*1e6~4.6e6, y<=ln(corpus)*1e6;
+#                      S_xy <= K*x*y ~ 5e15, K*S_xy ~ 5e17 < int64
+
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+WITH t AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rnk, cnt
+  FROM t
+  ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOP}
+), q AS (
+  SELECT CAST(round(ln(rnk) * {_ZIPF_Q}) AS BIGINT) AS xq,
+         CAST(round(ln(cnt) * {_ZIPF_Q}) AS BIGINT) AS yq
+  FROM ranked
+), m AS (
+  SELECT count(*) AS k,
+         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT k AS n_terms,
+       CAST(k * sxy - sx * sy AS DOUBLE)
+         / CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+       (CAST(sy AS DOUBLE) / {_ZIPF_Q} / k)
+         - (CAST(k * sxy - sx * sy AS DOUBLE)
+            / CAST(k * sxx - sx * sx AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / {_ZIPF_Q} / k) AS intercept_ln
+FROM m
+""",
+    tags=("llm", "text", "stats"),
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus: OLS fit of ln(term frequency) against
+    ln(rank) over the top-100 terms (rank ties broken by token text).
+    Healthy natural text sits near -1; the slope plus ln-intercept is
+    the dataset-card stat (templated corpora flatten, boilerplate
+    steepens).
+
+    Scale notes: the heavy stage is the corpus term count — one
+    explode + map-side-combined groupBy (shuffle carries (token,
+    partial count), never text); the top-K is a TakeOrdered, and the
+    OLS runs over K=100 rows on exact scaled longs (one final 1-row
+    aggregate). At 100 TB the token count is the same single shuffle
+    q_text_tfidf already pays; everything after is constant-size.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    docs = table(spark, sf_dir, "documents")
+    t = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_ZIPF_TOP)
+    )
+    ranked = t.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "tok"))
+        .alias("rnk"),
+        "cnt",
+    )
+    q = ranked.select(
+        slong(F.log(F.col("rnk").cast("double")), 6).alias("xq"),
+        slong(F.log(F.col("cnt").cast("double")), 6).alias("yq"),
+    )
+    m = q.agg(
+        F.count("*").alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        F.col("k").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") / _ZIPF_Q / F.col("k"))
+            - slope * (F.col("sx").cast("double") / _ZIPF_Q / F.col("k"))
+        ).alias("intercept_ln"),
+    )

@@ -862,3 +862,83 @@ def q_join_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ip_u32").alias("max_ip"),
         )
     )
+
+
+# ---- q_join_scd2_pointintime --------------------------------------------- #
+# Point-in-time (temporal) join — the feature-store / SCD2 lookup: each
+# fact row must see the dimension VERSION that was valid at its event
+# time, never a later one (training-serving skew is exactly this join
+# done wrong). Versions derive from the event log itself (q_scd2_history
+# shape): profile events (non-purchases) open a version at their
+# event_id and close it at the next profile event; purchases are the
+# probing facts.
+
+
+@register(
+    "q_join_scd2_pointintime",
+    oracle="""
+WITH ver AS (
+  SELECT user_id, event_type,
+         event_id AS from_seq,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS to_seq
+  FROM events WHERE event_type <> 'purchase'
+), probe AS (
+  SELECT user_id, event_id AS probe_seq FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.probe_seq,
+       v.event_type AS state_type,
+       v.from_seq AS state_from_seq
+FROM probe p JOIN ver v
+  ON p.user_id = v.user_id
+ AND v.from_seq < p.probe_seq
+ AND (v.to_seq IS NULL OR p.probe_seq < v.to_seq)
+""",
+    tags=("join", "replay"),
+)
+def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the profile version valid AT that
+    moment: equi join on the entity key plus the interval residual
+    (from_seq < probe < to_seq, open-ended current version) — every
+    probe matches exactly one version; purchases before any profile
+    event drop (inner semantics).
+
+    Scale notes: the join is hash-partitioned on user_id with the
+    interval predicate as a residual filter — per-key version lists
+    are bounded by that entity's change count, so no theta explosion
+    (the naive form would range-join facts x versions globally). The
+    version build is the q_scd2_history single-exchange window; a
+    SHUFFLE_HASH hint keeps the planner from broadcasting the
+    fact-sized version frame at toy scale. This is the as-of join's
+    interval twin: q_join_asof keys on nearest-timestamp, this on
+    explicit [from, to) validity.
+    """
+    ev = table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("from_seq")
+    ver = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("from_seq"),
+        )
+        .withColumn("to_seq", F.lead("from_seq").over(wv))
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("probe_seq")
+    )
+    return (
+        probe.join(
+            ver.hint("shuffle_hash"),
+            (probe["user_id"] == ver["user_id"])
+            & (F.col("from_seq") < F.col("probe_seq"))
+            & (F.col("to_seq").isNull() | (F.col("probe_seq") < F.col("to_seq"))),
+        )
+        .select(
+            probe["user_id"],
+            "probe_seq",
+            F.col("event_type").alias("state_type"),
+            F.col("from_seq").alias("state_from_seq"),
+        )
+    )

@@ -872,3 +872,166 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("bucket").agg(
         F.count("*").alias("n"), F.max("o_orderkey").alias("max_key")
     )
+
+
+# ---- q_dq_benford -------------------------------------------------------- #
+# Benford's-law first-digit audit — the fraud/corruption screen for
+# money-like columns: organically-generated amounts follow
+# P(d) = log10(1 + 1/d); fabricated or truncated data doesn't. The
+# whole audit runs in EXACT integer arithmetic: amounts quantize to
+# x100 longs, the first digit comes from the integer's decimal string
+# (identical across engines, no float log10 near power-of-10 edges),
+# and shares are parts-per-million floor divisions. Only the Benford
+# expectation itself is a float constant, rounded at 1e-6 on both
+# sides (the trig doctrine).
+
+
+@register(
+    "q_dq_benford",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), t AS (SELECT count(*) AS total FROM d)
+SELECT d.digit,
+       count(*) AS n,
+       count(*) * 1000000 // t.total AS obs_ppm,
+       CAST(round(log10(1 + 1.0 / d.digit) * 1000000) AS BIGINT) AS exp_ppm,
+       count(*) * 1000000 // t.total
+         - CAST(round(log10(1 + 1.0 / d.digit) * 1000000) AS BIGINT)
+         AS dev_ppm
+FROM d CROSS JOIN t
+GROUP BY d.digit, t.total
+""",
+    tags=("dq",),
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: per leading digit,
+    the observed share (exact ppm) vs the Benford expectation and the
+    deviation — the data-quality screen that catches fabricated
+    amounts, truncation bugs, and unit mix-ups (a column secretly in
+    cents shifts the whole profile).
+
+    Scale notes: one map-side-combined groupBy over a 9-value key; the
+    total is a window SUM over the 9-row grouped frame (no second
+    corpus scan). The digit extraction is codegen'd string arithmetic
+    on exact scaled longs — at 100 TB this is a single scan-bound
+    pass, the cheapest audit in the quality family.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = o.filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    ).select(
+        F.substring(slong("o_totalprice", 2).cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    from pyspark.sql import Window
+
+    # the corpus total is the SUM over the 9-row grouped frame (one
+    # unpartitioned window over 9 rows) — one fact scan total, no
+    # second pass and no cross join
+    exp_ppm = slong(F.log10(1 + 1.0 / F.col("digit")), 6)
+    obs_ppm = F.expr("n * 1000000 DIV total")
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy(F.lit(1)))
+        )
+        .select(
+            "digit",
+            "n",
+            obs_ppm.alias("obs_ppm"),
+            exp_ppm.alias("exp_ppm"),
+            (obs_ppm - exp_ppm).alias("dev_ppm"),
+        )
+    )
+
+
+# ---- q_dq_functional_dep -------------------------------------------------- #
+# Functional-dependency audit — does column A determine column B? The
+# schema-inference / normalization check a data contract runs: a
+# violated FD that "should" hold (order -> customer) means upstream
+# corruption; a surprisingly-held FD reveals denormalization. Each
+# candidate FD is one grouped distinct-count pass; the report is one
+# row per FD.
+
+
+@register(
+    "q_dq_functional_dep",
+    oracle="""
+WITH fd1 AS (
+  SELECT 'o_orderkey->o_custkey' AS fd,
+         count(*) AS n_keys,
+         CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+         max(nb) AS max_distinct_b
+  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nb
+        FROM orders GROUP BY o_orderkey)
+), fd2 AS (
+  SELECT 'l_orderkey->l_returnflag' AS fd,
+         count(*) AS n_keys,
+         CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+         max(nb) AS max_distinct_b
+  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nb
+        FROM lineitem GROUP BY l_orderkey)
+), fd3 AS (
+  SELECT 'l_partkey->l_extendedprice' AS fd,
+         count(*) AS n_keys,
+         CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+         max(nb) AS max_distinct_b
+  FROM (SELECT l_partkey, count(DISTINCT l_extendedprice) AS nb
+        FROM lineitem GROUP BY l_partkey)
+)
+SELECT fd, n_keys, n_violating_keys, max_distinct_b,
+       n_violating_keys = 0 AS holds
+FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3)
+""",
+    tags=("dq",),
+)
+def q_dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit three candidate functional dependencies (order->customer,
+    order line->return flag, part->price): per FD, the number of
+    determinant keys, how many map to more than one dependent value,
+    the worst fan-out, and a holds flag. NULL dependents don't count
+    as distinct values (countDistinct skips NULL identically in both
+    engines); a key whose dependents are all NULL has nb=0 and can't
+    violate.
+
+    Scale notes: each FD is a (key)-grouped partial countDistinct —
+    the shuffle carries (key, partial distinct-set) pairs with
+    map-side combine, then a 1-row rollup; the three audits are
+    independent branches unioned at the end (Spark runs them as
+    separate stages over column-pruned scans). At 100 TB this is the
+    same budget as three q_agg_distinct passes.
+    """
+
+    def fd(df: DataFrame, label: str, a: str, b: str) -> DataFrame:
+        per_key = df.groupBy(a).agg(F.countDistinct(b).alias("nb"))
+        return per_key.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").alias("n_keys"),
+            F.sum((F.col("nb") > 1).cast("long")).alias("n_violating_keys"),
+            F.max("nb").alias("max_distinct_b"),
+        )
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        fd(o, "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(fd(li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .unionAll(fd(li, "l_partkey->l_extendedprice", "l_partkey", "l_extendedprice"))
+    )
+    return out.select(
+        "fd",
+        "n_keys",
+        "n_violating_keys",
+        "max_distinct_b",
+        (F.col("n_violating_keys") == 0).alias("holds"),
+    )

@@ -1428,3 +1428,260 @@ def q_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.alias("total_increase"),
         (tot / F.sum("dt_s")).alias("rate_per_s"),
     )
+
+
+# ---- q_ts_peaks --------------------------------------------------------- #
+# Local-extremum detection — the alerting primitive: a sample is a peak
+# when it strictly exceeds BOTH neighbors in its entity's series, with
+# prominence (height above the taller neighbor) gating noise spikes.
+# All comparisons run on x100-scaled longs (exact 2-decimal domain) so
+# neighbor subtraction never touches float arithmetic.
+_PEAK_PROM_Q2 = 500  # prominence gate: >= 5.00 above the taller neighbor
+
+
+@register(
+    "q_ts_peaks",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vq,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pvq,
+         lead(CAST(round(value * 100) AS BIGINT)) OVER w AS nvq
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(vq AS DOUBLE) / 100 AS peak_value,
+       vq - greatest(pvq, nvq) AS prominence_q2,
+       vq - greatest(pvq, nvq) >= {_PEAK_PROM_Q2} AS is_prominent
+FROM s
+WHERE vq > pvq AND vq > nvq
+""",
+    tags=("timeseries",),
+)
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user local maxima: samples strictly above both neighbors in
+    (ts, event_id) order, with integer-exact prominence (height above
+    the taller neighbor, x100 scale) and a >= 5.00 prominence flag.
+    NULL-valued samples can be neither peaks nor neighbors that admit
+    one (three-valued > propagates NULL) — identical on both engines.
+
+    Scale notes: one hash exchange on user_id feeds a single window
+    pass computing both lag and lead (one sort, two frame reads); the
+    peak filter is codegen'd and emits ~a third of rows. The alerting
+    shape a monitoring pipeline runs per series at any series count —
+    partition count scales with entities, never series length.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        slong("value", 2).alias("vq"),
+    ).select(
+        "user_id",
+        "event_id",
+        "vq",
+        F.lag("vq").over(w).alias("pvq"),
+        F.lead("vq").over(w).alias("nvq"),
+    )
+    prom = F.col("vq") - F.greatest("pvq", "nvq")
+    return s.filter(
+        (F.col("vq") > F.col("pvq")) & (F.col("vq") > F.col("nvq"))
+    ).select(
+        "user_id",
+        "event_id",
+        (F.col("vq").cast("double") / 100).alias("peak_value"),
+        prom.alias("prominence_q2"),
+        (prom >= _PEAK_PROM_Q2).alias("is_prominent"),
+    )
+
+
+# ---- q_ts_crossover ------------------------------------------------------ #
+# Moving-average crossover — the signal-generation primitive: a short
+# SMA crossing a long SMA flags momentum shifts. Exact arithmetic: the
+# two averages compare by CROSS-MULTIPLICATION of x100-scaled long
+# window sums (10*s3 vs 3*s10), so no division ever happens and the
+# crossover sign is integer-exact in both engines.
+_XO_SHORT = 3
+_XO_LONG = 10
+
+
+@register(
+    "q_ts_crossover",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER w AS rn,
+         {_XO_LONG} * CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             OVER (w ROWS BETWEEN {_XO_SHORT - 1} PRECEDING AND CURRENT ROW)
+             AS BIGINT)
+         - {_XO_SHORT} * CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             OVER (w ROWS BETWEEN {_XO_LONG - 1} PRECEDING AND CURRENT ROW)
+             AS BIGINT)
+           AS diff_q
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), d AS (
+  SELECT user_id, event_id, ts, diff_q,
+         lag(diff_q) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_diff_q,
+         rn
+  FROM s
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       diff_q, prev_diff_q,
+       CASE WHEN diff_q > 0 THEN 'golden' ELSE 'death' END AS signal
+FROM d
+WHERE rn > {_XO_LONG}
+  AND ((diff_q > 0 AND prev_diff_q <= 0) OR (diff_q < 0 AND prev_diff_q >= 0))
+""",
+    tags=("timeseries",),
+)
+def q_ts_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA(3)/SMA(10) crossover signals per user: emit a row
+    wherever the short-window mean crosses the long-window mean
+    ('golden' upward, 'death' downward), comparing the means by exact
+    cross-multiplied scaled-long sums — no float division anywhere.
+    Rows before a full long window (rn <= 10) are warm-up and emit
+    nothing; NULL samples shrink both sums identically on both engines
+    (row-based frames, NULL-skipping SUM).
+
+    Scale notes: one hash exchange on user_id, then BOTH rolling sums
+    and the row counter come out of a single window sort (Spark fuses
+    same-spec window functions into one WindowExec); the lag runs over
+    the same ordering. Emitted rows are rare (sign changes), so the
+    operator is scan-bound — exactly the shape a 100 TB market-data
+    backtest wants.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    vq = slong("value", 2)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        (
+            _XO_LONG
+            * F.sum(vq).over(w.rowsBetween(-(_XO_SHORT - 1), 0))
+            - _XO_SHORT * F.sum(vq).over(w.rowsBetween(-(_XO_LONG - 1), 0))
+        ).alias("diff_q"),
+    )
+    d = s.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "diff_q",
+        "rn",
+        F.lag("diff_q").over(w).alias("prev_diff_q"),
+    )
+    return d.filter(
+        (F.col("rn") > _XO_LONG)
+        & (
+            ((F.col("diff_q") > 0) & (F.col("prev_diff_q") <= 0))
+            | ((F.col("diff_q") < 0) & (F.col("prev_diff_q") >= 0))
+        )
+    ).select(
+        "user_id",
+        "event_id",
+        fmt_ts("ts").alias("ts_s"),
+        "diff_q",
+        "prev_diff_q",
+        F.when(F.col("diff_q") > 0, "golden").otherwise("death").alias("signal"),
+    )
+
+
+# ---- q_ts_drawdown -------------------------------------------------------- #
+# Maximum drawdown — the risk statistic over a per-entity value series:
+# the deepest drop from a running peak. Exact on x100-scaled longs
+# (running max and subtraction never touch floats); the report row per
+# user carries WHERE the trough happened (first event to reach the
+# maximum drawdown, rank tie-broken by event_id).
+
+
+@register(
+    "q_ts_drawdown",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vq,
+         max(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_q
+  FROM events
+), d AS (
+  SELECT user_id, event_id, peak_q, peak_q - vq AS dd_q,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY (peak_q - vq) DESC NULLS LAST, event_id)
+           AS rk
+  FROM s
+)
+SELECT user_id,
+       CAST(dd_q AS DOUBLE) / 100 AS max_drawdown,
+       CAST(peak_q AS DOUBLE) / 100 AS peak_at_trough,
+       event_id AS trough_event_id
+FROM d WHERE rk = 1 AND dd_q IS NOT NULL
+""",
+    tags=("timeseries",),
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown: running peak via an unbounded-
+    preceding window max, drawdown = peak - value (exact scaled
+    longs), and the FIRST event reaching the deepest drawdown (rank
+    ordered dd DESC NULLS LAST, event_id — pinned explicitly: Spark
+    DESC defaults NULLS LAST but DuckDB DESC defaults NULLS FIRST).
+    NULL samples can't be troughs (their dd is NULL) but also don't
+    reset the peak (window max skips NULL) — identical three-valued
+    behavior both engines.
+
+    Scale notes: the running max, the drawdown, and the rank all ride
+    ONE hash exchange on user_id and one sort — per-entity state is a
+    single long, so the window never buffers the series. The same
+    shape prices a million instruments at 100 TB: partition count
+    scales with entities, not series length.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        slong("value", 2).alias("vq"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "vq",
+        F.max("vq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "peak_q"
+        ),
+    )
+    dd = (F.col("peak_q") - F.col("vq")).alias("dd_q")
+    d = s.select("user_id", "event_id", "ts", "peak_q", dd).select(
+        "user_id",
+        "event_id",
+        "peak_q",
+        "dd_q",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("dd_q").desc_nulls_last(), "event_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return d.filter((F.col("rk") == 1) & F.col("dd_q").isNotNull()).select(
+        "user_id",
+        (F.col("dd_q").cast("double") / 100).alias("max_drawdown"),
+        (F.col("peak_q").cast("double") / 100).alias("peak_at_trough"),
+        F.col("event_id").alias("trough_event_id"),
+    )

@@ -760,3 +760,100 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "q_stream_zscore",
+    oracle="""
+WITH c AS (
+  SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+                  ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         count(*) AS k,
+         CAST(SUM(n) AS BIGINT) AS sn,
+         CAST(SUM(n * n) AS BIGINT) AS snn
+  FROM c GROUP BY event_type
+)
+SELECT c.window_start, c.event_type, c.n,
+       CASE WHEN s.k > 1
+             AND (CAST(snn AS DOUBLE) - CAST(sn * sn AS DOUBLE) / k)
+                 / (k - 1) > 0
+            THEN round((c.n - CAST(sn AS DOUBLE) / k) /
+                       sqrt((CAST(snn AS DOUBLE)
+                             - CAST(sn * sn AS DOUBLE) / k) / (k - 1)),
+                       6) + 0.0
+       END AS z6,
+       coalesce(abs(
+         CASE WHEN s.k > 1
+               AND (CAST(snn AS DOUBLE) - CAST(sn * sn AS DOUBLE) / k)
+                   / (k - 1) > 0
+              THEN (c.n - CAST(sn AS DOUBLE) / k) /
+                   sqrt((CAST(snn AS DOUBLE)
+                         - CAST(sn * sn AS DOUBLE) / k) / (k - 1))
+         END) > 2.0, FALSE) AS is_anomaly
+FROM c JOIN s ON c.event_type = s.event_type
+""",
+    tags=("stream", "dq"),
+)
+def q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume z-score: the STREAM maintains per-(1-hour
+    window, type) counts (complete mode; at production scale watermark
+    + update mode); each window's count is then z-scored against its
+    TYPE's own all-window distribution on the materialized sink —
+    the live traffic-anomaly panel (q_dq_volume_anomaly's streaming
+    sibling, which screens by trailing median instead).
+
+    Determinism: mean/variance come from exact integer (sum, sum of
+    squares, count) per type — identical double expressions both
+    engines; z rounds at 1e-6 with a `+ 0.0` signed-zero epilogue
+    (a z can land at -0.0 exactly where Spark's BigDecimal round and
+    DuckDB's float round disagree on the zero sign — the q_fn_geo
+    lesson applied at build time, not found by the driver).
+
+    Scale notes: the streaming job is a mergeable windowed count; the
+    scoring pass runs over windows x types rows (sink-sized). State is
+    bounded by active windows; nothing event-sized crosses the rank
+    stage.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    sink = run_to_table(agg, "complete").select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    stats = sink.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.count("*").over(wt).alias("k"),
+        F.sum("n").over(wt).cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).over(wt).cast("long").alias("snn"),
+    )
+    var = (
+        F.col("snn").cast("double")
+        - (F.col("sn") * F.col("sn")).cast("double") / F.col("k")
+    ) / (F.col("k") - 1)
+    z = (F.col("n") - F.col("sn").cast("double") / F.col("k")) / F.sqrt(var)
+    z6 = F.when((F.col("k") > 1) & (var > 0), F.round(z, 6) + F.lit(0.0))
+    is_anom = F.coalesce(
+        F.abs(F.when((F.col("k") > 1) & (var > 0), z)) > 2.0, F.lit(False)
+    )
+    return stats.select(
+        "window_start",
+        "event_type",
+        "n",
+        z6.alias("z6"),
+        is_anom.alias("is_anomaly"),
+    )

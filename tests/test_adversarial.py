@@ -114,6 +114,22 @@ EVENT_QUERIES = [
     # excluded before weighting and celebrity skew concentrates one
     # user's terms (long-sum bound still holds)
     "q_agg_decay_sum",
+    # round 10: local maxima / SMA crossover where NULL values break
+    # peak eligibility (three-valued >) and shrink both rolling sums
+    # identically; IP arithmetic and the prefix-blocked CIDR join over
+    # skewed ids (celebrity user 0 concentrates one /16 cell — the
+    # residual range filter must still agree with the naive theta
+    # oracle)
+    "q_ts_peaks",
+    "q_ts_crossover",
+    "q_fn_ip",
+    "q_join_cidr",
+    # round 10 batch 3: point-in-time lookup under celebrity skew (one
+    # user's version chain is 60% of the log — per-key residual filter
+    # must hold) and max drawdown where NULL samples neither reset the
+    # peak nor count as troughs (NULLS LAST pinned on the rank)
+    "q_join_scd2_pointintime",
+    "q_ts_drawdown",
 ]
 
 
@@ -263,6 +279,19 @@ DOC_QUERIES = [
     # round 9 batch 5: tar shard round-trip of the ugly payloads
     # (empty members, multibyte unicode bytes through tar and back)
     "q_multimodal_webdataset_roundtrip",
+    # round 10: Zipf fit over the ugly corpus (empty/whitespace docs
+    # contribute no tokens; duplicated texts pile counts onto few
+    # terms); loss masking where empty docs are fully masked with a
+    # 0-token denominator guarded by the inner DIV; aspect bucketing
+    # over degenerate byte lengths (0-byte payloads land in a real
+    # bucket deterministically)
+    "q_text_zipf",
+    "q_pipeline_loss_mask",
+    "q_multimodal_aspect_bucket",
+    # round 10 batch 3: template families where exact-duplicate texts
+    # collapse to one fingerprint and empty/whitespace docs form their
+    # own (digitless) template classes
+    "q_dedup_template",
 ]
 
 
@@ -342,6 +371,10 @@ EMB_QUERIES = [
     # round 8: clip gate vs the zero vector (NaN score; NaN-is-greatest
     # comparison semantics agree cross-engine) and duplicate vectors
     "q_multimodal_clip_gate",
+    # round 10: two-stage rerank vs the zero vector (filtered by the
+    # scale>0 gate on both engines), exact-dup vectors (coarse-score
+    # ties broken by cid), and single-member cells
+    "q_sim_two_stage_rerank",
 ]
 
 
@@ -423,6 +456,18 @@ REL_QUERIES = [
     # (key columns stay non-null; the distinct item table and exact
     # integer lift must hold regardless)
     "q_agg_basket_pairs",
+    # round 10: Q10 shape with NULL o_custkey (inner joins drop) and
+    # NULL l_extendedprice riding the revenue slong (NULL term -> NULL
+    # sum contribution skipped identically); winsorized mean where the
+    # new NULL l_extendedprice rows drop from count AND percentile on
+    # both engines; Benford over NULL/injected o_totalprice
+    "q_tpch_q10_shape",
+    "q_agg_winsorized_mean",
+    "q_dq_benford",
+    # round 10 batch 3: FD audit where NULL o_custkey dependents are
+    # skipped by countDistinct (nb=0 keys can't violate) and NULL
+    # l_returnflag joins the distinct set only when non-NULL
+    "q_dq_functional_dep",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)
@@ -437,6 +482,10 @@ STREAM_QUERIES = [
     # round 9: leaderboard rank over the windowed aggregate where
     # celebrity skew concentrates one type per window (tie order pinned)
     "q_stream_topk",
+    # round 10: z-scored window volumes under celebrity skew (one
+    # user's burst inflates single windows — exactly what the score
+    # flags; exact integer moments keep both engines aligned)
+    "q_stream_zscore",
 ]
 
 

@@ -177,17 +177,17 @@ def test_subcell_engages_past_target(spark) -> None:
         # one label, n=600 -> ladder picks cb=2: hamming<=1 probes 3/4
         # subcells; measured 0.866 recall@3 on this corpus (r8)
         (600, 2, 0.75),
-        # one label, n=4000 -> ladder picks cb=6 (the 100x-sweep rung):
-        # hamming<=1 probes 7/64 subcells, so more true neighbors of
-        # these weakly-LSH-correlated Gaussian vectors cross subcell
-        # boundaries; measured 0.537 recall@3 (r9). The floor documents
-        # the rung's trade: graph recall decays with cell fan-out while
-        # planted near-dup twins — the edges dedup/clustering consumers
-        # act on — stay at 60/60 (sign agreement is ~certain at cosine
-        # ~1). Real clustered corpora sit above this Gaussian worst-ish
-        # case; raising hamming to <=2 (22/64 cells, ~3x pairs) is the
-        # documented knob if a consumer needs mid-recall at cb>=6.
-        (4000, 6, 0.45),
+        # one label, n=4000 -> ladder picks cb=4 (256*2^4 = 4096;
+        # rounds 8-9 mislabeled this rung cb=6 — the measured 0.537 was
+        # always cb=4), which from round 10 widens the probe ring to
+        # hamming<=2 (11/16 subcells; _KNN_RADIUS2_MIN_CBITS policy,
+        # VERDICT r9 #4): measured 0.859 recall@3 vs 0.537 at the old
+        # hamming<=1 (r9), at 1.5x wall (28.8 s -> 43.0 s; probes
+        # 5 -> 11/vector — still linear in the corpus). Planted
+        # near-dup twins stay at 60/60 under both radii (sign
+        # agreement is ~certain at cosine ~1); the widened ring buys
+        # back the ORDINARY-neighbor recall that cell fan-out costs.
+        (4000, 4, 0.80),
     ],
 )
 def test_knn_graph_multiprobe_recall_contract(

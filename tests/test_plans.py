@@ -1060,3 +1060,177 @@ def test_reconciliation_detail_collapses_before_join(spark, sf_dir):
     assert "partial_sum" in simple
     assert "BroadcastNestedLoopJoin" not in simple
     assert "BatchEvalPython" not in simple
+
+
+# ---- round-10 additions -------------------------------------------------- #
+
+
+def test_tpch_q10_pushdown_shuffle_hash_topk(spark, sf_dir):
+    # both selective filters reach their parquet scans; the fact-fact
+    # join is SHUFFLE_HASH building on the quarter-filtered orders
+    # (never a fact broadcast or sort); customer + nation broadcast;
+    # the top-20 is a TakeOrdered, not a global sort
+    plan = plan_of(spark, "q_tpch_q10_shape", sf_dir)
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    simple = plan_of(spark, "q_tpch_q10_shape", sf_dir, mode="simple")
+    assert "ShuffledHashJoin" in simple and "BuildLeft" in simple
+    assert simple.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in simple
+    assert "TakeOrderedAndProject(limit=20" in simple
+
+
+def test_fn_ip_is_pure_map(spark, sf_dir):
+    # scalar family: zero exchanges, two-column pruned scan, no Python
+    simple = plan_of(spark, "q_fn_ip", sf_dir, mode="simple")
+    assert "Exchange" not in simple
+    assert "BatchEvalPython" not in simple
+    plan = plan_of(spark, "q_fn_ip", sf_dir)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" in read and "user_id" in read
+    assert "props" not in read and "value" not in read
+
+
+def test_join_cidr_is_prefix_equi_not_theta(spark, sf_dir):
+    # the containment join must plan as a HASH join on the /16 prefix
+    # cell (residual range as join condition) — never a nested-loop
+    # theta join, which is the quadratic shape the operator exists to
+    # avoid
+    simple = plan_of(spark, "q_join_cidr", sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in simple
+    assert "NestedLoop" not in simple
+    assert "SortMergeJoin" not in simple
+    assert "partial_count" in simple  # map-side combine after the join
+
+
+def test_winsorized_mean_broadcasts_bounds(spark, sf_dir):
+    # pass 1: partial percentile per group; pass 2: the 5-row bounds
+    # frame BROADCASTS back onto the fact scan (no fact-side shuffle
+    # for the clamp)
+    simple = plan_of(spark, "q_agg_winsorized_mean", sf_dir, mode="simple")
+    assert "partial_percentile" in simple
+    assert "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_text_zipf_single_scan_topk(spark, sf_dir):
+    # ONE corpus scan feeds the token count; the top-K is a TakeOrdered
+    # (no global sort of the vocabulary); the OLS tail runs on K rows
+    simple = plan_of(spark, "q_text_zipf", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in simple
+    assert "partial_count" in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_ts_peaks_single_exchange_fused_window(spark, sf_dir):
+    # lag and lead share ONE window node over ONE hash exchange on
+    # user_id — one sort, two frame reads
+    simple = plan_of(spark, "q_ts_peaks", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert simple.count("Window") == 1
+    assert "BatchEvalPython" not in simple
+
+
+def test_ts_crossover_single_exchange(spark, sf_dir):
+    # both rolling sums + row counter + the lag all ride ONE hash
+    # exchange on user_id and ONE sort (same-spec windows fuse)
+    simple = plan_of(spark, "q_ts_crossover", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert simple.count("Sort ") == 1
+    assert "BatchEvalPython" not in simple
+
+
+def test_dq_benford_single_scan_no_join(spark, sf_dir):
+    # one corpus scan, the digit groupBy partial-aggregates map-side,
+    # and the total comes from a 9-row window — no second scan, no join
+    simple = plan_of(spark, "q_dq_benford", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "partial_count" in simple
+    assert simple.count("Exchange SinglePartition") == 1  # the 9-row window
+
+
+def test_loss_mask_counts_without_explode(spark, sf_dir):
+    # token counting stays per-row (size of split — no Generate/explode
+    # fan-out); one scan, one tiny aggregate, no joins
+    simple = plan_of(spark, "q_pipeline_loss_mask", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Generate" not in simple
+    assert "Join" not in simple
+    assert "partial_sum" in simple
+
+
+def test_aspect_bucket_arrow_decode_then_tiny_agg(spark, sf_dir):
+    # the stubbed decode is ONE MapInPandas pass; everything after is
+    # codegen'd integer bucketing + a 5-group partial aggregate
+    simple = plan_of(spark, "q_multimodal_aspect_bucket", sf_dir, mode="simple")
+    assert simple.count("MapInPandas") == 1
+    assert "partial_count" in simple
+    assert simple.count("FileScan parquet") == 1
+
+
+def test_two_stage_rerank_never_shuffles_vectors(spark, sf_dir):
+    # the coarse rank's hash exchanges carry (qid, cid, score) ONLY —
+    # embedding arrays must not cross a hash partitioning (at corpus
+    # scale that exchange is queries x corpus rows); the coarse pass is
+    # the broadcast-probe tier and stage 2 re-attaches vectors via
+    # broadcast hash joins
+    simple = plan_of(spark, "q_sim_two_stage_rerank", sf_dir, mode="simple")
+    emb_ex = [
+        l
+        for l in simple.splitlines()
+        if "Exchange hashpartitioning" in l and "emb" in l
+    ]
+    assert not emb_ex, f"vector columns cross a hash exchange: {emb_ex}"
+    assert simple.count("BroadcastHashJoin") == 2  # stage-2 re-attach
+    assert "BatchEvalPython" not in simple
+
+
+def test_stream_zscore_scores_on_sink(spark, sf_dir):
+    # the scoring tail is a window over the materialized sink (windows
+    # x types rows) — no join back to anything event-sized
+    simple = plan_of(spark, "q_stream_zscore", sf_dir, mode="simple")
+    assert "Window" in simple
+    assert "Join" not in simple
+
+
+def test_scd2_pointintime_is_keyed_hash_join(spark, sf_dir):
+    # the temporal lookup must plan as a HASH join on the entity key
+    # with the validity interval as residual — never a nested-loop
+    # range join; version build shares the user_id window shape
+    simple = plan_of(spark, "q_join_scd2_pointintime", sf_dir, mode="simple")
+    assert "ShuffledHashJoin" in simple
+    assert "NestedLoop" not in simple
+    assert "SortMergeJoin" not in simple
+    assert simple.count("Window") == 1  # one lead() pass builds versions
+
+
+def test_functional_dep_is_three_grouped_distincts(spark, sf_dir):
+    # three independent FD branches (pruned scans), each a two-phase
+    # grouped distinct + 1-row rollup, unioned — no joins anywhere
+    simple = plan_of(spark, "q_dq_functional_dep", sf_dir, mode="simple")
+    assert "Join" not in simple
+    assert simple.count("FileScan parquet") == 3
+    assert "Union" in simple
+    assert "partial_count" in simple
+
+
+def test_dedup_template_shuffles_fingerprints_only(spark, sf_dir):
+    # the mask+hash runs scan-side: no exchange line may carry text
+    plan = plan_of(spark, "q_dedup_template", sf_dir)
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex and not any("text#" in l for l in ex)
+    simple = plan_of(spark, "q_dedup_template", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_count" in simple
+
+
+def test_ts_drawdown_single_exchange(spark, sf_dir):
+    # running peak + drawdown + rank all ride ONE hash exchange on
+    # user_id (the rank re-sorts within partitions, no re-shuffle)
+    simple = plan_of(spark, "q_ts_drawdown", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "BatchEvalPython" not in simple

@@ -57,7 +57,7 @@ def _driver_checked() -> set[str]:
     import json
 
     checked: set[str] = set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r[0-9]*.json")):
         checked |= set(json.load(open(f)))
     return checked
 
@@ -149,7 +149,7 @@ def test_round5_window_leads_with_backlog():
     import json
 
     pre_r5: set[str] = set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r[0-9]*.json")):
         if "r05" not in f:
             pre_r5 |= set(json.load(open(f)))
     wasted = sorted(set(lead) & pre_r5)
@@ -190,7 +190,7 @@ def test_full_registry_artifact_is_current():
     import json
 
     qs = set(get_queries())
-    paths = sorted(glob.glob("/root/repo/CORRECTNESS_LOCAL_FULL_r0*.json"))
+    paths = sorted(glob.glob("/root/repo/CORRECTNESS_LOCAL_FULL_r[0-9]*.json"))
     assert paths, "no CORRECTNESS_LOCAL_FULL artifact found"
     art = json.load(open(paths[-1]))
     pinned = set(art["queries"])

@@ -29,7 +29,7 @@ def main() -> None:
 
     # driver rounds per name, from the artifacts (ground truth)
     windows: dict[str, list[int]] = {n: [] for n in R.REGISTRY}
-    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9]*.json"))):
         rnd = int(f.rsplit("r0", 1)[1].split(".")[0])
         for n in json.load(open(f)):
             windows[n].append(rnd)
