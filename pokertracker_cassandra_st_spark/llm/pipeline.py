@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.exprs import o_md5_16bit
 from pokertracker_cassandra_st_spark.registry import register
 from pokertracker_cassandra_st_spark.llm.text import STOPWORDS
 
@@ -352,4 +353,117 @@ def q_pipeline_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "sum(trainable) * 1000000 DIV sum(n_tok)"
         ).alias("trainable_ppm"),
+    )
+
+
+# ---- q_pipeline_span_corruption ------------------------------------------ #
+# T5-style span-corruption planning — the denoising-objective data
+# prep: deterministic span starts are chosen by a seeded hash over
+# (doc_id, position) at rate 1/10; each span masks 3 consecutive
+# tokens (truncated at the document end). The audit reports, per doc,
+# how many sentinel spans the example will carry and the corrupted
+# share — the two numbers that size the denoising batch. The hash is
+# the engine-portable md5 fold (exprs.md5_16bit), so both engines
+# choose IDENTICAL spans.
+_SPAN_RATE_MOD = 10
+_SPAN_LEN = 3
+
+
+@register(
+    "q_pipeline_span_corruption",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+), marked AS (
+  SELECT doc_id, n_tok,
+         list_transform(range(1, n_tok + 1), p ->
+           CASE WHEN {o_md5_16bit("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")}
+                     % {_SPAN_RATE_MOD} = 0 THEN 1 ELSE 0 END) AS starts
+  FROM t WHERE n_tok >= 1
+)
+SELECT doc_id, n_tok AS n_tokens,
+       CAST(list_sum(starts) AS BIGINT) AS n_spans,
+       CAST(list_sum(list_transform(range(1, n_tok + 1), p ->
+         CASE WHEN starts[p] = 1
+                OR (p >= 2 AND starts[p - 1] = 1)
+                OR (p >= 3 AND starts[p - 2] = 1)
+              THEN 1 ELSE 0 END)) AS BIGINT) AS n_masked,
+       CAST(list_sum(list_transform(range(1, n_tok + 1), p ->
+         CASE WHEN starts[p] = 1
+                OR (p >= 2 AND starts[p - 1] = 1)
+                OR (p >= 3 AND starts[p - 2] = 1)
+              THEN 1 ELSE 0 END)) AS BIGINT) * 1000000 // n_tok
+         AS corrupted_ppm
+FROM marked
+""",
+    tags=("llm", "pipeline"),
+)
+def q_pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-corruption plan: seeded-hash span starts at
+    rate 1/10, span length 3 (end-truncated), reporting token count,
+    sentinel/span count, masked-token count, and the corrupted share
+    in exact ppm. Empty documents are excluded on both sides (n >= 1
+    also guards Spark's descending sequence(1, 0) trap).
+
+    Scale notes: everything is per-row array arithmetic in codegen —
+    the position list is built once per doc, the start flags once, and
+    the masked test reads the flag array (no token explode, no
+    shuffle at all). A real corruption pass would replace the audit
+    projection with the sentinel-rewrite over the same start flags —
+    identical plan shape.
+    """
+    from pokertracker_cassandra_st_spark.exprs import md5_16bit
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = docs.select("doc_id", n_tok.cast("long").alias("n_tok")).filter(
+        F.col("n_tok") >= 1
+    )
+
+    def is_start(p):
+        return (
+            F.pmod(
+                md5_16bit(
+                    F.concat_ws(":", F.col("doc_id").cast("string"), p.cast("string"))
+                ),
+                F.lit(_SPAN_RATE_MOD),
+            )
+            == 0
+        ).cast("int")
+
+    marked = t.select(
+        "doc_id",
+        "n_tok",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok").cast("int")), is_start
+        ).alias("starts"),
+    )
+    masked = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok").cast("int")),
+        lambda p: F.when(
+            (F.element_at("starts", p.cast("int")) == 1)
+            | ((p >= 2) & (F.element_at("starts", (p - 1).cast("int")) == 1))
+            | ((p >= 3) & (F.element_at("starts", (p - 2).cast("int")) == 1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return marked.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.aggregate(
+            "starts", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_spans"),
+        F.aggregate(masked, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "n_masked"
+        ),
+        F.expr(
+            "aggregate(transform(sequence(1, CAST(n_tok AS INT)), p -> "
+            "CASE WHEN element_at(starts, p) = 1 "
+            "OR (p >= 2 AND element_at(starts, p - 1) = 1) "
+            "OR (p >= 3 AND element_at(starts, p - 2) = 1) "
+            "THEN 1 ELSE 0 END), CAST(0 AS BIGINT), (a, x) -> a + x) "
+            "* 1000000 DIV n_tok"
+        ).alias("corrupted_ppm"),
     )

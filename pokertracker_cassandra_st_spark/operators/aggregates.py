@@ -1336,3 +1336,139 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean")
         )
     )
+
+
+# ---- q_agg_cuped --------------------------------------------------------- #
+# CUPED variance reduction (Deng et al., WSDM'13) — the experimentation
+# -platform aggregate: regress the experiment-period metric on a
+# pre-period covariate and report how much metric variance the
+# adjustment removes (smaller variance = smaller detectable effect =
+# shorter experiments). Split at the in-plan temporal midpoint (the
+# q_dq_drift_psi device); covariate x = pre-period event count, metric
+# y = post-period value sum quantized to 100-unit steps (DIV 10000 on
+# cents) so every moment stays an exact int64: at 100x replication
+# x <= ~3e5, y <= ~1.5e6 over ~2000 fixed users -> Sxx <= 1.8e14,
+# Syy <= 4.5e15, Sxy <= 9e14 (documented bound per the slong
+# contract). All composite statistics are computed from those exact
+# longs with IDENTICAL double expressions on both engines; the
+# reduction share uses floor (never a .5-tie class).
+
+
+@register(
+    "q_agg_cuped",
+    oracle="""
+WITH b AS (
+  SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+  FROM events
+), u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            < b.mn + (b.mx - b.mn) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            >= b.mn + (b.mx - b.mn) // 2
+                        AND value IS NOT NULL
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) // 10000 AS y
+  FROM events CROSS JOIN b
+  GROUP BY user_id
+), m AS (
+  SELECT count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM u
+)
+SELECT n AS n_users,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+         AS theta,
+       (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (n - 1) AS var_y,
+       ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (n - 1))
+       - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+            / (n - 1))
+         * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+              / (n - 1))
+         / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+              / (n - 1)) AS var_cuped,
+       CAST(floor(
+         (((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (n - 1))
+          * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / (n - 1))
+          / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               / (n - 1)))
+         / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+              / (n - 1))
+         * 1000000) AS BIGINT) AS var_reduction_ppm
+FROM m
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment audit: theta = cov(x,y)/var(x) over per-user
+    (pre-period activity, post-period value) pairs, the adjusted
+    metric's variance, and the variance-reduction share in ppm —
+    the one number an experimentation platform tracks per metric.
+
+    Determinism: the user rollup and all five moments are exact
+    int64 (bounds in the module comment); every downstream statistic
+    is the same double expression evaluated on identical exact inputs
+    in both engines, and the ppm share uses floor. Scale notes: one
+    fact scan + per-user partial-agg groupBy (the covariate join is
+    free — both periods roll up in the same pass via CASE), then a
+    1-row moment aggregate. The midpoint bounds are a 1-row broadcast.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.floor(F.unix_micros("ts") / 1_000_000)).cast("long").alias("mn"),
+        F.max(F.floor(F.unix_micros("ts") / 1_000_000)).cast("long").alias("mx"),
+    )
+    sec = F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+    mid = F.expr("mn + (mx - mn) DIV 2")
+    pre = F.when(sec < mid, F.lit(1)).otherwise(F.lit(0))
+    ycents = F.when(
+        (sec >= mid) & F.col("value").isNotNull(), slong("value", 2)
+    ).otherwise(F.lit(0))
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(pre).cast("long").alias("x"),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(floor(unix_micros(ts) / 1000000) AS BIGINT)"
+                " >= mn + (mx - mn) DIV 2 AND value IS NOT NULL"
+                " THEN CAST(signum(value) * floor(abs(value) * 100 + 0.5) AS BIGINT)"
+                " ELSE 0 END) AS BIGINT) DIV 10000"
+            ).alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = (F.col("sxy").cast("double") - sxd * syd / n) / (n - 1)
+    varx = (F.col("sxx").cast("double") - sxd * sxd / n) / (n - 1)
+    vary = (F.col("syy").cast("double") - syd * syd / n) / (n - 1)
+    theta = (F.col("sxy").cast("double") - sxd * syd / n) / (
+        F.col("sxx").cast("double") - sxd * sxd / n
+    )
+    return m.select(
+        n.alias("n_users"),
+        theta.alias("theta"),
+        vary.alias("var_y"),
+        (vary - cov * cov / varx).alias("var_cuped"),
+        F.floor(cov * cov / varx / vary * 1_000_000)
+        .cast("long")
+        .alias("var_reduction_ppm"),
+    )

@@ -675,3 +675,88 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(unreached(n_cust, "customer", seed, c2))
         .unionByName(unreached(n_supp, "supplier", s1, s3))
     )
+
+
+# ---- q_graph_adamic_adar -------------------------------------------------- #
+# Adamic-Adar link prediction — q_graph_jaccard's frequency-weighted
+# sibling: common neighbors count 1/ln(degree) each, so sharing a RARE
+# neighbor says more than sharing a hub. Weights quantize to 1e-9
+# scaled longs before the pair sum (order independence; ln's libm
+# last-ulp doctrine): a common neighbor has degree >= 2, so
+# 1/ln(d) <= 1/ln 2 ~ 1.443 -> <= 1.45e9 per term, ~1e4 terms/pair max
+# — well inside int64.
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), cdeg AS (
+  SELECT c, count(*) AS d FROM edges GROUP BY c
+), w AS (
+  SELECT e.c, e.s,
+         CAST(round(1000000000.0 / ln(cd.d)) AS BIGINT) AS wq
+  FROM edges e JOIN cdeg cd ON e.c = cd.c
+  WHERE cd.d >= 2
+), pairs AS (
+  SELECT w1.s AS s1, w2.s AS s2,
+         count(*) AS n_common,
+         CAST(SUM(w1.wq) AS BIGINT) AS aa_q9
+  FROM w w1 JOIN w w2 ON w1.c = w2.c AND w1.s < w2.s
+  GROUP BY w1.s, w2.s
+)
+SELECT s1, s2, n_common, aa_q9
+FROM pairs
+ORDER BY aa_q9 DESC, s1, s2
+LIMIT 20
+""",
+    tags=("graph",),
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by Adamic-Adar score over the shared-
+    customer bipartite graph: AA(s1,s2) = sum over common customers c
+    of 1/ln(degree(c)), exact as 1e-9 scaled-long sums (both join
+    sides carry the SAME shared-neighbor weight, so summing one side
+    equals the formula).
+
+    Scale shape: identical to q_graph_jaccard's — pair generation is
+    keyed on the SHARED neighbor (a self-join on c, never supplier x
+    supplier), per-key fan-out bounded by the customer's supplier
+    count, degree weights attach BEFORE the pair join (one small join,
+    not per-pair), and the top-20 is a TakeOrdered. The salting remedy
+    for hot neighbors (common_neighbor_pairs salt_n) applies unchanged.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = edges.groupBy("c").agg(F.count("*").alias("d"))
+    w = (
+        edges.join(cdeg.hint("shuffle_hash"), "c")
+        .filter(F.col("d") >= 2)
+        .select(
+            "c",
+            "s",
+            slong(F.lit(1.0) / F.log(F.col("d").cast("double")), 9).alias("wq"),
+        )
+    )
+    w1 = w.select("c", F.col("s").alias("s1"), F.col("wq").alias("wq1"))
+    w2 = w.select("c", F.col("s").alias("s2"))
+    return (
+        w1.join(w2, ["c"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("wq1").alias("aa_q9"),
+        )
+        .orderBy(F.desc("aa_q9"), "s1", "s2")
+        .limit(20)
+    )

@@ -407,3 +407,98 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_totalprice").isNotNull(), F.col("o_orderkey"))
         ).alias("max_clean_key"),
     )
+
+
+# ---- q_source_jsonl_nested ------------------------------------------------ #
+# Nested JSONL round-trip — the shape API exports and event buses
+# actually deliver: each record carries a nested struct and an array.
+# The flat _roundtrip covers scalar columns; this one proves the
+# nested-schema path: write struct<> + array<> as JSON lines, re-read
+# with an EXPLICIT nested schema (never inferSchema — one corrupt line
+# would silently stringify a column at scale), dot-project through the
+# struct and explode the array, and audit the flattened result against
+# the source-derived oracle.
+
+
+@register(
+    "q_source_jsonl_nested",
+    oracle="""
+WITH flat AS (
+  SELECT 'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment,
+         event_type AS tag, value
+  FROM events
+  UNION ALL
+  SELECT 'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment,
+         'vband_' || CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS tag,
+         value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT segment, tag,
+       count(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_q2
+FROM flat
+GROUP BY segment, tag
+""",
+    tags=("source",),
+)
+def q_source_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSONL sink + explicit-nested-schema source: events export
+    as {event_id, user: {id, segment}, tags: [...], value}, re-ingest
+    with a declared struct/array schema, then flatten (user.segment
+    dot-path + tags explode) into a (segment, tag) audit aggregate
+    that must equal the same rollup computed straight from the source
+    table — the invariant that proves no field was lost, coerced, or
+    reordered through the JSON encode/decode.
+
+    Scale notes: JSON write/read parallelize per file split like any
+    text source; the explicit schema keeps the reader a single
+    projection-pushdown pass (inferSchema would scan twice and gamble
+    on types). The explode doubles rows BEFORE the partial aggregate —
+    map-side combine still bounds the shuffle by (segment x tag)
+    cardinality. At 100 TB the only change is file count.
+    """
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = scratch_dir(sf_dir, "roundtrip_jsonl_nested")
+    ev = table(spark, sf_dir, "events")
+    tags = F.array_compact(
+        F.array(
+            F.col("event_type"),
+            F.when(
+                F.col("value").isNotNull(),
+                F.concat(
+                    F.lit("vband_"),
+                    F.floor(F.col("value") / 100).cast("long").cast("string"),
+                ),
+            ),
+        )
+    )
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.concat(F.lit("seg_"), (F.col("user_id") % 5).cast("string")).alias(
+                "segment"
+            ),
+        ).alias("user"),
+        tags.alias("tags"),
+        "value",
+    )
+    nested.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, user struct<id:long,segment:string>, "
+        "tags array<string>, value double"
+    ).json(out)
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    return (
+        back.select(
+            F.col("user.segment").alias("segment"),
+            F.explode("tags").alias("tag"),
+            "value",
+        )
+        .groupBy("segment", "tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(slong("value", 2)).alias("sum_value_q2"),
+        )
+    )

@@ -130,6 +130,11 @@ EVENT_QUERIES = [
     # peak nor count as troughs (NULLS LAST pinned on the rank)
     "q_join_scd2_pointintime",
     "q_ts_drawdown",
+    # round 10 batch 4: CUPED where NULL values contribute 0 to the
+    # post-period metric (CASE arm parity) and celebrity skew puts 60%
+    # of both periods on one user (one extreme (x, y) point — the
+    # moments must stay exact)
+    "q_agg_cuped",
 ]
 
 
@@ -292,7 +297,15 @@ DOC_QUERIES = [
     # collapse to one fingerprint and empty/whitespace docs form their
     # own (digitless) template classes
     "q_dedup_template",
+    # round 10 batch 4: span planning over empty/whitespace docs
+    # (excluded by the n>=1 gate on both sides — also the descending
+    # sequence(1,0) guard) and unicode tokens (positions, not bytes)
+    "q_pipeline_span_corruption",
 ]
+
+# nested JSONL round-trip over the ugly events (NULL values drop the
+# vband tag via array_compact; NULL props irrelevant — schema'd read)
+EVENT_QUERIES.append("q_source_jsonl_nested")
 
 
 def _adv_documents(rng) -> pd.DataFrame:
@@ -468,6 +481,9 @@ REL_QUERIES = [
     # skipped by countDistinct (nb=0 keys can't violate) and NULL
     # l_returnflag joins the distinct set only when non-NULL
     "q_dq_functional_dep",
+    # round 10 batch 4: Adamic-Adar over edges with NULL o_custkey
+    # (dropped at the distinct edge build identically) and orphan keys
+    "q_graph_adamic_adar",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

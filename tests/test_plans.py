@@ -1234,3 +1234,45 @@ def test_ts_drawdown_single_exchange(spark, sf_dir):
     simple = plan_of(spark, "q_ts_drawdown", sf_dir, mode="simple")
     assert simple.count("Exchange") == 1
     assert "BatchEvalPython" not in simple
+
+
+def test_cuped_is_one_rollup_plus_moments(spark, sf_dir):
+    # one fact pass rolls BOTH periods per user (CASE sums, no
+    # period-join); midpoint bounds ride a 1-row broadcast; moments
+    # partial-aggregate
+    simple = plan_of(spark, "q_agg_cuped", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 2  # bounds + rollup
+    assert simple.count("BroadcastNestedLoopJoin") == 1  # the 1-row bounds
+    assert "partial_sum" in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_adamic_adar_pairs_on_shared_neighbor(spark, sf_dir):
+    # pair generation keys on the shared customer (hash joins only —
+    # never supplier x supplier nested loop); degree weights attach
+    # BEFORE pair expansion; top-20 is a TakeOrdered
+    simple = plan_of(spark, "q_graph_adamic_adar", sf_dir, mode="simple")
+    assert "NestedLoop" not in simple
+    assert "ShuffledHashJoin" in simple
+    assert "TakeOrderedAndProject" in simple
+    assert "partial_sum" in simple
+
+
+def test_span_corruption_is_shuffle_free(spark, sf_dir):
+    # the whole plan is per-row array arithmetic: no exchange, no
+    # explode fan-out, one pruned scan
+    simple = plan_of(spark, "q_pipeline_span_corruption", sf_dir, mode="simple")
+    assert "Exchange" not in simple
+    assert "Generate" not in simple
+    assert simple.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in simple
+
+
+def test_jsonl_nested_reads_with_explicit_schema(spark, sf_dir):
+    # the re-read must be a schema'd JSON scan (no inferSchema double
+    # pass); the flatten explodes BEFORE a map-side-combined aggregate
+    simple = plan_of(spark, "q_source_jsonl_nested", sf_dir, mode="simple")
+    assert "FileScan json" in simple
+    assert "Generate" in simple  # the tags explode
+    assert "partial_count" in simple
+    assert "BatchEvalPython" not in simple
