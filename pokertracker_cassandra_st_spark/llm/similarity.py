@@ -1460,3 +1460,77 @@ def q_sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .withColumn("rk", F.col("rk").cast("long"))
     )
+
+
+# ---- q_sim_cell_stats ------------------------------------------------------ #
+# Index-health report for the adaptive (label, subcell) ANN cells —
+# the stat an index operator watches: per label, how many cells are
+# live, how deep the deepest is, and the imbalance factor
+# max_depth / expected_depth (in exact ppm). A hot cell is where the
+# bucketed joins (knn graph, embedding dedup, SemDeDup) go quadratic;
+# this query is their early-warning gauge and shares their EXACT cell
+# assignment (same plane family, same ladder).
+
+
+_CELL_STATS_ORACLE = """
+WITH aug AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), {cell_ctes},
+per_cell AS (
+  SELECT label, subcell, count(*) AS depth
+  FROM cells GROUP BY label, subcell
+)
+SELECT label,
+       count(*) AS n_cells,
+       CAST(SUM(depth) AS BIGINT) AS n_vectors,
+       min(depth) AS min_depth,
+       max(depth) AS max_depth,
+       max(depth) * count(*) * 1000000 // CAST(SUM(depth) AS BIGINT)
+         AS imbalance_ppm
+FROM per_cell
+GROUP BY label
+"""
+
+
+def _cell_stats_oracle() -> str:
+    from pokertracker_cassandra_st_spark.llm.dedup import _cell_subcell_ctes
+
+    return _CELL_STATS_ORACLE.format(cell_ctes=_cell_subcell_ctes())
+
+
+@register(
+    "q_sim_cell_stats",
+    oracle=_cell_stats_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label ANN cell statistics: live cell count, depth band, and
+    imbalance = max_depth / mean_depth in exact ppm (cross-multiplied
+    integer division — no float ratio). Uses the SAME _with_subcell
+    assignment as the dedup/knn tier, so the report describes exactly
+    the cells those operators join on.
+
+    Scale notes: one narrow cell-assignment pass (the ladder choice is
+    a 1-row broadcast), one (label, subcell) map-side-combined count,
+    then a label-bounded rollup — the whole report costs one shuffle
+    of (cell key, partial count) pairs at any corpus size.
+    """
+    from pokertracker_cassandra_st_spark.llm.dedup import _with_subcell
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb"), "label"
+    )
+    cells = _with_subcell(v)
+    per_cell = cells.groupBy("label", "subcell").agg(
+        F.count("*").alias("depth")
+    )
+    return per_cell.groupBy("label").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("depth").cast("long").alias("n_vectors"),
+        F.min("depth").alias("min_depth"),
+        F.max("depth").alias("max_depth"),
+        F.expr(
+            "max(depth) * count(*) * 1000000 DIV CAST(sum(depth) AS BIGINT)"
+        ).alias("imbalance_ppm"),
+    )
+

@@ -1633,3 +1633,81 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             - slope * (F.col("sx").cast("double") / _ZIPF_Q / F.col("k"))
         ).alias("intercept_ln"),
     )
+
+
+# ---- q_text_keywords ------------------------------------------------------ #
+# Per-document keyword extraction — the salted-down TF-IDF consumer:
+# each doc's top-3 terms by tf-idf become its tags/index keys. Scoring
+# is exact end-to-end: tf and df are integers, idf quantizes to 1e-6
+# scaled longs (ln doctrine), and the per-doc score tf * idf_q stays a
+# pure int64 (tf <= doc length ~1e3, idf_q <= ln(N)*1e6 ~ 2e7 ->
+# <= 2e10/term) — ranking never touches a float.
+_KW_K = 3
+
+
+@register(
+    "q_text_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok2),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * CAST(round(ln(CAST(nd.n AS DOUBLE) / df.df) * 1000000)
+                      AS BIGINT) AS score_q6
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, score_q6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q6 DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, score_q6, rk
+FROM ranked WHERE rk <= {_KW_K}
+""",
+    tags=("llm", "text"),
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by exact integer tf-idf (idf as a
+    1e-6-quantized ln, score = tf * idf_q — int64 throughout, rank
+    ties broken by term text). The per-doc tagging/indexing pass a
+    search or curation pipeline materializes from the same frames
+    q_text_tfidf builds.
+
+    Scale notes: tf is one (doc, term)-keyed map-side-combined count;
+    df one term-keyed count; the scoring join is SHUFFLE_HASH on term
+    (vocab-sized frames never broadcast — the kneser_ney doctrine);
+    the corpus doc count is a 1-row broadcast. The per-doc top-3 is a
+    window over the (doc, term) frame — per-partition heaps of 3 via
+    rank-limit pushdown, never a global sort.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = tok.agg(F.countDistinct("doc_id").alias("n"))
+    idf_q = slong(F.log(F.col("n").cast("double") / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q6"), "term")
+    return (
+        tf.join(df.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * idf_q).alias("score_q6"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KW_K)
+        .select("doc_id", "term", "score_q6", "rk")
+    )

@@ -1472,3 +1472,101 @@ def q_agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_reduction_ppm"),
     )
+
+
+# ---- q_agg_share_of_total -------------------------------------------------- #
+# Share-of-total with an OTHER rollup — the BI "market share" report:
+# top-3 suppliers per nation by revenue, everyone else collapsed into
+# one OTHER row, each with its exact ppm share of the nation total.
+# Revenue and totals are exact scaled longs; shares are integer floor
+# divisions — no float ratio anywhere.
+
+
+@register(
+    "q_agg_share_of_total",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name, s.s_suppkey,
+         CAST(SUM({_O_DISC_PRICE}) AS BIGINT) AS rev_q4
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_suppkey
+), ranked AS (
+  SELECT n_name, s_suppkey, rev_q4,
+         CAST(SUM(rev_q4) OVER (PARTITION BY n_name) AS BIGINT) AS total_q4,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY rev_q4 DESC, s_suppkey) AS rk
+  FROM rev
+)
+SELECT n_name,
+       CASE WHEN rk <= 3 THEN CAST(s_suppkey AS VARCHAR)
+            ELSE 'OTHER' END AS who,
+       CAST(SUM(rev_q4) AS BIGINT) AS rev_q4,
+       -- HUGEINT intermediate: rev_q4 * 1e6 overflows int64 past ~10x
+       -- (caught by the 10x gate); HUGEINT // is true floor division,
+       -- matching Spark's DECIMAL(38,0) DIV
+       CAST(CAST(SUM(rev_q4) AS HUGEINT) * 1000000 // max(total_q4)
+            AS BIGINT) AS share_ppm
+FROM ranked
+GROUP BY n_name, CASE WHEN rk <= 3 THEN CAST(s_suppkey AS VARCHAR)
+                      ELSE 'OTHER' END
+""",
+    tags=("agg",),
+)
+def q_agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share report: per nation, the top-3 suppliers by exact
+    discounted revenue plus an OTHER rollup, each with its ppm share
+    of the nation total (integer floor division on exact scaled-long
+    sums). Rank ties break by supplier key.
+
+    Scale notes: revenue partial-aggregates map-side on (nation,
+    supplier — the ppm multiply runs in DECIMAL(38,0)/HUGEINT, int64
+    overflows past ~10x); the nation total rides a window over the
+    ALREADY-AGGREGATED frame (suppliers-per-nation rows, never facts);
+    nation is a broadcast dim on the fact scan. Top-3 and OTHER come
+    from ONE CASE-keyed rollup of the ranked frame — a single fact
+    lineage (a union of rk<=3 / rk>3 branches would re-scan the fact
+    table; plan-locked to one FileScan over lineitem). The report
+    shape is nations x 4 rows at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    price = slong("l_extendedprice", 2)
+    disc = slong("l_discount", 2)
+    rev = (
+        li.join(s.hint("shuffle_hash"), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(price * (100 - disc)).alias("rev_q4"))
+    )
+    wt = Window.partitionBy("n_name")
+    wr = Window.partitionBy("n_name").orderBy(F.desc("rev_q4"), "s_suppkey")
+    ranked = rev.select(
+        "n_name",
+        "s_suppkey",
+        "rev_q4",
+        F.sum("rev_q4").over(wt).cast("long").alias("total_q4"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    who = F.when(
+        F.col("rk") <= 3, F.col("s_suppkey").cast("string")
+    ).otherwise(F.lit("OTHER"))
+    # DECIMAL(38,0) intermediate: rev_q4 * 1e6 overflows int64 past
+    # ~10x replication (caught by the 10x gate; Spark would WRAP
+    # silently where DuckDB errors); DECIMAL DIV is exact floor,
+    # matching the oracle's HUGEINT //
+    return (
+        ranked.select("n_name", who.alias("who"), "rev_q4", "total_q4")
+        .groupBy("n_name", "who")
+        .agg(
+            F.sum("rev_q4").cast("long").alias("rev_q4"),
+            F.expr(
+                "CAST((CAST(sum(rev_q4) AS DECIMAL(38,0)) * 1000000)"
+                " DIV max(total_q4) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

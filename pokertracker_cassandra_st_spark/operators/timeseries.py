@@ -1685,3 +1685,103 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("peak_q").cast("double") / 100).alias("peak_at_trough"),
         F.col("event_id").alias("trough_event_id"),
     )
+
+
+# ---- q_ts_concurrency ------------------------------------------------------ #
+# Concurrency counting over intervals — the classic "max concurrent
+# sessions" analytics: each event opens a 300 s session; sweep the
+# +1/-1 boundary markers in time order and take the running-sum peak
+# per type. Half-open [start, end) semantics: at a shared timestamp
+# the -1 sorts BEFORE the +1 (delta ascending), so back-to-back
+# sessions never double-count. All integer; total order pinned by
+# (time, delta, event_id).
+_SESSION_S = 300
+
+
+@register(
+    "q_ts_concurrency",
+    oracle=f"""
+WITH marks AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         1 AS delta, event_id
+  FROM events
+  UNION ALL
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) + {_SESSION_S} AS t,
+         -1 AS delta, event_id
+  FROM events
+), run AS (
+  SELECT event_type, t, delta, event_id,
+         CAST(SUM(delta) OVER (PARTITION BY event_type
+                               ORDER BY t, delta, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+           AS concurrent
+  FROM marks
+), peak AS (
+  SELECT event_type, t, concurrent,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY concurrent DESC, t, delta, event_id)
+           AS rk
+  FROM run
+)
+SELECT event_type, concurrent AS max_concurrent, t AS peak_epoch_s
+FROM peak WHERE rk = 1
+""",
+    tags=("timeseries",),
+)
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 300-second sessions per event type, with the
+    first instant the peak is reached: the +1/-1 boundary sweep whose
+    running sum IS the concurrency curve. Endings tie-sort before
+    starts at the same second (half-open intervals), so adjacent
+    sessions never overlap spuriously; the rank's full (concurrent,
+    t, delta, event_id) order makes the peak row deterministic.
+
+    Scale notes: both markers explode from ONE fact scan (doubling
+    rows in-map) before one hash exchange on event_type; the running
+    sum and the peak rank share that exchange (same partition key). Per-type sweep state is one
+    long. For millions of entities, partition the sweep by the entity
+    key instead — same plan, more partitions; a global (untyped) sweep
+    would need the two-phase prefix-sum (dist_rank.py) rather than one
+    window.
+    """
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+    # both markers explode from ONE scan (a union of two selects would
+    # read the fact table twice)
+    marks = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(sec.alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (sec + _SESSION_S).alias("t"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("m"),
+    ).select("event_type", F.col("m.t").alias("t"), F.col("m.delta").alias("delta"), "event_id")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = marks.select(
+        "event_type",
+        "t",
+        "delta",
+        "event_id",
+        F.sum("delta").over(wrun).cast("long").alias("concurrent"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.desc("concurrent"), "t", "delta", "event_id"
+    )
+    return (
+        run.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("concurrent").alias("max_concurrent"),
+            F.col("t").alias("peak_epoch_s"),
+        )
+    )

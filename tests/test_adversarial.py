@@ -301,11 +301,19 @@ DOC_QUERIES = [
     # (excluded by the n>=1 gate on both sides — also the descending
     # sequence(1,0) guard) and unicode tokens (positions, not bytes)
     "q_pipeline_span_corruption",
+    # round 10 batch 6: per-doc keywords over empty/whitespace/
+    # duplicated texts (exact-dup docs share identical keyword sets;
+    # single-doc terms get the max idf)
+    "q_text_keywords",
 ]
 
 # nested JSONL round-trip over the ugly events (NULL values drop the
 # vband tag via array_compact; NULL props irrelevant — schema'd read)
 EVENT_QUERIES.append("q_source_jsonl_nested")
+
+# round 10 batch 6: peak concurrency under celebrity skew (user 0's
+# burst IS the peak; half-open tie rule at shared seconds)
+EVENT_QUERIES.append("q_ts_concurrency")
 
 
 def _adv_documents(rng) -> pd.DataFrame:
@@ -388,6 +396,10 @@ EMB_QUERIES = [
     # scale>0 gate on both engines), exact-dup vectors (coarse-score
     # ties broken by cid), and single-member cells
     "q_sim_two_stage_rerank",
+    # round 10 batch 6: cell stats on the adversarial embedding corpus
+    # (zero vector lands in a real cell deterministically; duplicate
+    # vectors co-cell)
+    "q_sim_cell_stats",
 ]
 
 
@@ -484,6 +496,9 @@ REL_QUERIES = [
     # round 10 batch 4: Adamic-Adar over edges with NULL o_custkey
     # (dropped at the distinct edge build identically) and orphan keys
     "q_graph_adamic_adar",
+    # round 10 batch 6: share-of-total where NULL l_extendedprice /
+    # l_discount rows null their revenue term (SUM skips identically)
+    "q_agg_share_of_total",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

@@ -1276,3 +1276,46 @@ def test_jsonl_nested_reads_with_explicit_schema(spark, sf_dir):
     assert "Generate" in simple  # the tags explode
     assert "partial_count" in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_text_keywords_topk_pushes_rank_limit(spark, sf_dir):
+    # per-doc top-3 gets rank-limit pushdown (per-task 3-heaps, never a
+    # full sort of the (doc, term) frame); scoring joins SHUFFLE_HASH
+    # on the vocab-sized df frame; corpus doc count is a 1-row broadcast
+    simple = plan_of(spark, "q_text_keywords", sf_dir, mode="simple")
+    assert "WindowGroupLimit" in simple
+    assert "ShuffledHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+    assert "BatchEvalPython" not in simple
+
+
+def test_cell_stats_is_two_tiny_aggregates(spark, sf_dir):
+    # cell assignment is a narrow map (ladder choice = 1-row broadcast);
+    # then one (label, subcell) count and one label rollup — no joins
+    # beyond the 1-row nested-loop broadcast
+    simple = plan_of(spark, "q_sim_cell_stats", sf_dir, mode="simple")
+    assert simple.count("BroadcastNestedLoopJoin") == 1  # the ladder row
+    assert "ShuffledHashJoin" not in simple
+    assert "SortMergeJoin" not in simple
+    assert "partial_count" in simple
+
+
+def test_share_of_total_single_fact_lineage(spark, sf_dir):
+    # top-3 and OTHER come from ONE CASE-keyed rollup — exactly one
+    # lineitem scan (a union of rank branches would re-scan the fact)
+    simple = plan_of(spark, "q_agg_share_of_total", sf_dir, mode="simple")
+    li_scans = [
+        l for l in simple.splitlines() if "FileScan" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+    assert "Union" not in simple
+    assert "partial_sum" in simple
+
+
+def test_concurrency_single_scan_single_exchange(spark, sf_dir):
+    # markers explode from one scan; running sum + peak rank share one
+    # event_type exchange
+    simple = plan_of(spark, "q_ts_concurrency", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert simple.count("Exchange") == 1
+    assert "WindowGroupLimit" in simple  # the rk=1 peak pick
