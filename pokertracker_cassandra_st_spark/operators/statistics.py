@@ -742,3 +742,78 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     ).orderBy("x_col", "y_col")
+
+
+# ---- q_agg_wilson ----------------------------------------------------------- #
+# Wilson score interval — the binomial confidence interval an A/B or
+# quality dashboard should use instead of the normal approximation
+# (which collapses at small n or extreme rates). Inputs are exact
+# integer (successes, trials) per group; the interval is the same
+# closed-form double expression on both engines (z = 1.96), rounded
+# at 1e-6 with the signed-zero-safe epilogue (lower bounds clamp at
+# 0 exactly where -0.0 could appear).
+
+
+@register(
+    "q_agg_wilson",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) + 0.0 AS rate,
+       round(greatest(0.0,
+         (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+          - 1.96 * sqrt((CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n)
+                         + 1.96 * 1.96 / (4 * n)) / n))
+         / (1 + 1.96 * 1.96 / n)), 6) + 0.0 AS wilson_lo,
+       round(least(1.0,
+         (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+          + 1.96 * sqrt((CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n)
+                         + 1.96 * 1.96 / (4 * n)) / n))
+         / (1 + 1.96 * 1.96 / n)), 6) + 0.0 AS wilson_hi
+FROM c
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 'high-value' rate (value > 250) with its 95% Wilson
+    score interval: exact integer (k, n) from one aggregation pass,
+    then the closed-form interval — identical double expression both
+    engines, 6dp round with the `+ 0.0` signed-zero epilogue, bounds
+    clamped into [0, 1].
+
+    Scale notes: one map-side-combined groupBy over 5 types; the
+    interval math runs on the aggregated rows. This is the
+    uncertainty-aware twin of the plain rates in q_dq_expectations —
+    at 100 TB the extra cost over a raw rate is zero.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") > 250).cast("long")).alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    n = F.col("n")
+    center = p + z2 / (2 * n)
+    margin = 1.96 * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    denom = 1 + z2 / n
+    return c.select(
+        "event_type",
+        "n",
+        "k",
+        (F.round(p, 6) + F.lit(0.0)).alias("rate"),
+        (
+            F.round(F.greatest(F.lit(0.0), (center - margin) / denom), 6)
+            + F.lit(0.0)
+        ).alias("wilson_lo"),
+        (
+            F.round(F.least(F.lit(1.0), (center + margin) / denom), 6)
+            + F.lit(0.0)
+        ).alias("wilson_hi"),
+    )

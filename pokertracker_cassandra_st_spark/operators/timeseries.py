@@ -1785,3 +1785,161 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("peak_epoch_s"),
         )
     )
+
+
+# ---- q_ts_rolling_median --------------------------------------------------- #
+# Rolling exact median — the robust smoother plain moving averages
+# can't be (one spike drags a mean for the whole window, a median
+# shrugs it off). Exact percentile semantics over a 9-row frame via
+# the x4-quantized-longs doctrine (q_agg_percentile_exact): every
+# interpolated median is an exact integer, bit-equal across engines.
+_ROLLMED_W = 9
+
+
+@register(
+    "q_ts_rolling_median",
+    oracle=f"""
+SELECT user_id, event_id,
+       CAST(quantile_cont(CAST(round(value * 1000000) AS BIGINT) * 4, 0.5)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {_ROLLMED_W - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS med_q4,
+       count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {_ROLLMED_W - 1} PRECEDING
+                                   AND CURRENT ROW) AS n_window
+FROM events
+""",
+    tags=("timeseries",),
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling exact median of the trailing 9 samples
+    (percentile_cont semantics, x4e6-quantized longs so the midpoint
+    interpolation is integer-exact), plus the non-NULL window count —
+    the robust-baseline feed for q_ts_anomaly-style screens. NULL
+    samples are skipped by the percentile and the count identically
+    in both engines; warm-up rows use whatever the frame holds.
+
+    Scale notes: one hash exchange on user_id, one sort, one window
+    pass; the median buffer is frame-bounded (<= 9 values/row), so
+    per-entity state is constant — at 100 TB this is scan + one
+    bounded window, the cheapest robust smoother available.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLLMED_W - 1), 0)
+    )
+    ev = table(spark, sf_dir, "events")
+    qv4 = (slong("value", 6) * 4).alias("qv4")
+    return ev.select("user_id", "event_id", "ts", qv4).select(
+        "user_id",
+        "event_id",
+        F.percentile("qv4", 0.5).over(w).cast("long").alias("med_q4"),
+        F.count("qv4").over(w).alias("n_window"),
+    )
+
+
+# ---- q_ts_streaks ----------------------------------------------------------- #
+# Longest monotone streak — "how many consecutive increases" is the
+# momentum/engagement stat sessionization doesn't give: a run ends the
+# moment the direction flips. The gaps-and-islands trick on the
+# DIRECTION series: a boundary wherever the current sample fails to
+# extend the run; run ids are prefix sums of boundaries.
+
+
+@register(
+    "q_ts_streaks",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS vq,
+         lag(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pvq
+  FROM events
+), b AS (
+  SELECT user_id, event_id, ts, vq,
+         CASE WHEN pvq IS NOT NULL AND vq IS NOT NULL AND vq > pvq
+              THEN 0 ELSE 1 END AS boundary
+  FROM s
+), runs AS (
+  SELECT user_id, event_id, vq,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+           AS run_id
+  FROM b
+), runlen AS (
+  SELECT user_id, run_id,
+         count(*) AS len,
+         min(event_id) AS start_event_id
+  FROM runs WHERE vq IS NOT NULL
+  GROUP BY user_id, run_id
+), best AS (
+  SELECT user_id, len, start_event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_event_id) AS rk
+  FROM runlen
+)
+SELECT user_id, len AS longest_up_streak, start_event_id
+FROM best WHERE rk = 1
+""",
+    tags=("timeseries",),
+)
+def q_ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing streak per user (and where it
+    starts): direction boundaries -> prefix-sum run ids -> run lengths
+    -> per-user argmax (first-start tie-break). NULL samples always
+    break a run and never count toward one — the three-valued CASE is
+    identical in both engines; comparisons run on x100 exact longs.
+
+    Scale notes: the lag, the boundary prefix sum, and the final rank
+    all partition on user_id — one hash exchange end to end (the run
+    groupBy re-keys on (user_id, run_id), a strict refinement that
+    stays partition-local under AQE). Per-entity window state is one
+    long; the same plan scores a billion series.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id", "event_id", "ts", slong("value", 2).alias("vq")
+    ).withColumn("pvq", F.lag("vq").over(wo))
+    boundary = F.when(
+        F.col("pvq").isNotNull()
+        & F.col("vq").isNotNull()
+        & (F.col("vq") > F.col("pvq")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    runs = s.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "vq",
+        F.sum(boundary)
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("run_id"),
+    )
+    runlen = (
+        runs.filter(F.col("vq").isNotNull())
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.count("*").alias("len"),
+            F.min("event_id").alias("start_event_id"),
+        )
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "start_event_id"
+    )
+    return (
+        runlen.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_up_streak"),
+            "start_event_id",
+        )
+    )

@@ -315,6 +315,13 @@ EVENT_QUERIES.append("q_source_jsonl_nested")
 # burst IS the peak; half-open tie rule at shared seconds)
 EVENT_QUERIES.append("q_ts_concurrency")
 
+# round 10 batch 7: rolling median / streaks / Wilson under NULL
+# values (percentile+count skip them; runs break on them; the rate
+# filter drops them) and celebrity skew (one deep window partition)
+EVENT_QUERIES.extend(
+    ["q_ts_rolling_median", "q_ts_streaks", "q_agg_wilson"]
+)
+
 
 def _adv_documents(rng) -> pd.DataFrame:
     texts = [

@@ -1319,3 +1319,30 @@ def test_concurrency_single_scan_single_exchange(spark, sf_dir):
     assert simple.count("FileScan parquet") == 1
     assert simple.count("Exchange") == 1
     assert "WindowGroupLimit" in simple  # the rk=1 peak pick
+
+
+def test_rolling_median_single_window_pass(spark, sf_dir):
+    # bounded 9-row frame: one exchange, one sort, one window node
+    simple = plan_of(spark, "q_ts_rolling_median", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert simple.count("Window") == 1
+    assert "Join" not in simple
+
+
+def test_ts_streaks_one_exchange_end_to_end(spark, sf_dir):
+    # lag + boundary prefix sum + run groupBy + per-user argmax all
+    # ride ONE user_id exchange (the (user, run_id) re-key is a strict
+    # refinement and stays partition-local)
+    simple = plan_of(spark, "q_ts_streaks", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "WindowGroupLimit" in simple  # the rk=1 argmax
+    assert "Join" not in simple
+
+
+def test_wilson_is_one_aggregate(spark, sf_dir):
+    # exact (k, n) from one map-side-combined groupBy; interval math on
+    # 5 aggregated rows
+    simple = plan_of(spark, "q_agg_wilson", sf_dir, mode="simple")
+    assert simple.count("Exchange") == 1
+    assert "partial_count" in simple
+    assert "Join" not in simple
