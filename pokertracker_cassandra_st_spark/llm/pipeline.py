@@ -467,3 +467,71 @@ def q_pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000000 DIV n_tok"
         ).alias("corrupted_ppm"),
     )
+
+
+# ---- q_pipeline_dedup_report ------------------------------------------------- #
+# Per-source duplication audit — the rollup a curation pipeline reads
+# BEFORE deciding dedup policy: how much of each source is exact-dup
+# bulk, and how many bytes dedup would reclaim. Duplicate = any row
+# whose md5(text) has a lower-doc_id twin anywhere in the corpus
+# (global, not per-source — cross-source copies count against the
+# source that carries them).
+
+
+@register(
+    "q_pipeline_dedup_report",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, n_chars, md5(text) AS hash,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       (1000000 * CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS dup_ppm,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_reclaimable
+FROM h GROUP BY source ORDER BY source
+""",
+    tags=("llm", "pipeline", "dedup"),
+)
+def q_pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication audit per source: each document hashes once
+    (md5 text digest); the keep-first rule (min doc_id per hash) marks
+    every later copy reclaimable; per-source counts, integer-ppm dup
+    rate, and reclaimable characters roll up from the marks.
+
+    Scale notes: the only data-sized shuffle carries (hash, doc_id,
+    source, n_chars) digests — text never moves; the per-hash
+    row_number partitions by the digest (uniform by construction).
+    This is q_dedup_exact's accounting twin: it reports what dedup
+    WOULD do without materializing the deduped corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("hash").orderBy("doc_id")
+    h = docs.select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("hash")
+    ).withColumn("rn", F.row_number().over(w))
+    dup = (F.col("rn") > 1).cast("long")
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).alias("n_dups"),
+            F.sum(dup * F.col("n_chars")).alias("chars_reclaimable_"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            F.expr("(1000000 * n_dups) div n_docs").alias("dup_ppm"),
+            "chars_total",
+            F.col("chars_reclaimable_").alias("chars_reclaimable"),
+        )
+        .orderBy("source")
+    )

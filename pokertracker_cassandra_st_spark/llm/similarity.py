@@ -1534,3 +1534,125 @@ def q_sim_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("imbalance_ppm"),
     )
 
+
+
+# ---- q_sim_centroid_matrix --------------------------------------------------- #
+# Embedding-space structure audit: pairwise cosine between LABEL
+# CENTROIDS — the 10x10 (upper-triangle) map of how separable the
+# coarse cells are, which is exactly what decides IVF probe counts
+# (q_sim_ivf) and SemDeDup cell quality. All arithmetic is exact
+# integers until one final double expression: components quantize to
+# 1e-6 longs, per-label sums are int64, centroids re-quantize at 1e-6
+# (floor(x + 0.5) on the same double in both engines), and dot/norm
+# accumulate as exact int64 products per dimension.
+
+
+@register(
+    "q_sim_centroid_matrix",
+    oracle="""
+WITH base AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ex AS (
+  SELECT label, emb, CAST(generate_subscripts(emb, 1) AS INT) AS pos
+  FROM base
+), comp AS (
+  SELECT label, pos,
+         CAST(floor(emb[pos] * 1000000 + 0.5) AS BIGINT) AS q
+  FROM ex
+), cent AS (
+  SELECT label, pos,
+         CAST(floor(CAST(SUM(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS cq
+  FROM comp GROUP BY label, pos
+), pair AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.cq * b.cq) AS BIGINT) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+), nrm AS (
+  SELECT label, CAST(SUM(cq * cq) AS BIGINT) AS nsq FROM cent GROUP BY label
+)
+SELECT p.label_a, p.label_b,
+       round(CAST(p.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))),
+             6) AS cosine
+FROM pair p
+JOIN nrm na ON p.label_a = na.label
+JOIN nrm nb ON p.label_b = nb.label
+ORDER BY label_a, label_b
+""",
+    tags=("llm", "similarity"),
+)
+def q_sim_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity of label centroids (upper triangle):
+    posexplode each embedding to (label, pos, q6-component), sum per
+    (label, pos) in exact int64, re-quantize the centroid component at
+    1e-6 (same floor(x+0.5) on the same double both engines), then
+    exact-integer dot products and norms over the bounded centroid
+    frame; one final double division + round.
+
+    Scale notes: the data-sized stage is ONE narrow (label, pos, long)
+    shuffle with map-side partial sums — 64 rows per input vector, no
+    payload. Everything after lives on labels x 64 rows, and the
+    pairwise join is bounded by the label count squared (structure
+    audit output, not data). This is the exact-arithmetic version of
+    "are my IVF cells well separated" — the knob q_sim_ivf's recall
+    depends on.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "x"
+        ),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x") * 1_000_000 + 0.5).cast("long").alias("q"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.floor(
+            F.sum("q").cast("double") / F.count("*") + 0.5
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("cq").alias("cqa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("posb"),
+        F.col("cq").alias("cqb"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("pos") == F.col("posb"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("cqa") * F.col("cqb")).alias("dot"))
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("nsq")
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nsq").alias("nsqa"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nsq").alias("nsqb"))
+    return (
+        pair.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nsqa").cast("double"))
+                    * F.sqrt(F.col("nsqb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

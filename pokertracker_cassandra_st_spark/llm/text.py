@@ -1711,3 +1711,85 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KW_K)
         .select("doc_id", "term", "score_q6", "rk")
     )
+
+
+# ---- q_text_code_detect ------------------------------------------------------ #
+# Code-vs-prose heuristic over a MIXED corpus (documents.text = prose,
+# events.props = JSON "code-like" rows): character-class ratios in
+# exact integer parts-per-million. The structural-text rows trip the
+# symbol threshold; natural prose doesn't. This is the cheap lexical
+# gate an LLM curation pipeline runs before expensive quality models.
+
+
+@register(
+    "q_text_code_detect",
+    oracle="""
+WITH corpus AS (
+  SELECT 'doc' AS src, doc_id AS rid, text AS t FROM documents
+  UNION ALL
+  SELECT 'evt' AS src, event_id AS rid, props AS t FROM events
+), feat AS (
+  SELECT src, rid,
+         length(t) AS n,
+         length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 \t\n]', '', 'g'))
+           AS sym,
+         length(t) - length(regexp_replace(t, '[ \t\n]', '', 'g')) AS ws,
+         length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS dig
+  FROM corpus WHERE length(t) >= 1
+)
+SELECT src, rid, n,
+       (1000000 * sym) // n AS sym_ppm,
+       (1000000 * ws) // n AS ws_ppm,
+       (1000000 * dig) // n AS dig_ppm,
+       ((1000000 * sym) // n >= 100000) AS is_code
+FROM feat ORDER BY src, rid
+""",
+    tags=("text", "llm"),
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical code-likeness gate: symbol / whitespace / digit density
+    in exact integer ppm over documents.text UNION events.props; rows
+    whose symbol density reaches 10% classify as code-like (the JSON
+    payloads do, prose doesn't). Ratios are integer divisions of exact
+    character counts — no float anywhere, so the engines agree by
+    construction.
+
+    Scale notes: embarrassingly parallel row-local regexp counts in
+    whole-stage codegen (three regexp_replace + lengths per row, no
+    shuffle at all before the display sort); the union is two scans,
+    each pruned to one string column. At 100 TB this runs at scan
+    speed — it's the first gate in the curation funnel, so it must.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        F.lit("doc").alias("src"),
+        F.col("doc_id").alias("rid"),
+        F.col("text").alias("t"),
+    )
+    evs = table(spark, sf_dir, "events").select(
+        F.lit("evt").alias("src"),
+        F.col("event_id").alias("rid"),
+        F.col("props").alias("t"),
+    )
+    corpus = docs.unionByName(evs).filter(F.length("t") >= 1)
+    n = F.length("t")
+    sym = n - F.length(F.regexp_replace("t", r"[^a-zA-Z0-9 \t\n]", ""))
+    ws = n - F.length(F.regexp_replace("t", r"[ \t\n]", ""))
+    dig = n - F.length(F.regexp_replace("t", r"[0-9]", ""))
+    feat = corpus.select(
+        "src",
+        "rid",
+        n.cast("long").alias("n"),
+        sym.cast("long").alias("sym"),
+        ws.cast("long").alias("ws"),
+        dig.cast("long").alias("dig"),
+    )
+    sym_ppm = F.expr("(1000000 * sym) div n")
+    return feat.select(
+        "src",
+        "rid",
+        "n",
+        sym_ppm.alias("sym_ppm"),
+        F.expr("(1000000 * ws) div n").alias("ws_ppm"),
+        F.expr("(1000000 * dig) div n").alias("dig_ppm"),
+        (sym_ppm >= 100000).alias("is_code"),
+    ).orderBy("src", "rid")

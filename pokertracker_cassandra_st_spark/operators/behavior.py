@@ -17,7 +17,7 @@ integer parts-per-million (no float rounding boundary between engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
@@ -146,4 +146,216 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---- q_agg_rfm --------------------------------------------------------------- #
+# RFM (recency / frequency / monetary) segmentation — the classic
+# customer-lifecycle rollup. Quintile membership uses the explicit
+# 5 - ((i-1)*5) div n formula over a deterministic total order
+# (metric, custkey), NOT ntile(), whose remainder placement we refuse
+# to depend on cross-engine.
+
+_RFM_ORACLE = """
+WITH clean AS (
+  SELECT o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+), base AS (
+  SELECT o_custkey,
+         CAST(max(o_orderdate) AS DATE) AS last_d,
+         count(*) AS freq,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM clean GROUP BY o_custkey
+), anchor AS (
+  SELECT CAST(max(o_orderdate) AS DATE) AS a, count(DISTINCT o_custkey) AS n
+  FROM clean
+), scored AS (
+  SELECT date_diff('day', last_d, a) AS rec_days, freq, cents, n,
+         row_number() OVER (ORDER BY date_diff('day', last_d, a), o_custkey)
+           AS ir,
+         row_number() OVER (ORDER BY freq DESC, o_custkey) AS if_,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS im
+  FROM base, anchor
+)
+SELECT concat('R', 5 - ((ir - 1) * 5) // n,
+              'F', 5 - ((if_ - 1) * 5) // n,
+              'M', 5 - ((im - 1) * 5) // n) AS segment,
+       count(*) AS n_customers,
+       round(CAST(SUM(cents) AS DOUBLE) / 100 / count(*), 6)
+         AS avg_monetary,
+       CAST(SUM(freq) AS BIGINT) AS total_orders
+FROM scored GROUP BY segment ORDER BY segment
+"""
+
+
+@register("q_agg_rfm", oracle=_RFM_ORACLE, tags=("agg", "behavior"))
+def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segments over the orders fact: per-customer recency (days
+    since last order vs the corpus max date), frequency (order count)
+    and monetary (exact cents), each ranked into quintiles with the
+    engine-portable ``5 - ((i-1)*5) div n`` formula, then segment-level
+    counts / average spend.
+
+    Scale notes: one o_custkey groupBy reduces the fact table to one
+    narrow row per customer; the three global ranks run as dist_rank's
+    two-phase bucketed row_number (value-derived buckets + a 32-row
+    offset broadcast — no single-task window at any rank); the anchor
+    (max date, customer count) is a broadcast 1-row frame. Segment
+    cardinality is bounded at 125.
+    """
+    from pokertracker_cassandra_st_spark.dist_rank import range_row_number
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count("*").alias("freq"),
+        F.sum(slong("o_totalprice", 2)).alias("cents"),
+    )
+    anchor = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("a"),
+        F.countDistinct("o_custkey").alias("n"),
+    )
+    scored = base.crossJoin(F.broadcast(anchor)).withColumn(
+        "rec_days", F.datediff("a", "last_d")
+    )
+    scored = range_row_number(scored, ["rec_days", "o_custkey"], "ir")
+    scored = scored.withColumn("negf", -F.col("freq"))
+    scored = range_row_number(scored, ["negf", "o_custkey"], "if_")
+    scored = scored.withColumn("negm", -F.col("cents"))
+    scored = range_row_number(scored, ["negm", "o_custkey"], "im")
+    seg = F.concat(
+        F.lit("R"), F.expr("5 - ((ir - 1) * 5) div n"),
+        F.lit("F"), F.expr("5 - ((if_ - 1) * 5) div n"),
+        F.lit("M"), F.expr("5 - ((im - 1) * 5) div n"),
+    )
+    return (
+        scored.groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum("cents").cast("double") / 100 / F.count("*"), 6
+            ).alias("avg_monetary"),
+            F.sum("freq").alias("total_orders"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---- q_ts_cohort_ltv --------------------------------------------------------- #
+# Cohort lifetime-value curve — the revenue twin of q_ts_retention:
+# users cohorted by first-activity week, purchase revenue accumulated
+# per (cohort, week offset) and normalized per cohort member. Week
+# offsets reuse retention's exact epoch arithmetic; money rides exact
+# integer cents until the final per-user division.
+
+_LTV_ORACLE = """
+WITH act AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
+         value
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS wk0 FROM act GROUP BY user_id
+), size_ AS (
+  SELECT wk0, count(*) AS cohort_size FROM cohort GROUP BY wk0
+), purch AS (
+  SELECT c.wk0,
+         (CAST(epoch(a.wk) AS BIGINT) - CAST(epoch(c.wk0) AS BIGINT))
+           // 604800 AS week_offset,
+         count(DISTINCT a.user_id) AS n_buyers,
+         SUM(CAST(round(a.value * 100) AS BIGINT)) AS cents
+  FROM act a JOIN cohort c ON a.user_id = c.user_id
+  WHERE a.event_type = 'purchase' AND a.value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(p.wk0 AS STRING) AS cohort_week,
+       p.week_offset,
+       s.cohort_size,
+       p.n_buyers,
+       CAST(p.cents AS DOUBLE) / 100 AS revenue,
+       round(CAST(SUM(p.cents) OVER (PARTITION BY p.wk0
+                                     ORDER BY p.week_offset) AS DOUBLE)
+             / 100 / s.cohort_size, 6) AS cum_ltv_per_user
+FROM purch p JOIN size_ s ON p.wk0 = s.wk0
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "q_ts_cohort_ltv", oracle=_LTV_ORACLE, tags=("timeseries", "behavior")
+)
+def q_ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort LTV curve: purchase revenue per (cohort_week,
+    week_offset) cell in exact integer cents, then the cumulative
+    per-member LTV via a window over each cohort's bounded offset list
+    (offsets are calendar-bounded, never data-sized).
+
+    Scale notes: one user_id-keyed first-activity aggregate, one
+    user_id join to attach cohorts to purchases (same key — one
+    partitioning reused), then a (cohort, offset) groupBy whose output
+    is calendar-bounded; the cumulative window partitions by cohort
+    over those bounded rows. Identical shape to q_ts_retention with a
+    money dimension added — cf. reference replay semantics
+    (initial_db.sql event envelope) for the first-seen fold.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        "event_type",
+        "value",
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    size = cohort.groupBy("wk0").agg(F.count("*").alias("cohort_size"))
+    purch = (
+        act.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .join(cohort, "user_id")
+        .groupBy(
+            "wk0",
+            (
+                (
+                    F.unix_timestamp(F.col("wk").cast("timestamp"))
+                    - F.unix_timestamp(F.col("wk0").cast("timestamp"))
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum(slong("value", 2)).alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("wk0")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        purch.join(size, "wk0")
+        .select(
+            F.col("wk0").cast("string").alias("cohort_week"),
+            "week_offset",
+            "cohort_size",
+            "n_buyers",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            F.round(
+                F.sum("cents").over(w).cast("double")
+                / 100
+                / F.col("cohort_size"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
     )

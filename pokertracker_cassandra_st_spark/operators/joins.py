@@ -942,3 +942,82 @@ def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("from_seq").alias("state_from_seq"),
         )
     )
+
+
+# ---- q_join_fuzzy ------------------------------------------------------------ #
+# Blocked fuzzy string join — entity-resolution's workhorse. Probe
+# strings (deterministically truncated catalog names, a typo model
+# both engines derive identically) match back to the catalog through
+# a BLOCKING key (3-char prefix) so candidate pairs are prefix-local,
+# never the all-pairs cross product; edit distance <= 2 filters, and
+# a per-probe argmin picks the best match.
+
+
+@register(
+    "q_join_fuzzy",
+    oracle="""
+WITH cat AS (SELECT DISTINCT p_name FROM part),
+probes AS (
+  SELECT p_name AS orig,
+         substr(p_name, 1, length(p_name) - 1) AS probe
+  FROM cat
+),
+cand AS (
+  SELECT p.probe, p.orig, c.p_name AS matched,
+         levenshtein(p.probe, c.p_name) AS dist
+  FROM probes p
+  JOIN cat c ON substr(p.probe, 1, 3) = substr(c.p_name, 1, 3)
+  WHERE levenshtein(p.probe, c.p_name) <= 2
+),
+best AS (
+  SELECT probe, orig, matched, dist,
+         row_number() OVER (PARTITION BY probe
+                            ORDER BY dist, matched) AS rn
+  FROM cand
+)
+SELECT probe, orig, matched, dist,
+       (matched = orig) AS recovered
+FROM best WHERE rn = 1 ORDER BY probe
+""",
+    tags=("join", "fuzzy"),
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) join with prefix blocking: truncated
+    probe names equi-join the catalog on their 3-char prefix block,
+    survive a levenshtein <= 2 filter, and keep the (dist, name)-argmin
+    match per probe — recovering the original for most probes.
+
+    Scale notes: the join is EQUI on the block key, so Spark shuffles
+    both sides by prefix and compares only within blocks — candidate
+    volume is sum(block_size^2) over blocks, not n^2; levenshtein runs
+    JVM-side in codegen on the blocked pairs. Skewed blocks (common
+    prefixes) are the documented knob: widen the prefix or add a
+    length band to the key. The per-probe argmin is a
+    WindowGroupLimit-able rank inside the probe partition.
+    """
+    cat = table(spark, sf_dir, "part").select("p_name").distinct()
+    probes = cat.select(
+        F.col("p_name").alias("orig"),
+        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("probe"),
+    )
+    cand = (
+        probes.join(
+            cat.select(F.col("p_name").alias("matched")),
+            F.expr("substr(probe, 1, 3) = substr(matched, 1, 3)"),
+        )
+        .withColumn("dist", F.levenshtein("probe", "matched").cast("long"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("probe").orderBy("dist", "matched")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe",
+            "orig",
+            "matched",
+            "dist",
+            (F.col("matched") == F.col("orig")).alias("recovered"),
+        )
+        .orderBy("probe")
+    )

@@ -29,8 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.catalog import table, tables
 from pokertracker_cassandra_st_spark.dist_rank import range_prefix, range_row_number
+from pokertracker_cassandra_st_spark.exprs import slong
 from pokertracker_cassandra_st_spark.registry import register
 
 # Co-moment sums: l_quantity is an integer-valued double (1..50),
@@ -817,3 +818,265 @@ def q_agg_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("wilson_hi"),
     )
+
+
+# ---- q_agg_pareto ------------------------------------------------------------ #
+# Revenue concentration (Pareto / "80-20") by customer decile: rank
+# customers by lifetime spend, split into 10 equal-count tiers with the
+# EXPLICIT integer formula 1 + ((i-1)*10) div n (identical in both
+# engines — ntile() remainder placement is engine-defined lore we avoid
+# relying on), then per-decile revenue and the cumulative share curve.
+
+
+@register(
+    "q_agg_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
+), rk AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS i,
+         count(*) OVER () AS n,
+         SUM(cents) OVER () AS tot
+  FROM rev
+), d AS (
+  SELECT 1 + ((i - 1) * 10) // n AS decile, cents, tot FROM rk
+)
+SELECT decile,
+       count(*) AS n_customers,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS decile_revenue,
+       round(100.0 * CAST(SUM(SUM(cents)) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(max(tot) AS DOUBLE), 6) AS cum_share_pct
+FROM d GROUP BY decile ORDER BY decile
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration curve: per-customer spend in
+    exact integer cents, global rank via the two-phase distributed
+    row_number (no single-task window), decile membership from the
+    explicit ``1 + ((i-1)*10) div n`` formula (engine-portable, unlike
+    ntile's remainder rule), then a 10-row cumulative-share window.
+
+    Scale notes: the only per-row shuffle is the o_custkey groupBy;
+    the rank is dist_rank's bucketed two-phase pass (value-derived
+    buckets, a 32-row offset broadcast); everything after lives on 10
+    rows. Cents stay inside int64 up to ~9e16 dollars of total
+    revenue — documented headroom for 100 TB fact tables.
+    """
+    rev = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(slong("o_totalprice", 2)).alias("cents"))
+        .withColumn("neg", -F.col("cents"))
+    )
+    stats = rev.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("tot")
+    )
+    ranked = range_row_number(rev, ["neg", "o_custkey"], "i").crossJoin(
+        F.broadcast(stats)
+    )
+    d = ranked.withColumn("decile", F.expr("1 + ((i - 1) * 10) div n"))
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("dc"),
+        F.max("tot").alias("tot"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        "n_customers",
+        (F.col("dc").cast("double") / 100).alias("decile_revenue"),
+        F.round(
+            F.lit(100.0)
+            * F.sum("dc").over(w).cast("double")
+            / F.col("tot").cast("double"),
+            6,
+        ).alias("cum_share_pct"),
+    ).orderBy("decile")
+
+
+# ---- q_agg_hhi --------------------------------------------------------------- #
+# Herfindahl-Hirschman concentration index per market (region): the
+# sum of squared revenue shares x 10000. Computed EXACTLY as
+# 10000 * sum(cents^2) / tot^2 — integer cents squared in DECIMAL (no
+# double accumulation across participants, whose ordering differs
+# between engines), one double division at the end.
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+WITH nat AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name,
+       count(*) AS n_nations,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS total_revenue,
+       round(10000 * CAST(SUM(CAST(cents AS DECIMAL(19,0))
+                               * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+             / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)),
+             6) AS hhi
+FROM nat GROUP BY r_name ORDER BY r_name
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration HHI per region over nation revenue shares:
+    10000 * sum(share^2), where share = nation_cents / region_cents.
+    The squared terms are exact DECIMAL(38,0) products of int64 cents
+    (sums over participants are order-independent); the single final
+    division is the only double step, so both engines agree bitwise.
+
+    Scale notes: one fact shuffle (orders x customer; AQE broadcasts
+    customer at fixture scale, sort-merge at 100 TB), nation/region
+    broadcast, then two tiny aggregations (25 -> 5 rows). cents^2 fits
+    DECIMAL(38,0) up to ~1e19 dollars per nation.
+    """
+    t = tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    nat = (
+        t.orders.filter(F.col("o_totalprice").isNotNull())
+        .join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .join(
+            F.broadcast(t.nation),
+            t.customer.c_nationkey == t.nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(t.region),
+            t.nation.n_regionkey == t.region.r_regionkey,
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(slong("o_totalprice", 2)).alias("cents"))
+    )
+    sq = F.col("cents").cast("decimal(19,0)")
+    return (
+        nat.groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            (F.sum("cents").cast("double") / 100).alias("total_revenue"),
+            F.round(
+                F.lit(10000)
+                * F.sum(sq * sq).cast("double")
+                / (
+                    F.sum("cents").cast("double")
+                    * F.sum("cents").cast("double")
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---- q_agg_ratio_ci ---------------------------------------------------------- #
+# Delta-method confidence interval for a RATIO metric (effective
+# discount rate = sum(discount dollars)/sum(gross dollars)) — the
+# experimentation-platform staple that plain mean CIs get wrong. All
+# five co-moments accumulate in EXACT decimal (price is 2-decimal,
+# discount 2-decimal, so every product is a <= 8-decimal exact value);
+# the closed-form ratio/variance expression is the identical double
+# tree on both engines afterwards.
+
+
+@register(
+    "q_agg_ratio_ci",
+    oracle="""
+WITH rows_ AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(12,4)) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+), m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(25,8))) AS DOUBLE) AS syy
+  FROM rows_ GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(sy / sx, 6) AS disc_rate,
+       round(sqrt(((syy - 2 * (sy / sx) * sxy
+                    + (sy / sx) * (sy / sx) * sxx) / (n - 1)) / n)
+             / (sx / n), 8) AS se,
+       round(sy / sx - 1.96 * (sqrt(((syy - 2 * (sy / sx) * sxy
+                    + (sy / sx) * (sy / sx) * sxx) / (n - 1)) / n)
+             / (sx / n)), 6) AS ci_lo,
+       round(sy / sx + 1.96 * (sqrt(((syy - 2 * (sy / sx) * sxy
+                    + (sy / sx) * (sy / sx) * sxx) / (n - 1)) / n)
+             / (sx / n)), 6) AS ci_hi
+FROM m ORDER BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective discount rate per return flag with its 95% delta-method
+    CI. The ratio-of-sums estimator R = Σy/Σx has
+    Var(R) ≈ s²/(n·x̄²) with s² = (Σy² − 2RΣxy + R²Σx²)/(n−1) (the
+    residual y−Rx has exact zero mean by construction). Co-moments are
+    exact decimals; R, s², SE evaluate as the same written double
+    expression both engines — bit-identical before the final rounds.
+
+    Scale notes: one map-side-combined groupBy carrying six numbers
+    per group; decimal partials stay in whole-stage codegen. The CI
+    adds zero shuffle cost over the plain rate.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    y = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_discount").cast("decimal(6,4)")
+    ).cast("decimal(12,4)")
+    m = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(25,8)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    r = F.col("sy") / F.col("sx")
+    s2 = (
+        F.col("syy") - 2 * r * F.col("sxy") + r * r * F.col("sxx")
+    ) / (F.col("n") - 1)
+    se = F.sqrt(s2 / F.col("n")) / (F.col("sx") / F.col("n"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(r, 6).alias("disc_rate"),
+        F.round(se, 8).alias("se"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    ).orderBy("l_returnflag")

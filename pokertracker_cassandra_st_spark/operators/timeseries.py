@@ -1943,3 +1943,75 @@ def q_ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_event_id",
         )
     )
+
+
+# ---- q_ts_growth ------------------------------------------------------------- #
+# Period-over-period growth: monthly revenue per order priority with
+# month-over-month and year-over-year percentage change from lag
+# windows. Revenue is exact integer cents; the growth percentages are
+# single double divisions of exact longs.
+
+
+@register(
+    "q_ts_growth",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(month AS STRING) AS month,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       round(100.0 * (cents - lag(cents, 1) OVER w)
+             / lag(cents, 1) OVER w, 6) AS mom_pct,
+       round(100.0 * (cents - lag(cents, 12) OVER w)
+             / lag(cents, 12) OVER w, 6) AS yoy_pct
+FROM m
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+""",
+    tags=("timeseries",),
+)
+def q_ts_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per priority with MoM and YoY growth: one
+    month-grain aggregate (exact cents), then lag(1)/lag(12) within
+    each priority's calendar-bounded month series; leading periods
+    yield NULL growth on both engines.
+
+    Scale notes: the fact table reduces to (priority, month) rows in
+    ONE map-side-combined groupBy; the lag windows run over those
+    calendar-bounded rows (dozens per partition), never raw data. The
+    consecutive-month assumption holds by construction here (every
+    month has orders); a gap-sensitive variant composes with
+    q_ts_gapfill's spine.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mo"),
+        )
+        .agg(F.sum(slong("o_totalprice", 2)).alias("cents"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("mo")
+    prev = F.lag("cents", 1).over(w)
+    prev12 = F.lag("cents", 12).over(w)
+    return m.select(
+        "o_orderpriority",
+        F.col("mo").cast("string").alias("month"),
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(100.0 * (F.col("cents") - prev) / prev, 6).alias("mom_pct"),
+        F.round(100.0 * (F.col("cents") - prev12) / prev12, 6).alias(
+            "yoy_pct"
+        ),
+    ).orderBy("o_orderpriority", "month")

@@ -196,6 +196,9 @@ def adv_dir():
 
 
 DOC_QUERIES = [
+    # round 10 batch 9: dedup accounting over the 10 exact-dup docs
+    # (keep-first by doc_id; empty/whitespace docs hash and count too)
+    "q_pipeline_dedup_report",
     "q_text_stats",
     "q_text_langid",
     "q_text_quality",
@@ -322,6 +325,16 @@ EVENT_QUERIES.extend(
     ["q_ts_rolling_median", "q_ts_streaks", "q_agg_wilson"]
 )
 
+# round 10 batch 8: code-detect over NULL props (dropped by the n>=1
+# gate on both sides), empty/whitespace/unicode docs (codepoint counts,
+# integer ppm — no float), and JSON-lacking-k rows (still symbol-heavy)
+EVENT_QUERIES.append("q_text_code_detect")
+
+# round 10 batch 9: cohort LTV where NULL purchase values drop from
+# the revenue cells on both sides (the celebrity user 0 dominates one
+# cohort; the single-event user 999 forms a 1-member cohort)
+EVENT_QUERIES.append("q_ts_cohort_ltv")
+
 
 def _adv_documents(rng) -> pd.DataFrame:
     texts = [
@@ -381,6 +394,10 @@ def _adv_embeddings(rng) -> pd.DataFrame:
 
 # embedding-reading queries that must survive zero/dup/tiny vectors
 EMB_QUERIES = [
+    # round 10 batch 9: centroid matrix vs the zero vector (pulls its
+    # label centroid toward 0 identically), exact-dup pair, tiny vector
+    # quantizing to all-zero, single-member cell (centroid = the vector)
+    "q_sim_centroid_matrix",
     "q_dedup_embedding",
     "q_dedup_semantic",
     "q_sim_topk",
@@ -506,6 +523,21 @@ REL_QUERIES = [
     # round 10 batch 6: share-of-total where NULL l_extendedprice /
     # l_discount rows null their revenue term (SUM skips identically)
     "q_agg_share_of_total",
+    # round 10 batch 8: concentration/segmentation ranks where NULL
+    # o_custkey/o_totalprice/o_orderdate rows are filtered EXPLICITLY
+    # on both sides (engine-default NULL ordering differs: Spark ASC
+    # is NULLS FIRST, DuckDB NULLS LAST — the ranks never see a NULL);
+    # the ratio CI drops NULL price/discount rows from n AND the
+    # co-moments together; the fuzzy join's NULL names fall out of the
+    # equi block key identically
+    "q_agg_pareto",
+    "q_agg_hhi",
+    "q_agg_rfm",
+    "q_agg_ratio_ci",
+    "q_join_fuzzy",
+    # round 10 batch 9: growth where NULL o_orderdate/o_totalprice rows
+    # are filtered explicitly (lag offsets stay calendar-aligned)
+    "q_ts_growth",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

@@ -1346,3 +1346,123 @@ def test_wilson_is_one_aggregate(spark, sf_dir):
     assert simple.count("Exchange") == 1
     assert "partial_count" in simple
     assert "Join" not in simple
+
+
+def test_pareto_ranks_are_bucket_partitioned(spark, sf_dir):
+    # the customer rank must run inside dist_rank's _b buckets, never a
+    # data-sized single-partition window; decile agg keeps partials
+    simple = plan_of(spark, "q_agg_pareto", sf_dir, mode="simple")
+    assert "windowspecdefinition(_b" in simple
+    assert "partial_sum" in simple
+    # partition-less windows are only the BOUNDED frames: dist_rank's
+    # <=32-row offset table and the 10-row decile cumulative share
+    windows = [
+        l for l in simple.splitlines() if "windowspecdefinition" in l
+    ]
+    partitionless = [l for l in windows if "_b" not in l]
+    for l in partitionless:
+        assert "decile" in l or "_tot" in l or "_b" in l, l
+
+
+def test_hhi_broadcasts_dims_and_prunes_orders(spark, sf_dir):
+    simple = plan_of(spark, "q_agg_hhi", sf_dir, mode="simple")
+    assert simple.count("BroadcastHashJoin") == 3
+    assert "partial_sum" in simple
+    orders_scan = [
+        l for l in simple.splitlines() if "orders.parquet" in l
+    ][0]
+    assert "o_custkey" in orders_scan and "o_totalprice" in orders_scan
+    assert "o_orderdate" not in orders_scan
+
+
+def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir):
+    # all three quintile ranks ride dist_rank's bucketed windows
+    simple = plan_of(spark, "q_agg_rfm", sf_dir, mode="simple")
+    assert simple.count("windowspecdefinition(_b") >= 3
+    assert "partial_sum" in simple
+    # every DATA-sized window rides a _b bucket partition; the
+    # partition-less remainder are dist_rank's <=32-row offset tables
+    windows = [
+        l for l in simple.splitlines() if "windowspecdefinition" in l
+    ]
+    partitionless = [l for l in windows if "windowspecdefinition(_b" not in l]
+    for l in partitionless:
+        assert "_tot" in l or "_b#" in l, l
+
+
+def test_join_fuzzy_blocks_on_prefix_not_allpairs(spark, sf_dir):
+    # the fuzzy join must be an EQUI hash join on the prefix block key
+    # (levenshtein as residual condition), never a nested-loop cross
+    # product; the per-probe argmin is WindowGroupLimit-pruned
+    simple = plan_of(spark, "q_join_fuzzy", sf_dir, mode="simple")
+    assert "BroadcastHashJoin [substr" in simple or (
+        "SortMergeJoin [substr" in simple
+    )
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert "WindowGroupLimit" in simple
+
+
+def test_ratio_ci_is_one_aggregate_no_join(spark, sf_dir):
+    # six exact co-moments in ONE map-side-combined groupBy; the CI
+    # math is a Project over 3 aggregated rows
+    simple = plan_of(spark, "q_agg_ratio_ci", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_sum" in simple
+    assert "Join" not in simple
+    # shuffle count: one agg exchange + the display sort
+    assert simple.count("Exchange") == 2
+
+
+def test_code_detect_is_scan_local(spark, sf_dir):
+    # char-class ppm features are row-local codegen over two pruned
+    # scans; the ONLY exchange is the display sort
+    simple = plan_of(spark, "q_text_code_detect", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 2
+    assert simple.count("Exchange") == 1
+    assert "Join" not in simple
+    for scan_token in ["documents.parquet", "events.parquet"]:
+        assert scan_token in simple
+
+
+def test_cohort_ltv_windows_by_cohort(spark, sf_dir):
+    # the cumulative LTV window partitions by cohort week over
+    # calendar-bounded offset rows; cohort sizes ride a broadcast join
+    simple = plan_of(spark, "q_ts_cohort_ltv", sf_dir, mode="simple")
+    assert "windowspecdefinition(wk0" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "BroadcastHashJoin" in simple
+
+
+def test_growth_single_scan_bounded_windows(spark, sf_dir):
+    # one fact scan -> (priority, month) partial agg; both lags share
+    # one priority-partitioned window over calendar-bounded rows
+    simple = plan_of(spark, "q_ts_growth", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_sum" in simple
+    assert simple.count("Window") == 1
+    assert "windowspecdefinition(o_orderpriority" in simple
+    assert "Join" not in simple
+
+
+def test_dedup_report_shuffles_digests_by_hash(spark, sf_dir):
+    # the keep-first mark partitions by the md5 digest (uniform);
+    # the rollup is a map-side-combined source agg — exactly three
+    # exchanges: hash window, source agg, display sort
+    simple = plan_of(spark, "q_pipeline_dedup_report", sf_dir, mode="simple")
+    assert "windowspecdefinition(hash" in simple
+    assert "partial_sum" in simple
+    assert simple.count("Exchange") == 3
+    assert "Join" not in simple
+
+
+def test_centroid_matrix_bounded_joins(spark, sf_dir):
+    # the only data-sized stage is the (label, pos) partial-agg
+    # shuffle; every join afterwards is broadcast over label-bounded
+    # frames and the pairwise join is pos-equi, never a cross product
+    simple = plan_of(spark, "q_sim_centroid_matrix", sf_dir, mode="simple")
+    assert "partial_sum" in simple
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert simple.count("BroadcastHashJoin") >= 2
+    assert "Generate explode" in simple or "Generate posexplode" in simple
