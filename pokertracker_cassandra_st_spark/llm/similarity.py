@@ -1656,3 +1656,132 @@ def q_sim_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---- q_sim_threshold_sweep --------------------------------------------------- #
+# Dedup-threshold tuning: how many near-duplicate PAIRS exist at
+# cosine >= 0.95 / 0.90 / 0.80, per IVF cell (label) — the sweep a
+# curation team runs before fixing SemDeDup's epsilon. ZERO floats:
+# with q6-quantized components, cos >= tau (tau > 0, rational
+# p/10000) iff dot > 0 AND 10000*dot^2 >= p*nsqa*nsqb, evaluated in
+# exact DECIMAL(38,0) — so the boundary pairs (exact duplicates land
+# EXACTLY on cos = 1) classify identically in both engines.
+
+
+@register(
+    "q_sim_threshold_sweep",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), qt AS (
+  SELECT vec_id, label,
+         list_transform(emb, x -> CAST(CASE WHEN x < 0
+             THEN -floor(-x * 1000000 + 0.5)
+             ELSE  floor( x * 1000000 + 0.5) END AS BIGINT)) AS q
+  FROM base
+), nrm AS (
+  SELECT vec_id, label, q,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(q, x -> x * x)), (a, x) -> a + x) AS BIGINT)
+           AS nsq
+  FROM qt
+), pairs AS (
+  SELECT a.label,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 65), i -> a.q[i] * b.q[i])),
+              (acc, x) -> acc + x) AS BIGINT) AS dot,
+         a.nsq AS na, b.nsq AS nb
+  FROM nrm a JOIN nrm b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.nsq > 0 AND b.nsq > 0
+)
+SELECT label,
+       count(*) AS n_pairs,
+       CAST(SUM(CASE WHEN dot > 0 AND
+              10000 * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
+              >= 9025 * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS dup_95,
+       CAST(SUM(CASE WHEN dot > 0 AND
+              10000 * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
+              >= 8100 * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS dup_90,
+       CAST(SUM(CASE WHEN dot > 0 AND
+              10000 * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
+              >= 6400 * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS dup_80
+FROM pairs GROUP BY label ORDER BY label
+""",
+    tags=("llm", "similarity", "dedup"),
+)
+def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts at cosine thresholds 0.95/0.90/0.80
+    per label cell, decided ENTIRELY in exact integer/decimal
+    arithmetic: quantized dot and squared norms are int64; the
+    threshold test compares 10000*dot^2 against p*nsqa*nsqb in
+    DECIMAL(38,0) (p = 9025/8100/6400), so boundary pairs — exact
+    duplicates sit exactly on cos=1 — agree by construction.
+
+    Scale notes: pairs are generated WITHIN label cells only (the
+    q_sim_ivf blocking — never corpus all-pairs); one label-keyed
+    self-join whose volume is sum(cell^2), the same budget every
+    SemDeDup pass already pays; all three thresholds ride one pass as
+    conditional sums. Zero-norm vectors are excluded (cosine
+    undefined) identically on both sides.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: (F.signum(x) * F.floor(F.abs(x) * 1_000_000 + 0.5)).cast(
+            "long"
+        ),
+    )
+    nsq = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    nrm = (
+        emb.select("vec_id", "label", qcol.alias("q"))
+        .withColumn("nsq", nsq)
+        .filter(F.col("nsq") > 0)
+    )
+    a = nrm.select(
+        "label",
+        F.col("vec_id").alias("ida"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = nrm.select(
+        "label",
+        F.col("vec_id").alias("idb"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("label", dot.alias("dot"), "na", "nb")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    hit = lambda p: (  # noqa: E731
+        (F.col("dot") > 0)
+        & (
+            F.lit(10000) * d38("dot") * d38("dot")
+            >= F.lit(p) * d38("na") * d38("nb")
+        )
+    ).cast("long")
+    return (
+        pairs.groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(hit(9025)).alias("dup_95"),
+            F.sum(hit(8100)).alias("dup_90"),
+            F.sum(hit(6400)).alias("dup_80"),
+        )
+        .orderBy("label")
+    )

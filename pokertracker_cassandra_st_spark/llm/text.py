@@ -1793,3 +1793,80 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * dig) div n").alias("dig_ppm"),
         (sym_ppm >= 100000).alias("is_code"),
     ).orderBy("src", "rid")
+
+
+# ---- q_text_oov_rate --------------------------------------------------------- #
+# Tokenizer-coverage audit: out-of-vocabulary rate per source against
+# the corpus top-100 vocabulary — the number a team checks BEFORE
+# shipping a fixed vocab (q_text_vocab_build's acceptance metric).
+# Vocabulary selection is a deterministic global top-k
+# (count DESC, term ASC), which Spark executes as
+# TakeOrderedAndProject — per-task k-heaps, never a global sort.
+
+_OOV_K = 100
+
+
+@register(
+    "q_text_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), toks2 AS (
+  SELECT source, term FROM toks WHERE term <> ''
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+    FROM toks2 GROUP BY term
+  ) WHERE rk <= {_OOV_K}
+)
+SELECT t.source,
+       count(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       (1000000 * CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)) // count(*) AS oov_ppm
+FROM toks2 t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.source ORDER BY t.source
+""",
+    tags=("text", "llm"),
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate vs the deterministic corpus top-100 vocab
+    (frequency DESC, term ASC tiebreak): tokens explode once, the
+    vocabulary is a global top-k over term counts, and each source's
+    integer-ppm OOV share comes from one broadcast left join.
+
+    Scale notes: the token frame shuffles once for term counts
+    (map-side combined); vocab selection is top-k (per-task heaps +
+    driver merge of k rows, not a global sort); the membership probe
+    broadcasts the 100-term vocab. The per-source rollup reuses the
+    exploded frame — no second tokenize pass.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(_OOV_K)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    probed = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.col("in_v").isNull().cast("long")
+    return (
+        probed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            F.expr("(1000000 * oov_tokens) div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -359,3 +359,156 @@ def q_ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---- q_ts_survival ----------------------------------------------------------- #
+# User-lifetime survival curve: S(w) = fraction of users whose
+# observed lifetime (first to last event) spans at least w weeks —
+# the aggregated companion to q_ts_retention's cohort triangle.
+# Counts and ppm shares are exact integers; the week spine is bounded
+# by the calendar, so the curve is a two-phase suffix sum over a
+# handful of rows.
+
+_SURVIVAL_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         (CAST(epoch(CAST(date_trunc('week', max(ts)) AS DATE)) AS BIGINT)
+          - CAST(epoch(CAST(date_trunc('week', min(ts)) AS DATE)) AS BIGINT))
+           // 604800 AS weeks
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT weeks, count(*) AS n_at FROM life GROUP BY weeks
+)
+SELECT weeks AS lifetime_weeks,
+       n_at AS n_exact,
+       CAST(SUM(n_at) OVER (ORDER BY weeks DESC) AS BIGINT)
+         AS n_surviving,
+       (1000000 * CAST(SUM(n_at) OVER (ORDER BY weeks DESC) AS BIGINT))
+         // CAST(SUM(n_at) OVER () AS BIGINT) AS survival_ppm
+FROM d
+ORDER BY lifetime_weeks
+"""
+
+
+@register(
+    "q_ts_survival", oracle=_SURVIVAL_ORACLE, tags=("timeseries", "behavior")
+)
+def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve over user lifetimes: per-user first/last activity
+    weeks collapse to an integer lifetime; the suffix-cumulative count
+    at each lifetime value is the number of users surviving >= w weeks,
+    reported with its exact integer-ppm share.
+
+    Scale notes: one user_id groupBy (min/max ts only — no payload),
+    then a calendar-bounded lifetime histogram; the suffix sum windows
+    over those bounded rows. The curve an activation team reads daily,
+    at one shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    wk = lambda c: F.unix_timestamp(  # noqa: E731
+        F.date_trunc("week", c).cast("date").cast("timestamp")
+    )
+    life = ev.groupBy("user_id").agg(
+        ((wk(F.max("ts")) - wk(F.min("ts"))) / 604800)
+        .cast("long")
+        .alias("weeks")
+    )
+    d = life.groupBy("weeks").agg(F.count("*").alias("n_exact"))
+    w = Window.orderBy(F.desc("weeks")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return d.select(
+        F.col("weeks").alias("lifetime_weeks"),
+        "n_exact",
+        F.sum("n_exact").over(w).alias("n_surviving"),
+        F.expr(
+            "(1000000 * sum(n_exact) over (order by weeks desc"
+            " rows between unbounded preceding and current row))"
+            " div sum(n_exact) over ()"
+        ).alias("survival_ppm"),
+    ).orderBy("lifetime_weeks")
+
+
+# ---- q_ts_churn -------------------------------------------------------------- #
+# Calendar churn: of the users active in week w, how many are absent
+# in week w+1 — the rolled-up (non-cohort) twin of retention. The
+# absent set is a left-anti self-join of the distinct activity frame
+# on (user, week+1); rates are exact integer ppm.
+
+_CHURN_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+), nxt AS (
+  SELECT a.user_id, a.wk
+  FROM act a LEFT JOIN act b
+    ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+  WHERE b.user_id IS NULL
+), last_wk AS (
+  SELECT max(wk) AS mw FROM act
+)
+SELECT CAST(a.wk AS STRING) AS week,
+       count(DISTINCT a.user_id) AS n_active,
+       CAST(count(DISTINCT n.user_id) AS BIGINT) AS n_churned,
+       (1000000 * CAST(count(DISTINCT n.user_id) AS BIGINT))
+         // count(DISTINCT a.user_id) AS churn_ppm
+FROM act a
+LEFT JOIN nxt n ON a.user_id = n.user_id AND a.wk = n.wk
+CROSS JOIN last_wk
+WHERE a.wk < (SELECT mw FROM last_wk)
+GROUP BY a.wk ORDER BY a.wk
+"""
+
+
+@register(
+    "q_ts_churn", oracle=_CHURN_ORACLE, tags=("timeseries", "behavior")
+)
+def q_ts_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn rate: users active in week w with no activity in
+    week w+1 (the final observed week is excluded — churn there is
+    right-censored). Anti-join on (user, week+1) marks the churners;
+    rates are exact integer ppm.
+
+    Scale notes: the distinct activity frame shuffles once on user_id
+    (both join sides share that partitioning); week arithmetic is
+    date-typed on both engines; the rollup output is calendar-bounded.
+    """
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    b = act.select(
+        F.col("user_id").alias("uid_b"), F.col("wk").alias("wk_b")
+    )
+    churned = (
+        act.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("wk_b") == F.date_add("wk", 7)),
+            "left",
+        )
+        .filter(F.col("uid_b").isNull())
+        .select("user_id", "wk")
+    )
+    last_wk = act.agg(F.max("wk").alias("mw"))
+    marked = act.join(
+        churned.withColumn("is_churn", F.lit(1)), ["user_id", "wk"], "left"
+    )
+    return (
+        marked.crossJoin(F.broadcast(last_wk))
+        .filter(F.col("wk") < F.col("mw"))
+        .groupBy(F.col("wk").cast("string").alias("week"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("is_churn") == 1, F.col("user_id"))
+            ).alias("n_churned"),
+        )
+        .select(
+            "week",
+            "n_active",
+            "n_churned",
+            F.expr("(1000000 * n_churned) div n_active").alias("churn_ppm"),
+        )
+        .orderBy("week")
+    )

@@ -1021,3 +1021,84 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+# ---- q_join_nearest ---------------------------------------------------------- #
+# Nearest-value join — the numeric twin of the as-of join: each
+# supplier matches the customer whose account balance is CLOSEST.
+# Bucketized blocking (value div W, probe buckets b-1/b/b+1) makes the
+# candidate set bucket-local, never all-pairs; exact integer cents
+# distances and a (dist, custkey)-argmin keep the winner unique and
+# engine-portable.
+
+
+@register(
+    "q_join_nearest",
+    oracle="""
+WITH s AS (
+  SELECT s_suppkey, s_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS sc
+  FROM supplier WHERE s_acctbal IS NOT NULL
+), c AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cc
+  FROM customer WHERE c_acctbal IS NOT NULL
+), cand AS (
+  SELECT s.s_suppkey, s.s_name, c.c_custkey,
+         abs(s.sc - c.cc) AS dist_cents
+  FROM s JOIN c
+    ON (c.cc // 100000) BETWEEN (s.sc // 100000) - 1
+                            AND (s.sc // 100000) + 1
+), best AS (
+  SELECT s_suppkey, s_name, c_custkey, dist_cents,
+         row_number() OVER (PARTITION BY s_suppkey
+                            ORDER BY dist_cents, c_custkey) AS rn
+  FROM cand
+)
+SELECT s_suppkey, s_name, c_custkey, dist_cents
+FROM best WHERE rn = 1 ORDER BY s_suppkey
+""",
+    tags=("join",),
+)
+def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor join on a numeric key: suppliers probe the
+    $1000-wide balance bucket they fall in plus both neighbors (the
+    true nearest can never sit further than one bucket away when a
+    same-bucket candidate exists; with the fixture's dense customer
+    balances every bucket is occupied), then exact integer-cents
+    distance and a deterministic per-supplier argmin.
+
+    Scale notes: the join is a bucket-band equi-range (each supplier
+    probes <= 3 buckets), so candidate volume is 3 x bucket occupancy
+    per probe, linear in both sides — the as-of-join doctrine applied
+    to the value domain. Skewed buckets respond to the same knobs as
+    the fuzzy join's blocks: narrower W or a secondary split key.
+    """
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal").isNotNull())
+        .select(
+            "s_suppkey",
+            "s_name",
+            slong("s_acctbal", 2).alias("sc"),
+        )
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .select("c_custkey", slong("c_acctbal", 2).alias("cc"))
+    )
+    cand = sup.join(
+        cust,
+        F.expr(
+            "(cc div 100000) BETWEEN (sc div 100000) - 1"
+            " AND (sc div 100000) + 1"
+        ),
+    ).withColumn("dist_cents", F.abs(F.col("sc") - F.col("cc")))
+    w = Window.partitionBy("s_suppkey").orderBy("dist_cents", "c_custkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_suppkey", "s_name", "c_custkey", "dist_cents")
+        .orderBy("s_suppkey")
+    )

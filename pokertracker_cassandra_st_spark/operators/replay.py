@@ -473,3 +473,66 @@ def q_replay_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("k").alias("last_k"),
         )
     )
+
+
+# ---- q_replay_version_audit -------------------------------------------------- #
+# Version-chain integrity audit — the event-store health check behind
+# replay correctness: for each aggregate (user), does its observed
+# version sequence (event_id, the envelope's VERSION analog —
+# initial_db.sql:5-12 clusters on (ID, NAME, VERSION)) cover the
+# min..max span contiguously, and how large are the holes? A replay
+# fold is only trustworthy when missing versions are known.
+
+
+@register(
+    "q_replay_version_audit",
+    oracle="""
+WITH chain AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         max(event_id) - min(event_id) + 1 - count(*) AS missing,
+         max(event_id) - min(event_id) + 1 AS span
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_aggregates,
+       CAST(SUM(CASE WHEN missing = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contiguous,
+       CAST(SUM(missing) AS BIGINT) AS total_missing,
+       CAST(max(missing) AS BIGINT) AS max_missing,
+       (1000000 * CAST(SUM(n_events) AS BIGINT))
+         // CAST(SUM(span) AS BIGINT) AS density_ppm
+FROM chain
+""",
+    tags=("replay",),
+)
+def q_replay_version_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate version-chain audit rolled up to one row: each
+    user's event_id span vs its event count gives the number of
+    missing versions (holes) in that aggregate's chain; the summary
+    reports contiguous-chain count, total/max holes, and overall chain
+    density in exact integer ppm.
+
+    Scale notes: one map-side-combined user_id groupBy carrying three
+    longs, then a 1-row rollup — the cheapest possible integrity sweep
+    over an event log, which is why it can run before EVERY replay at
+    100 TB. Cf. reference `initial_db.sql:5-12` (VERSION clustering)
+    and the replay fold's per-aggregate order contract (SURVEY Tier
+    A13).
+    """
+    ev = table(spark, sf_dir, "events")
+    chain = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.max("event_id") - F.min("event_id") + 1 - F.count("*")
+        ).alias("missing"),
+        (F.max("event_id") - F.min("event_id") + 1).alias("span"),
+    )
+    return chain.agg(
+        F.count("*").alias("n_aggregates"),
+        F.sum((F.col("missing") == 0).cast("long")).alias("n_contiguous"),
+        F.sum("missing").alias("total_missing"),
+        F.max("missing").alias("max_missing"),
+        F.expr("(1000000 * sum(n_events)) div sum(span)").alias(
+            "density_ppm"
+        ),
+    )

@@ -1080,3 +1080,87 @@ def q_agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - 1.96 * se, 6).alias("ci_lo"),
         F.round(r + 1.96 * se, 6).alias("ci_hi"),
     ).orderBy("l_returnflag")
+
+
+# ---- q_agg_theil ------------------------------------------------------------- #
+# Theil T inequality index per market segment — the decomposable
+# entropy-based companion to q_agg_gini. Each customer's term
+# (x/mu)*ln(x/mu) is quantized to a 1e-12 scaled long (the KL / PSI
+# doctrine: double sums over many rows are not associative) and summed
+# in DECIMAL(38,0) so the aggregate is exact and order-independent at
+# any customer count.
+
+
+@register(
+    "q_agg_theil",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT segment, count(*) AS n,
+         CAST(SUM(cents) AS DOUBLE) / count(*) AS mu
+  FROM spend GROUP BY segment
+), terms AS (
+  SELECT s.segment, m.n,
+         CAST(round((CAST(s.cents AS DOUBLE) / m.mu)
+                    * ln(CAST(s.cents AS DOUBLE) / m.mu)
+                    * 1e12) AS BIGINT) AS tq
+  FROM spend s JOIN m ON s.segment = m.segment
+)
+SELECT segment, max(n) AS n_customers,
+       round(CAST(SUM(CAST(tq AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+             / max(n), 6) AS theil_t
+FROM terms GROUP BY segment ORDER BY segment
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer-spend inequality per market segment:
+    T = (1/n) sum (x/mu) ln(x/mu). Spend is exact integer cents; the
+    segment mean is one deterministic double division; each customer's
+    term quantizes at 1e-12 before an exact DECIMAL(38,0) sum, so the
+    cross-engine compare never meets an associativity-ordered double
+    sum (same doctrine as q_text_kl_divergence / q_dq_drift_psi).
+
+    Scale notes: one fact shuffle (custkey groupBy), one broadcastable
+    segment-means frame (5 rows), one map-side-combined segment
+    aggregate. Unlike q_agg_gini this needs NO global rank — Theil is
+    the inequality measure you can compute in a single pass, which is
+    why pipelines prefer it at 100 TB.
+    """
+    t = tables(spark, sf_dir, "orders", "customer")
+    spend = (
+        t.orders.filter(F.col("o_totalprice").isNotNull())
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum(slong("o_totalprice", 2)).alias("cents"))
+    )
+    m = spend.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        (F.sum("cents").cast("double") / F.count("*")).alias("mu"),
+    )
+    x = F.col("cents").cast("double") / F.col("mu")
+    tq = (
+        F.signum(x * F.log(x))
+        * F.floor(F.abs(x * F.log(x)) * 1e12 + F.lit(0.5))
+    ).cast("long")
+    terms = spend.join(F.broadcast(m), "segment").select(
+        "segment", "n", tq.alias("tq")
+    )
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.round(
+                F.sum(F.col("tq").cast("decimal(38,0)")).cast("double")
+                / 1e12
+                / F.max("n"),
+                6,
+            ).alias("theil_t"),
+        )
+        .orderBy("segment")
+    )

@@ -2015,3 +2015,65 @@ def q_ts_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_pct"
         ),
     ).orderBy("o_orderpriority", "month")
+
+
+# ---- q_ts_transitions -------------------------------------------------------- #
+# First-order Markov transition matrix over each user's event-type
+# sequence (version order = event_id, the envelope's sequence key —
+# cf. initial_db.sql's VERSION clustering column): counts and exact
+# integer-ppm transition probabilities for the enum-bounded
+# (prev, next) matrix.
+
+
+@register(
+    "q_ts_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type FROM seq
+  WHERE prev_type IS NOT NULL
+)
+SELECT prev_type, next_type, count(*) AS n_transitions,
+       (1000000 * count(*))
+         // CAST(SUM(count(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS prob_ppm
+FROM pairs GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+    tags=("timeseries", "behavior"),
+)
+def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: per-user lag in version order
+    (event_id) pairs each event with its predecessor; the enum-bounded
+    (prev, next) matrix carries exact counts and integer-ppm row
+    probabilities.
+
+    Scale notes: ONE user_id exchange feeds the lag window (per-user
+    state, bounded partitions); the pair rollup is map-side combined
+    into an enum-bounded matrix, and the row-probability window runs
+    over those matrix rows only. The denominator is a window over the
+    AGGREGATED frame — no second pass over events.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    g = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    wp = Window.partitionBy("prev_type")
+    return g.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr(
+            "(1000000 * n_transitions) div "
+            "sum(n_transitions) over (partition by prev_type)"
+        ).alias("prob_ppm"),
+    ).orderBy("prev_type", "next_type")

@@ -199,6 +199,9 @@ DOC_QUERIES = [
     # round 10 batch 9: dedup accounting over the 10 exact-dup docs
     # (keep-first by doc_id; empty/whitespace docs hash and count too)
     "q_pipeline_dedup_report",
+    # round 10 batch 10: OOV rate where empty/whitespace docs produce
+    # no tokens and the top-100 cut is tie-broken (cnt DESC, term)
+    "q_text_oov_rate",
     "q_text_stats",
     "q_text_langid",
     "q_text_quality",
@@ -335,6 +338,19 @@ EVENT_QUERIES.append("q_text_code_detect")
 # cohort; the single-event user 999 forms a 1-member cohort)
 EVENT_QUERIES.append("q_ts_cohort_ltv")
 
+# round 10 batch 10: transition matrix under celebrity skew (user 0's
+# chain is one deep lag partition; the 1-event user contributes no
+# pair) — version order is event_id, so NULL values are irrelevant
+EVENT_QUERIES.append("q_ts_transitions")
+
+# round 10 batch 11: survival/churn/version-audit under celebrity skew
+# (user 0's lifetime spans the corpus; user 999's single event is a
+# 0-week lifetime, a churner the week it appears, and a contiguous
+# 1-event chain with span 1)
+EVENT_QUERIES.extend(
+    ["q_ts_survival", "q_ts_churn", "q_replay_version_audit"]
+)
+
 
 def _adv_documents(rng) -> pd.DataFrame:
     texts = [
@@ -398,6 +414,11 @@ EMB_QUERIES = [
     # label centroid toward 0 identically), exact-dup pair, tiny vector
     # quantizing to all-zero, single-member cell (centroid = the vector)
     "q_sim_centroid_matrix",
+    # round 10 batch 10: threshold sweep vs the SAME degenerates — the
+    # zero/tiny vectors are excluded (nsq=0) identically, the exact-dup
+    # pair lands EXACTLY on cos=1 (the >= boundary the integer
+    # arithmetic exists for), the single-member cell yields no pair
+    "q_sim_threshold_sweep",
     "q_dedup_embedding",
     "q_dedup_semantic",
     "q_sim_topk",
@@ -538,6 +559,13 @@ REL_QUERIES = [
     # round 10 batch 9: growth where NULL o_orderdate/o_totalprice rows
     # are filtered explicitly (lag offsets stay calendar-aligned)
     "q_ts_growth",
+    # round 10 batch 10: Theil where NULL o_totalprice is filtered
+    # before spend (ln terms quantize identically on both sides)
+    "q_agg_theil",
+    # round 10 batch 11: nearest-value join where NULL acctbal rows
+    # are filtered before blocking on both sides (a NULL bucket key
+    # would silently drop probes asymmetrically otherwise)
+    "q_join_nearest",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

@@ -1466,3 +1466,81 @@ def test_centroid_matrix_bounded_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in simple
     assert simple.count("BroadcastHashJoin") >= 2
     assert "Generate explode" in simple or "Generate posexplode" in simple
+
+
+def test_theil_single_pass_no_rank(spark, sf_dir):
+    # Theil needs no global rank (unlike gini): one fact shuffle, a
+    # broadcast 5-row means frame, a map-side-combined segment agg
+    simple = plan_of(spark, "q_agg_theil", sf_dir, mode="simple")
+    assert "partial_sum" in simple
+    assert "windowspecdefinition" not in simple
+    assert "BroadcastHashJoin" in simple
+
+
+def test_oov_vocab_is_topk_not_global_sort(spark, sf_dir):
+    # vocab selection must be TakeOrderedAndProject (per-task k-heaps),
+    # and the membership probe a broadcast join
+    simple = plan_of(spark, "q_text_oov_rate", sf_dir, mode="simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+
+
+def test_transitions_one_user_exchange(spark, sf_dir):
+    # lag rides ONE user_id exchange; the probability window runs over
+    # the enum-bounded matrix only
+    simple = plan_of(spark, "q_ts_transitions", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "windowspecdefinition(user_id" in simple
+    assert "windowspecdefinition(prev_type" in simple
+    assert "Join" not in simple
+
+
+def test_threshold_sweep_blocks_on_label(spark, sf_dir):
+    # pair generation is label-equi (in-cell), never a cross product;
+    # all three thresholds are conditional sums in ONE aggregate
+    simple = plan_of(spark, "q_sim_threshold_sweep", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "partial_sum" in simple
+    assert simple.count("HashAggregate") <= 4  # one agg (partial+final) x2 plans max
+
+
+def test_survival_one_user_shuffle(spark, sf_dir):
+    # per-user lifetime is one min/max groupBy; the suffix-sum window
+    # runs over the calendar-bounded lifetime histogram only
+    simple = plan_of(spark, "q_ts_survival", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_min" in simple and "partial_max" in simple
+    assert "Join" not in simple  # the total comes from the histogram itself
+
+
+def test_churn_shares_user_partitioning(spark, sf_dir):
+    # both sides of the (user, week+1) anti probe descend from the
+    # same distinct activity frame; no nested-loop anywhere
+    simple = plan_of(spark, "q_ts_churn", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "SortMergeJoin" in simple or "ShuffledHashJoin" in simple or (
+        "BroadcastHashJoin" in simple
+    )
+
+
+def test_nearest_join_is_bucket_banded(spark, sf_dir):
+    # candidate generation must be bucket-band limited (<=3 buckets per
+    # probe), never a full nested-loop over customer x supplier;
+    # per-supplier argmin is WindowGroupLimit-pruned
+    simple = plan_of(spark, "q_join_nearest", sf_dir, mode="simple")
+    assert "WindowGroupLimit" in simple
+    # the band predicate compiles to a range condition on the bucket
+    # keys inside the join, not a post-join filter of a cross product
+    assert "CartesianProduct" not in simple
+
+
+def test_version_audit_single_aggregate_chain(spark, sf_dir):
+    # one user_id groupBy carrying three longs, then a 1-row rollup —
+    # no joins, no windows
+    simple = plan_of(spark, "q_replay_version_audit", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_count" in simple
+    assert "Join" not in simple
+    assert "windowspecdefinition" not in simple
