@@ -512,3 +512,87 @@ def q_ts_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---- q_ts_conversion_lag ----------------------------------------------------- #
+# Time-to-convert distribution: seconds between each user's FIRST view
+# and their FIRST purchase after it (q_ts_funnel's staged-min-ts
+# semantics), summarized with exact integer seconds and the x4-
+# quantized exact-quartile device from q_agg_percentile_exact (integer
+# inputs x4 make the .25/.5/.75 interpolation land on exact integers).
+
+_CONV_LAG_ORACLE = """
+WITH fv AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id,
+         CAST(floor(epoch(min(e.ts))) AS BIGINT)
+           - CAST(floor(epoch(fv.t_view)) AS BIGINT) AS lag_s
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.t_view
+  GROUP BY e.user_id, fv.t_view
+)
+SELECT count(*) AS n_converted,
+       min(lag_s) AS min_s,
+       max(lag_s) AS max_s,
+       round(CAST(SUM(lag_s) AS DOUBLE) / count(*), 6) AS avg_s,
+       CAST(quantile_cont(lag_s * 4, 0.25) AS BIGINT) AS p25_q4,
+       CAST(quantile_cont(lag_s * 4, 0.50) AS BIGINT) AS p50_q4,
+       CAST(quantile_cont(lag_s * 4, 0.75) AS BIGINT) AS p75_q4
+FROM fp
+"""
+
+
+@register(
+    "q_ts_conversion_lag",
+    oracle=_CONV_LAG_ORACLE,
+    tags=("timeseries", "behavior"),
+)
+def q_ts_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase latency distribution: per converting user, the
+    integer seconds from first view to the first purchase after it;
+    min/max/mean plus exact quartiles on x4-quantized integer seconds
+    (the interpolated quantile of 4k-integers is itself an exact
+    integer — no float boundary between engines).
+
+    Scale notes: two user_id-keyed min-aggregates and one same-key
+    join (q_ts_funnel's shape), then a single global aggregate whose
+    percentile runs over per-user scalars, not events. The latency
+    histogram every growth team reads next to the funnel counts.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts"))
+                - F.unix_timestamp(F.col("t_view"))
+            ).alias("lag_s")
+        )
+    )
+    return fp.agg(
+        F.count("*").alias("n_converted"),
+        F.min("lag_s").alias("min_s"),
+        F.max("lag_s").alias("max_s"),
+        F.round(F.sum("lag_s").cast("double") / F.count("*"), 6).alias(
+            "avg_s"
+        ),
+        F.percentile(F.col("lag_s") * 4, F.lit(0.25))
+        .cast("long")
+        .alias("p25_q4"),
+        F.percentile(F.col("lag_s") * 4, F.lit(0.50))
+        .cast("long")
+        .alias("p50_q4"),
+        F.percentile(F.col("lag_s") * 4, F.lit(0.75))
+        .cast("long")
+        .alias("p75_q4"),
+    )

@@ -1102,3 +1102,73 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "c_custkey", "dist_cents")
         .orderBy("s_suppkey")
     )
+
+
+# ---- q_agg_key_skew ---------------------------------------------------------- #
+# Join-key skew advisor — the diagnostic that decides when q_join_salted's
+# remedy is needed: per-key frequency profile of the orders->customer
+# join key with the hot keys, their corpus share, and a skew factor
+# (max/mean, scaled x1000 exact).
+
+
+@register(
+    "q_agg_key_skew",
+    oracle="""
+WITH k AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+), s AS (
+  SELECT count(*) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_cnt
+  FROM k
+), hot AS (
+  SELECT o_custkey, cnt,
+         row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rk
+  FROM k
+)
+SELECT h.rk, h.o_custkey AS hot_key, h.cnt,
+       (1000000 * h.cnt) // s.n_rows AS share_ppm,
+       (1000 * h.cnt * s.n_keys) // s.n_rows AS skew_x1000
+FROM hot h CROSS JOIN s
+WHERE h.rk <= 10 ORDER BY h.rk
+""",
+    tags=("join", "dq"),
+)
+def q_agg_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest orders.o_custkey values with exact integer corpus
+    share (ppm) and skew factor (key count over mean key count,
+    x1000) — the number that tells you whether the plain shuffle join
+    survives or q_join_salted's salting / AQE skew split is required.
+
+    Scale notes: one map-side-combined key count, a broadcast 1-row
+    stats frame, and a top-10 via TakeOrderedAndProject-able rank —
+    per-task heaps, no global sort. Run it on any prospective join key
+    before the join itself; at 100 TB the profile costs one narrow
+    shuffle of (key, count) partials.
+    """
+    k = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    hot = k.orderBy(F.desc("cnt"), "o_custkey").limit(10)
+    w = Window.orderBy(F.desc("cnt"), "o_custkey")
+    return (
+        hot.withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "rk",
+            F.col("o_custkey").alias("hot_key"),
+            "cnt",
+            F.expr("(1000000 * cnt) div n_rows").alias("share_ppm"),
+            F.expr("(1000 * cnt * n_keys) div n_rows").alias("skew_x1000"),
+        )
+        .orderBy("rk")
+    )

@@ -1035,3 +1035,97 @@ def q_dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_distinct_b",
         (F.col("n_violating_keys") == 0).alias("holds"),
     )
+
+
+# ---- q_dq_rules -------------------------------------------------------------- #
+# Cross-field conditional rule audit — the IMPLIES-shaped contracts
+# q_dq_expectations' per-column checks can't express: each rule has a
+# guard (which rows it applies to), an assertion, and three-valued
+# accounting (rows with NULL operands are 'unchecked', not violations).
+
+_DQ_RULES = [
+    # (name, guard SQL, assertion SQL, operand non-null SQL)
+    (
+        "returned_implies_final",
+        "l_returnflag = 'R'",
+        "l_linestatus = 'F'",
+        "l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL",
+    ),
+    (
+        "discount_cap",
+        "TRUE",
+        "l_discount <= 0.10",
+        "l_discount IS NOT NULL",
+    ),
+    (
+        "tax_band",
+        "TRUE",
+        "l_tax >= 0.00 AND l_tax <= 0.08",
+        "l_tax IS NOT NULL",
+    ),
+    (
+        "big_order_priced",
+        "l_quantity >= 40",
+        "l_extendedprice >= 1000",
+        "l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL",
+    ),
+]
+
+
+def _dq_rules_oracle() -> str:
+    parts = []
+    for name, guard, assertion, nn in _DQ_RULES:
+        parts.append(
+            f"""SELECT '{name}' AS rule,
+       CAST(SUM(CASE WHEN {nn} AND ({guard}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_checked,
+       CAST(SUM(CASE WHEN {nn} AND ({guard}) AND NOT ({assertion})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       (1000000 * CAST(SUM(CASE WHEN {nn} AND ({guard})
+                            AND NOT ({assertion})
+                           THEN 1 ELSE 0 END) AS BIGINT))
+         // greatest(CAST(SUM(CASE WHEN {nn} AND ({guard}) THEN 1 ELSE 0
+                          END) AS BIGINT), 1) AS violation_ppm
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY rule"
+
+
+@register("q_dq_rules", oracle=_dq_rules_oracle(), tags=("dq",))
+def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded cross-field rules over lineitem ('IF guard THEN
+    assertion'): per rule, the checked-row count (guard true, operands
+    non-null), violations (assertion false among checked), and the
+    exact integer-ppm violation rate. NULL operands are unchecked on
+    both sides — the three-valued trap is handled by explicit operand
+    gates, not engine NULL semantics.
+
+    Scale notes: all rules evaluate in ONE scan as conditional
+    aggregates (map-side combined, no per-rule pass, no union of
+    scans on the Spark side — the rule list compiles to 2k columns of
+    one aggregate, then unpivots to rows). Adding a rule costs two
+    more partial-agg columns, not a table pass.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for name, guard, assertion, nn in _DQ_RULES:
+        checked = F.expr(f"({nn}) AND ({guard})")
+        viol = F.expr(f"({nn}) AND ({guard}) AND NOT ({assertion})")
+        aggs.append(F.sum(checked.cast("long")).alias(f"c_{name}"))
+        aggs.append(F.sum(viol.cast("long")).alias(f"v_{name}"))
+    one = li.agg(*aggs)
+    rows = []
+    for name, _g, _a, _n in _DQ_RULES:
+        rows.append(
+            f"struct('{name}' AS rule, c_{name} AS n_checked,"
+            f" v_{name} AS n_violations,"
+            f" (1000000 * v_{name}) div greatest(c_{name}, 1L)"
+            f" AS violation_ppm)"
+        )
+    return (
+        one.select(
+            F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("r")
+        )
+        .select("r.*")
+        .orderBy("rule")
+    )

@@ -467,3 +467,94 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept", ~((F.col("mx") < F.lit(lo)) | (F.col("mn") > F.lit(hi)))
         )
     )
+
+
+# ---- q_scan_run_profile ------------------------------------------------------ #
+# Storage-clustering audit: how well does each l_returnflag value RUN
+# in the table's natural key order (l_orderkey, l_linenumber)? Long
+# runs = better RLE/dictionary compression and tighter row-group
+# min/max bounds (the property q_sort_zorder / q_sort_hilbert
+# optimize FOR) — this query MEASURES it, with run detection local to
+# each order's partition so no global-order window exists.
+
+
+@register(
+    "q_scan_run_profile",
+    oracle="""
+WITH flagged AS (
+  SELECT l_returnflag,
+         CASE WHEN lag(l_returnflag) OVER w IS DISTINCT FROM l_returnflag
+              THEN 1 ELSE 0 END AS run_start
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber NULLS FIRST, l_partkey NULLS FIRST,
+                        l_suppkey NULLS FIRST, l_quantity NULLS FIRST,
+                        l_extendedprice NULLS FIRST,
+                        l_returnflag NULLS FIRST, l_linestatus NULLS FIRST)
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(SUM(run_start) AS BIGINT) AS n_runs,
+       (1000 * count(*)) // CAST(SUM(run_start) AS BIGINT)
+         AS avg_run_len_x1000
+FROM flagged GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("scan", "layout"),
+)
+def q_scan_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile of l_returnflag in (l_orderkey, l_linenumber)
+    order: a run starts where the value differs from its predecessor
+    within the order (null-safe compare makes each order's first row a
+    start). Fewer runs per row = better RLE compression and more
+    effective row-group skipping for that column in this layout.
+
+    Scale notes: run detection is WITHIN l_orderkey partitions (order
+    boundaries are run boundaries by definition here), so the lag
+    window partitions on the natural key — no global-order
+    single-task window; the rollup is a 3-row map-side-combined
+    aggregate. The layout counterpart of q_sort_zorder: one measures,
+    the other fixes.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    # (orderkey, linenumber) is NOT unique in the fixture; the order
+    # key is extended to a total order whose FINAL components include
+    # l_returnflag itself, so any residual ties are value-identical
+    # and cannot change the run profile. NULLS FIRST is pinned in the
+    # oracle because Spark ASC defaults to NULLS FIRST while DuckDB
+    # defaults to NULLS LAST — a NULL order-key component must not
+    # reorder neighbors asymmetrically
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    flagged = li.select(
+        "l_returnflag",
+        (
+            ~F.lag("l_returnflag")
+            .over(w)
+            .eqNullSafe(F.col("l_returnflag"))
+        )
+        .cast("long")
+        .alias("run_start"),
+    )
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("run_start").alias("n_runs"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_runs",
+            F.expr("(1000 * n_rows) div n_runs").alias("avg_run_len_x1000"),
+        )
+        .orderBy("l_returnflag")
+    )

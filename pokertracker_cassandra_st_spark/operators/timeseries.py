@@ -2077,3 +2077,162 @@ def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(n_transitions) over (partition by prev_type)"
         ).alias("prob_ppm"),
     ).orderBy("prev_type", "next_type")
+
+
+# ---- q_fn_time_bucket -------------------------------------------------------- #
+# Hypertable-style time_bucket with an ORIGIN: arbitrary-width (90 min)
+# buckets anchored at a 30-minute offset — the knob date_trunc lacks
+# and every irregular-cadence rollup (shift schedules, billing
+# periods) needs. Pure integer epoch arithmetic on both engines.
+
+_TB_W = 5400   # 90-minute buckets
+_TB_O = 1800   # anchored at :30 past the epoch hour
+
+
+@register(
+    "q_fn_time_bucket",
+    oracle=f"""
+WITH b AS (
+  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) - {_TB_O}) // {_TB_W})
+           * {_TB_W} + {_TB_O} AS bs,
+         value
+  FROM events
+)
+SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * bs,
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       count(*) AS n_events,
+       CAST(SUM(CASE WHEN value IS NOT NULL
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS value_cents
+FROM b GROUP BY bucket_start ORDER BY bucket_start
+""",
+    tags=("timeseries", "fn"),
+)
+def q_fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket(90 min, ts, origin=:30): bucket start = origin +
+    ((epoch - origin) div width) * width — exact integer arithmetic, so
+    a row 1 second before :30 and 1 second after land in different
+    buckets identically on both engines; per-bucket counts and exact
+    cents.
+
+    Scale notes: the bucket id is a row-local integer expression (no
+    window, no join); ONE map-side-combined groupBy on the bucket.
+    This is the generalized form of q_ts_downsample's fixed 6-hour
+    grid — origin-anchored widths date_trunc cannot express.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    ev = table(spark, sf_dir, "events")
+    e = F.unix_timestamp("ts")
+    bs = ((e - _TB_O) - F.pmod(e - _TB_O, _TB_W)) + _TB_O
+    return (
+        ev.select(
+            F.date_format(bs.cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "value",
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("value").isNotNull(), slong("value", 2))
+            ).alias("value_cents"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+# ---- q_ts_bursts ------------------------------------------------------------- #
+# Burst-episode detection: hours whose event count spikes to >= 3x the
+# trailing-6-bucket baseline (and >= 5 absolute) merge into contiguous
+# episodes via the islands trick. The threshold test is the integer
+# cross-multiplication 6*cnt >= 3*trailing_sum — no fractional
+# baseline ever materializes, so the engines agree exactly.
+
+
+@register(
+    "q_ts_bursts",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), flagged AS (
+  SELECT event_type, hb, cnt,
+         CAST(coalesce(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hb
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS trail,
+         count(*) OVER (PARTITION BY event_type ORDER BY hb
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS n_trail
+  FROM hourly
+), bursts AS (
+  SELECT event_type, hb, cnt,
+         hb - row_number() OVER (PARTITION BY event_type ORDER BY hb)
+           AS grp
+  FROM flagged
+  WHERE n_trail >= 3 AND 6 * cnt >= 3 * trail AND cnt >= 5
+)
+SELECT event_type,
+       strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (min(hb) * 3600),
+                '%Y-%m-%d %H:%M:%S') AS burst_start,
+       strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (max(hb) * 3600),
+                '%Y-%m-%d %H:%M:%S') AS burst_end,
+       count(*) AS n_hours,
+       max(cnt) AS peak_count
+FROM bursts GROUP BY event_type, grp
+ORDER BY event_type, burst_start
+""",
+    tags=("timeseries",),
+)
+def q_ts_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic bursts per event type: an hour qualifies when its count
+    reaches 3x the trailing 6-observed-hours baseline (integer
+    cross-multiplied — 6*cnt >= 3*trailing_sum), with >= 3 trailing
+    observations and an absolute floor of 5; consecutive qualifying
+    hours collapse to episodes (hb - row_number islands) with
+    start/end/duration/peak.
+
+    Scale notes: ONE (type, hour) pre-aggregation shrinks events to
+    calendar-bounded rows; the trailing window, islands rank and
+    episode rollup all partition by event_type over those bounded
+    rows and share one exchange. Detection thresholds never leave
+    exact integer arithmetic.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("hb"),
+    ).agg(F.count("*").alias("cnt"))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-6, -1)
+    )
+    flagged = hourly.select(
+        "event_type",
+        "hb",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wt), F.lit(0)).alias("trail"),
+        F.count("*").over(wt).alias("n_trail"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("hb")
+    bursts = flagged.filter(
+        (F.col("n_trail") >= 3)
+        & (6 * F.col("cnt") >= 3 * F.col("trail"))
+        & (F.col("cnt") >= 5)
+    ).withColumn("grp", F.col("hb") - F.row_number().over(wr))
+    fmt = lambda c: F.date_format(  # noqa: E731
+        (c * 3600).cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+    )
+    return (
+        bursts.groupBy("event_type", "grp")
+        .agg(
+            fmt(F.min("hb")).alias("burst_start"),
+            fmt(F.max("hb")).alias("burst_end"),
+            F.count("*").alias("n_hours"),
+            F.max("cnt").alias("peak_count"),
+        )
+        .drop("grp")
+        .orderBy("event_type", "burst_start")
+    )

@@ -351,6 +351,16 @@ EVENT_QUERIES.extend(
     ["q_ts_survival", "q_ts_churn", "q_replay_version_audit"]
 )
 
+# round 10 batch 12: origin-anchored buckets where NULL values drop
+# from the cents sum but not the count; conversion lag under celebrity
+# skew (user 0 converts once; the funnel dedups by first-ts semantics)
+EVENT_QUERIES.extend(["q_fn_time_bucket", "q_ts_conversion_lag"])
+
+# round 10 batch 13: burst episodes under celebrity skew (user 0's
+# burst IS an episode; integer cross-multiplied threshold, trailing
+# window over observed hours only)
+EVENT_QUERIES.append("q_ts_bursts")
+
 
 def _adv_documents(rng) -> pd.DataFrame:
     texts = [
@@ -566,6 +576,15 @@ REL_QUERIES = [
     # are filtered before blocking on both sides (a NULL bucket key
     # would silently drop probes asymmetrically otherwise)
     "q_join_nearest",
+    # round 10 batch 12: run profile where injected NULL l_returnflag
+    # forms its own runs (IS DISTINCT FROM / eqNullSafe parity) and
+    # NULL l_quantity rows tie-break through the extended order key;
+    # rules where NULL operands are 'unchecked' by explicit gates
+    "q_scan_run_profile",
+    "q_dq_rules",
+    # round 10 batch 13: key-skew advisor where NULL o_custkey is
+    # filtered before profiling (the hot-key ranks must agree)
+    "q_agg_key_skew",
 ]
 
 # streaming queries on adversarial events (oracle = batch recompute)

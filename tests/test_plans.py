@@ -1544,3 +1544,86 @@ def test_version_audit_single_aggregate_chain(spark, sf_dir):
     assert "partial_count" in simple
     assert "Join" not in simple
     assert "windowspecdefinition" not in simple
+
+
+def test_time_bucket_is_one_aggregate(spark, sf_dir):
+    # the bucket id is row-local integer arithmetic — one map-side-
+    # combined groupBy, no window, no join
+    simple = plan_of(spark, "q_fn_time_bucket", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_count" in simple
+    assert "Join" not in simple
+    assert "windowspecdefinition" not in simple
+
+
+def test_conversion_lag_reuses_user_key(spark, sf_dir):
+    # funnel-shaped: two user_id aggregates + one same-key join; the
+    # percentile runs over per-user scalars (one final 1-row agg)
+    simple = plan_of(spark, "q_ts_conversion_lag", sf_dir, mode="simple")
+    assert "partial_min" in simple
+    assert "percentile" in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_run_profile_windows_by_orderkey(spark, sf_dir):
+    # run detection is partition-local to l_orderkey — never a
+    # global-order single-task window
+    simple = plan_of(spark, "q_scan_run_profile", sf_dir, mode="simple")
+    assert "windowspecdefinition(l_orderkey" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
+
+
+def test_dq_rules_single_scan(spark, sf_dir):
+    # all rules ride ONE scan as conditional aggregates; the per-rule
+    # rows come from an explode of the 1-row aggregate, not a union
+    # of scans
+    simple = plan_of(spark, "q_dq_rules", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Union" not in simple
+    assert "partial_sum" in simple
+
+
+def test_parquet_aggregate_pushdown_capability(spark, sf_dir):
+    """Ungrouped COUNT/MIN/MAX can be answered from parquet footer
+    statistics (PushedAggregation) when the v2 scan path is enabled —
+    the 100 TB lever for catalog-style 'how big is this table'
+    queries. Pinned in an ISOLATED newSession so the v1/v2 source
+    switch never leaks into other queries' plans (the registry keeps
+    the v1 default)."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ns.conf.set("spark.sql.sources.useV1SourceList", "")
+    from pyspark.sql import functions as SF
+
+    df = ns.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = df.agg(
+        SF.count("*").alias("n"),
+        SF.min("l_quantity").alias("mn"),
+        SF.max("l_extendedprice").alias("mx"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_extendedprice)]" in plan
+    row = agg.collect()[0]
+    assert row["n"] > 0 and row["mn"] is not None
+    # the shared session is untouched: its parquet reads stay v1
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,parquet,text") != ""
+
+
+def test_key_skew_topk_no_global_sort(spark, sf_dir):
+    # hot keys via TakeOrderedAndProject (per-task heaps); stats ride
+    # a broadcast 1-row frame
+    simple = plan_of(spark, "q_agg_key_skew", sf_dir, mode="simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "partial_count" in simple
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in simple
+
+
+def test_bursts_share_one_type_exchange(spark, sf_dir):
+    # hourly pre-agg, trailing window, islands rank and episode rollup
+    # all ride event_type partitioning over calendar-bounded rows
+    simple = plan_of(spark, "q_ts_bursts", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "windowspecdefinition(event_type" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
