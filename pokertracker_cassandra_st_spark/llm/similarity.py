@@ -1660,27 +1660,34 @@ def q_sim_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- q_sim_threshold_sweep --------------------------------------------------- #
 # Dedup-threshold tuning: how many near-duplicate PAIRS exist at
-# cosine >= 0.95 / 0.90 / 0.80, per IVF cell (label) — the sweep a
-# curation team runs before fixing SemDeDup's epsilon. ZERO floats:
-# with q6-quantized components, cos >= tau (tau > 0, rational
-# p/10000) iff dot > 0 AND 10000*dot^2 >= p*nsqa*nsqb, evaluated in
-# exact DECIMAL(38,0) — so the boundary pairs (exact duplicates land
-# EXACTLY on cos = 1) classify identically in both engines.
+# cosine >= 0.95 / 0.90 / 0.80, per label, WITHIN the corpus-size-
+# adaptive (label, subcell) blocking cells the SemDeDup family
+# actually dedups in (dedup.CELL_BITS_LADDER: cb=0 at gate scales —
+# identical to plain label cells — deeper splits at 10x/100x keep
+# expected cell depth <= CELL_TARGET, so pair volume stays
+# ~O(n * CELL_TARGET), never quadratic in corpus size; the first cut
+# of this operator joined raw label cells and the 100x sweep showed
+# exactly the quadratic pair blow-up the ladder exists to prevent).
+# ZERO floats: with q6-quantized components, cos >= tau (tau > 0,
+# rational p/10000) iff dot > 0 AND 10000*dot^2 >= p*nsqa*nsqb,
+# evaluated in exact DECIMAL(38,0) — boundary pairs (exact duplicates
+# land EXACTLY on cos = 1) classify identically in both engines.
 
 
-@register(
-    "q_sim_threshold_sweep",
-    oracle="""
-WITH base AS (
+def _threshold_sweep_oracle() -> str:
+    from pokertracker_cassandra_st_spark.llm.dedup import _cell_subcell_ctes
+
+    return f"""
+WITH aug AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-), qt AS (
-  SELECT vec_id, label,
+), {_cell_subcell_ctes()}, qt AS (
+  SELECT vec_id, label, subcell,
          list_transform(emb, x -> CAST(CASE WHEN x < 0
              THEN -floor(-x * 1000000 + 0.5)
              ELSE  floor( x * 1000000 + 0.5) END AS BIGINT)) AS q
-  FROM base
+  FROM cells
 ), nrm AS (
-  SELECT vec_id, label, q,
+  SELECT vec_id, label, subcell, q,
          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
               list_transform(q, x -> x * x)), (a, x) -> a + x) AS BIGINT)
            AS nsq
@@ -1692,7 +1699,8 @@ WITH base AS (
               (acc, x) -> acc + x) AS BIGINT) AS dot,
          a.nsq AS na, b.nsq AS nb
   FROM nrm a JOIN nrm b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+    ON a.label = b.label AND a.subcell = b.subcell
+   AND a.vec_id < b.vec_id
   WHERE a.nsq > 0 AND b.nsq > 0
 )
 SELECT label,
@@ -1710,27 +1718,41 @@ SELECT label,
               >= 6400 * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
             THEN 1 ELSE 0 END) AS BIGINT) AS dup_80
 FROM pairs GROUP BY label ORDER BY label
-""",
+"""
+
+
+@register(
+    "q_sim_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
     tags=("llm", "similarity", "dedup"),
 )
 def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pair counts at cosine thresholds 0.95/0.90/0.80
-    per label cell, decided ENTIRELY in exact integer/decimal
-    arithmetic: quantized dot and squared norms are int64; the
-    threshold test compares 10000*dot^2 against p*nsqa*nsqb in
-    DECIMAL(38,0) (p = 9025/8100/6400), so boundary pairs — exact
-    duplicates sit exactly on cos=1 — agree by construction.
+    per label, generated WITHIN the adaptive (label, subcell) blocking
+    cells shared with q_dedup_semantic (cb=0 at gate scales makes the
+    cell key degrade to the plain label; at 10x/100x the ladder keeps
+    expected cell depth <= CELL_TARGET so the self-join's pair volume
+    stays linear in the corpus). The threshold test compares
+    10000*dot^2 against p*nsqa*nsqb in exact DECIMAL(38,0)
+    (p = 9025/8100/6400), so boundary pairs — exact duplicates sit
+    exactly on cos=1 — agree by construction; zero-norm vectors are
+    excluded (cosine undefined) identically on both sides.
 
-    Scale notes: pairs are generated WITHIN label cells only (the
-    q_sim_ivf blocking — never corpus all-pairs); one label-keyed
-    self-join whose volume is sum(cell^2), the same budget every
-    SemDeDup pass already pays; all three thresholds ride one pass as
-    conditional sums. Zero-norm vectors are excluded (cosine
-    undefined) identically on both sides.
+    Scale notes: this measures the thresholds where the SemDeDup
+    family would actually cut, inside the same cells it cuts in —
+    cross-cell pairs are out of scope by the documented blocking
+    trade. All three thresholds ride one pass as conditional sums; the
+    per-pair payload through the join is the two quantized vectors,
+    bounded by cell depth, not corpus size.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    from pokertracker_cassandra_st_spark.llm.dedup import _with_subcell
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cells = _with_subcell(emb)
     qcol = F.transform(
-        F.col("embedding").cast("array<double>"),
+        "emb",
         lambda x: (F.signum(x) * F.floor(F.abs(x) * 1_000_000 + 0.5)).cast(
             "long"
         ),
@@ -1741,18 +1763,20 @@ def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     nrm = (
-        emb.select("vec_id", "label", qcol.alias("q"))
+        cells.select("vec_id", "label", "subcell", qcol.alias("q"))
         .withColumn("nsq", nsq)
         .filter(F.col("nsq") > 0)
     )
     a = nrm.select(
         "label",
+        "subcell",
         F.col("vec_id").alias("ida"),
         F.col("q").alias("qa"),
         F.col("nsq").alias("na"),
     )
     b = nrm.select(
         "label",
+        "subcell",
         F.col("vec_id").alias("idb"),
         F.col("q").alias("qb"),
         F.col("nsq").alias("nb"),
@@ -1763,7 +1787,7 @@ def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, "label")
+        a.join(b.hint("shuffle_hash"), ["label", "subcell"])
         .filter(F.col("ida") < F.col("idb"))
         .select("label", dot.alias("dot"), "na", "nb")
     )

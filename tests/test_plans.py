@@ -1496,14 +1496,16 @@ def test_transitions_one_user_exchange(spark, sf_dir):
     assert "Join" not in simple
 
 
-def test_threshold_sweep_blocks_on_label(spark, sf_dir):
-    # pair generation is label-equi (in-cell), never a cross product;
-    # all three thresholds are conditional sums in ONE aggregate
+def test_threshold_sweep_blocks_on_adaptive_cells(spark, sf_dir):
+    # pair generation is (label, subcell)-equi over the adaptive cell
+    # ladder (SHUFFLE_HASH — the frame descends from HOF projections
+    # whose size the planner can't estimate), never a cross product;
+    # the 1-row ladder-params frame rides a broadcast
     simple = plan_of(spark, "q_sim_threshold_sweep", sf_dir, mode="simple")
     assert "CartesianProduct" not in simple
-    assert "BroadcastNestedLoopJoin" not in simple
+    assert "ShuffledHashJoin [label" in simple
+    assert "subcell" in simple
     assert "partial_sum" in simple
-    assert simple.count("HashAggregate") <= 4  # one agg (partial+final) x2 plans max
 
 
 def test_survival_one_user_shuffle(spark, sf_dir):
