@@ -522,7 +522,12 @@ def q_pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(dup).alias("n_dups"),
-            F.sum(dup * F.col("n_chars")).alias("chars_reclaimable_"),
+            # mirror the oracle's CASE ... ELSE 0 exactly: a non-dup row
+            # contributes 0 (not NULL), so an all-NULL-n_chars source
+            # yields 0 in both engines (ADVICE r10)
+            F.sum(
+                F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)
+            ).alias("chars_reclaimable_"),
             F.sum("n_chars").alias("chars_total"),
         )
         .select(

@@ -1068,11 +1068,16 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     balances every bucket is occupied), then exact integer-cents
     distance and a deterministic per-supplier argmin.
 
-    Scale notes: the join is a bucket-band equi-range (each supplier
-    probes <= 3 buckets), so candidate volume is 3 x bucket occupancy
-    per probe, linear in both sides — the as-of-join doctrine applied
-    to the value domain. Skewed buckets respond to the same knobs as
-    the fuzzy join's blocks: narrower W or a secondary split key.
+    Scale notes: each supplier row EXPLODES into its three candidate
+    bucket keys (b-1, b, b+1) and equi-joins customers on their single
+    bucket key — a plain hash-partitioned join, never a nested loop
+    (a raw BETWEEN band predicate has no equi key for Spark to extract
+    and planned as BroadcastNestedLoopJoin evaluating every supplier x
+    customer pair; ADVICE r10). Candidate volume is 3 x bucket
+    occupancy per probe, linear in both sides — the as-of-join
+    doctrine applied to the value domain. Skewed buckets respond to
+    the same knobs as the fuzzy join's blocks: narrower W or a
+    secondary split key.
     """
     sup = (
         table(spark, sf_dir, "supplier")
@@ -1082,19 +1087,27 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             slong("s_acctbal", 2).alias("sc"),
         )
+        .withColumn(
+            "b",
+            F.explode(
+                F.expr(
+                    "array((sc div 100000) - 1, sc div 100000,"
+                    " (sc div 100000) + 1)"
+                )
+            ),
+        )
     )
     cust = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal").isNotNull())
         .select("c_custkey", slong("c_acctbal", 2).alias("cc"))
+        .withColumn("b", F.expr("cc div 100000"))
     )
-    cand = sup.join(
-        cust,
-        F.expr(
-            "(cc div 100000) BETWEEN (sc div 100000) - 1"
-            " AND (sc div 100000) + 1"
-        ),
-    ).withColumn("dist_cents", F.abs(F.col("sc") - F.col("cc")))
+    # exploded side has no reliable stats — pin the hash join so the
+    # planner can never broadcast a data-sized frame (joins.py doctrine)
+    cand = sup.join(cust.hint("shuffle_hash"), "b").withColumn(
+        "dist_cents", F.abs(F.col("sc") - F.col("cc"))
+    )
     w = Window.partitionBy("s_suppkey").orderBy("dist_cents", "c_custkey")
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -1129,7 +1142,8 @@ WITH k AS (
 )
 SELECT h.rk, h.o_custkey AS hot_key, h.cnt,
        (1000000 * h.cnt) // s.n_rows AS share_ppm,
-       (1000 * h.cnt * s.n_keys) // s.n_rows AS skew_x1000
+       CAST((CAST(1000 AS HUGEINT) * h.cnt * s.n_keys) // s.n_rows
+            AS BIGINT) AS skew_x1000
 FROM hot h CROSS JOIN s
 WHERE h.rk <= 10 ORDER BY h.rk
 """,
@@ -1168,7 +1182,15 @@ def q_agg_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("hot_key"),
             "cnt",
             F.expr("(1000000 * cnt) div n_rows").alias("share_ppm"),
-            F.expr("(1000 * cnt * n_keys) div n_rows").alias("skew_x1000"),
+            # cnt * n_keys can exceed int64 under heavy skew at scale
+            # (Spark non-ANSI wraps silently, DuckDB raises) — widen
+            # the product to DECIMAL(38,0) before the integral divide
+            # on BOTH sides (ADVICE r10); the quotient is <= 1000 x
+            # skew factor, comfortably back in int64
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * cnt * n_keys)"
+                " div n_rows AS LONG)"
+            ).alias("skew_x1000"),
         )
         .orderBy("rk")
     )

@@ -1528,14 +1528,17 @@ def test_churn_shares_user_partitioning(spark, sf_dir):
 
 
 def test_nearest_join_is_bucket_banded(spark, sf_dir):
-    # candidate generation must be bucket-band limited (<=3 buckets per
-    # probe), never a full nested-loop over customer x supplier;
-    # per-supplier argmin is WindowGroupLimit-pruned
+    # candidate generation explodes each supplier into its 3 bucket
+    # keys and EQUI-joins on the bucket — a hash-partitioned join,
+    # never a nested loop evaluating supplier x customer (the raw
+    # BETWEEN band form planned as BroadcastNestedLoopJoin; ADVICE
+    # r10); per-supplier argmin is WindowGroupLimit-pruned
     simple = plan_of(spark, "q_join_nearest", sf_dir, mode="simple")
     assert "WindowGroupLimit" in simple
-    # the band predicate compiles to a range condition on the bucket
-    # keys inside the join, not a post-join filter of a cross product
+    assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
+    assert "ShuffledHashJoin" in simple or "SortMergeJoin" in simple
+    assert "Generate explode" in simple
 
 
 def test_version_audit_single_aggregate_chain(spark, sf_dir):

@@ -147,10 +147,16 @@ def test_round5_window_leads_with_backlog():
     # rounds 1-4 (r05's own rows, once the driver writes them, are fine)
     import glob
     import json
+    import re
 
+    # "checked before round 5" means artifacts from rounds 1-4 ONLY:
+    # later rounds renew old rows (r10 renewed 16 round-4-era queries),
+    # so an open-ended glob would retroactively poison this set
+    # (VERDICT r10 'What's wrong #1').
     pre_r5: set[str] = set()
     for f in sorted(glob.glob("/root/repo/CORRECTNESS_r[0-9]*.json")):
-        if "r05" not in f:
+        rnd = int(re.search(r"_r(\d+)", f).group(1))
+        if rnd < 5:
             pre_r5 |= set(json.load(open(f)))
     wasted = sorted(set(lead) & pre_r5)
     assert not wasted, f"leading slots wasted on driver-checked queries: {wasted}"
@@ -260,43 +266,79 @@ def test_round9_window_ran_as_planned():
     )
 
 
-def test_round10_window_is_active_and_ledgered():
-    """Round-10 rotation contract (VERDICT r9 'Next round #1/#3'):
-    WINDOW_R10 is the active window, led by every POST_ROTATION_R9
-    query (the 15 round-9 additions with no driver row yet — cumulative
-    driver coverage reaches the full 266-query registry when it runs)
-    and force-including q_fn_geo so its signed-zero fix re-lands
-    driver-green; any query registered DURING round 10 must join
-    POST_ROTATION_R10 in the same commit or this test fails loudly."""
+def test_round10_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r10.json must cover exactly the 50
+    WINDOW_R10 slots — the round-10 rotation executed as drafted,
+    including q_fn_geo's forced re-land (driver-green there)."""
+    import json
+
+    from pokertracker_cassandra_st_spark.registry import WINDOW_R10
+
+    r10 = set(json.load(open("/root/repo/CORRECTNESS_r10.json")))
+    assert r10 == set(WINDOW_R10), (
+        f"r10 artifact vs WINDOW_R10: missing={sorted(set(WINDOW_R10) - r10)} "
+        f"extra={sorted(r10 - set(WINDOW_R10))}"
+    )
+    assert "q_fn_geo" in r10
+
+
+def test_round11_window_is_active_with_explicit_deferral():
+    """Round-11 rotation contract (VERDICT r10 'Next round #2/#3'):
+    WINDOW_R11 is the active window and holds EXACTLY the round-10
+    additions minus the explicit DEFERRED_R11 overflow — the 51st
+    round-10 op q_ts_bursts is deferred by name, never silently
+    truncated by plan_window's [:size].  Round 11 has zero renewal
+    slots, so the 17 round-5-stale driver rows must already be staged
+    to lead the round-12 renewal block, and q_ts_bursts must lead
+    WINDOW_R12 outright."""
     from pokertracker_cassandra_st_spark.registry import (
-        POST_ROTATION_R9,
+        DEFERRED_R11,
         POST_ROTATION_R10,
-        WINDOW_R10,
-        _R10_REP_POOL,
+        POST_ROTATION_R11,
+        WINDOW_R11,
+        _WINDOWS,
+        plan_window,
     )
 
     qs = get_queries()
     oracles = get_oracles()
-    assert WINDOW is WINDOW_R10, "round-10 window must be active"
-    assert WINDOW_R10[: len(POST_ROTATION_R9)] == list(POST_ROTATION_R9)
-    assert len(WINDOW_R10) == 50 == len(set(WINDOW_R10))
-    assert "q_fn_geo" in WINDOW_R10, "q_fn_geo must re-land driver-green"
-    no_oracle = [n for n in WINDOW_R10 if n not in oracles]
-    assert not no_oracle, f"WINDOW_R10 entries without an oracle: {no_oracle}"
+    assert WINDOW is WINDOW_R11, "round-11 window must be active"
+    assert len(WINDOW_R11) == 50 == len(set(WINDOW_R11))
+    # exactly era-10 minus the named deferral — no silent [:size] cut
+    assert DEFERRED_R11 == ["q_ts_bursts"]
+    assert set(WINDOW_R11) == set(POST_ROTATION_R10) - set(DEFERRED_R11)
+    assert "q_ts_bursts" not in WINDOW_R11
+    assert "q_ts_bursts" in qs and "q_ts_bursts" in oracles
+    no_oracle = [n for n in WINDOW_R11 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R11 entries without an oracle: {no_oracle}"
+    # the deferral must lead the round-12 draft (first-time coverage
+    # cannot be stranded a second round)
+    pw12 = plan_window(12)
+    assert pw12[0] == "q_ts_bursts", "q_ts_bursts must lead WINDOW_R12"
+    # round-12 renewal pre-stage: with zero r11 renewal slots, the 17
+    # round-5-stale driver rows (7 rounds old at the r12 flip) must head
+    # the r12 renewal block — stalest-first by construction
+    lead12 = [n for n in pw12 if not any(x < 12 for x in _WINDOWS[n])]
+    reps12 = pw12[len(lead12):]
+    stale5 = {n for n, w in _WINDOWS.items() if w and max(w) == 5}
+    assert len(stale5) == 17
+    assert set(reps12[: len(stale5)]) == stale5, (
+        "round-12 renewal block must lead with the round-5-stale rows"
+    )
     # every never-driver-checked query is either in the active window
-    # (getting its row this round) or ledgered as a round-10 addition
+    # (getting its row this round), the named deferral, or ledgered as
+    # a round-11 addition
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - set(WINDOW_R10) - set(POST_ROTATION_R10))
-    assert not stranded, (
-        f"queries registered during round 10 without joining "
-        f"POST_ROTATION_R10: {stranded}"
+    stranded = sorted(
+        never - set(WINDOW_R11) - set(DEFERRED_R11) - set(POST_ROTATION_R11)
     )
-    undeclared = [n for n in POST_ROTATION_R10 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R10 names not registered: {undeclared}"
-    # the 35 rep slots must all carry a prior driver row
-    unchecked_reps = sorted(set(_R10_REP_POOL) - checked)
-    assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
+    assert not stranded, (
+        f"queries registered during round 11 without joining "
+        f"POST_ROTATION_R11: {stranded}"
+    )
+    undeclared = [n for n in POST_ROTATION_R11 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R11 names not registered: {undeclared}"
 
 
 def test_round7_window_is_staged_correctly():
