@@ -1767,3 +1767,70 @@ def q_dedup_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_instances") > 1)
     )
+
+
+@register(
+    "q_dedup_cross_source",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+           AS fp
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+), g AS (
+  SELECT fp,
+         count(DISTINCT source) AS n_sources,
+         count(*) AS n_docs,
+         min(doc_id) AS keeper_id,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+  FROM f GROUP BY fp
+)
+SELECT fp, n_sources, n_docs, keeper_id, sources
+FROM g WHERE n_sources >= 2
+ORDER BY fp
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit: groups of documents from TWO OR
+    MORE distinct sources sharing a leading-5-token fingerprint, with
+    the keep-first keeper and the source roster — the inter-source
+    contamination question ("is crawl B re-serving corpus A?") that
+    per-source dedup reports (q_pipeline_dedup_report) can't answer.
+    The fingerprint tier is the demonstrative key here (this corpus has
+    zero exact text dups by construction); in production the same
+    shape runs keyed on the exact/template digest first and this
+    prefix tier as the recall net, exactly like q_dedup_incremental's
+    tier ladder (llm/dedup.py).
+
+    Scale notes: one shuffle of (fingerprint, source, doc_id) digests —
+    text never moves (at 100 TB hash the prefix to 8 bytes with
+    xxhash64, same plan); count(DISTINCT source) rides the same
+    grouping via partial sets bounded by source cardinality; the
+    HAVING prunes before the roster listagg materializes anything
+    group-sized.
+    """
+    t = F.split("text", " ")
+    f = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(t) >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.array_join(F.slice(t, 1, 5), " ").alias("fp"),
+        )
+    )
+    return (
+        f.groupBy("fp")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+        .filter(F.col("n_sources") >= 2)
+        .orderBy("fp")
+    )

@@ -755,3 +755,91 @@ def q_multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rq").alias("max_rq"),
         )
     )
+
+
+@register(
+    "q_multimodal_pad_waste",
+    oracle=f"""
+WITH wh AS (
+  SELECT octet_length(encode(text)) % 256 + 1 AS w,
+         octet_length(encode(text)) // 256 % 256 + 1 AS h
+  FROM documents
+), b AS (
+  SELECT w, h,
+         CASE WHEN (w * 1000) // h < 600 THEN '9:16'
+              WHEN (w * 1000) // h < 800 THEN '3:4'
+              WHEN (w * 1000) // h < 1200 THEN '1:1'
+              WHEN (w * 1000) // h < 1600 THEN '4:3'
+              ELSE '16:9' END AS bucket
+  FROM wh
+), g AS (
+  SELECT bucket,
+         count(*) AS n_images,
+         max(w) AS max_w, max(h) AS max_h,
+         CAST(SUM(w * h) AS BIGINT) AS real_px
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_images, max_w, max_h,
+       n_images * max_w * max_h AS padded_px,
+       (1000000 * (n_images * max_w * max_h - real_px))
+         // (n_images * max_w * max_h) AS waste_ppm
+FROM g ORDER BY bucket
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_pad_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit per aspect bucket: if every image in a
+    bucket pads to the bucket's max (w, h) tensor — what collated
+    batches actually allocate — how many pixels are padding, in exact
+    integer ppm. The efficiency meter FOR q_multimodal_aspect_bucket:
+    bucketing earns its keep exactly when per-bucket waste_ppm stays
+    far below what one global pad-to-max would cost; feed it per
+    candidate bucket layout before committing a training run's
+    sharding.
+
+    Scale notes: identical movement profile to aspect_bucket — the
+    stubbed-decode mapInPandas (real Arrow plumbing) emits only (w, h)
+    longs; the rollup is a 5-group map-side-combined groupBy and the
+    waste arithmetic is integral, no floats.
+    """
+    p = _payloads(spark, sf_dir)
+    feats = p.mapInPandas(
+        _decode_batch,
+        schema="doc_id long, byte_len long, width long, height long, n_frames long",
+    )
+    rq = F.floor((F.col("width") * 1000) / F.col("height")).cast("long")
+    bucket = (
+        F.when(rq < 600, "9:16")
+        .when(rq < 800, "3:4")
+        .when(rq < 1200, "1:1")
+        .when(rq < 1600, "4:3")
+        .otherwise("16:9")
+    )
+    g = (
+        feats.select(
+            bucket.alias("bucket"),
+            "width",
+            "height",
+            (F.col("width") * F.col("height")).alias("px"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.max("width").alias("max_w"),
+            F.max("height").alias("max_h"),
+            F.sum("px").cast("long").alias("real_px"),
+        )
+    )
+    return g.select(
+        "bucket",
+        "n_images",
+        "max_w",
+        "max_h",
+        (F.col("n_images") * F.col("max_w") * F.col("max_h")).alias(
+            "padded_px"
+        ),
+        F.expr(
+            "(1000000 * (n_images * max_w * max_h - real_px))"
+            " div (n_images * max_w * max_h)"
+        ).alias("waste_ppm"),
+    ).orderBy("bucket")

@@ -540,3 +540,74 @@ def q_pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_pipeline_shard_plan",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM documents WHERE n_chars IS NOT NULL
+), s AS (
+  SELECT start_off // 50000 AS shard_id, doc_id, n_chars FROM d
+)
+SELECT shard_id,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+       (1000000 * CAST(SUM(n_chars) AS BIGINT)) // 50000 AS fill_ppm
+FROM s GROUP BY shard_id ORDER BY shard_id
+""",
+    tags=("llm", "pipeline"),
+)
+def q_pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard manifest: documents in stable doc_id order are
+    packed greedily into ~50 KB shards (a doc belongs to the shard its
+    STARTING byte offset falls in — the WebDataset/tar-writer rule,
+    llm/multimodal.py), and the plan reports each shard's doc range,
+    byte count, and integer-ppm fill — the step between curation and
+    the physical writer that decides file count and size skew before
+    any bytes move. q_pipeline_pack's twin one level up: pack bins
+    TOKENS into model windows, this bins DOCUMENTS into files.
+
+    Scale notes: the byte offset is the TWO-PHASE distributed prefix
+    sum (dist_rank.range_prefix — range-partition on doc_id, local
+    running sums, broadcast bucket offsets), never a global
+    single-task window; the shard rollup shuffles shard-count rows.
+    Exact integers end to end.
+    """
+    from pokertracker_cassandra_st_spark.dist_rank import range_prefix
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    pre = range_prefix(
+        d, ["doc_id"], {"n_chars": "end_off"}, inclusive=True
+    ).withColumn("start_off", F.col("end_off") - F.col("n_chars"))
+    s = pre.select(
+        F.expr("start_off div 50000").alias("shard_id"), "doc_id", "n_chars"
+    )
+    return (
+        s.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_chars").alias("shard_bytes"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "shard_bytes",
+            F.expr("(1000000 * shard_bytes) div 50000").alias("fill_ppm"),
+        )
+        .orderBy("shard_id")
+    )

@@ -1809,3 +1809,96 @@ def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _neighbor_overlap_oracle() -> str:
+    # the knn edge set verbatim as a nested CTE (a CTE body is a full
+    # SELECT and may carry its own WITH clause), so the two operators
+    # can never drift apart
+    return f"""
+WITH e AS (
+{_knn_oracle()}
+), lab AS (SELECT vec_id, label FROM embeddings),
+m AS (
+  SELECT l.label, e.vec_id, e.nbr_id, e.cosine,
+         EXISTS (SELECT 1 FROM e r
+                 WHERE r.vec_id = e.nbr_id AND r.nbr_id = e.vec_id)
+           AS mutual
+  FROM e JOIN lab l ON l.vec_id = e.vec_id
+)
+SELECT label,
+       count(*) AS n_edges,
+       CAST(SUM(CASE WHEN mutual THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+       (1000000 * CAST(SUM(CASE WHEN mutual THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS mutual_ppm,
+       CAST(SUM(CAST(round(cosine * 1000000) AS BIGINT)) AS BIGINT)
+         // count(*) AS avg_cosine_e6
+FROM m GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "q_sim_neighbor_overlap",
+    oracle=_neighbor_overlap_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_neighbor_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph symmetry audit: per label, how many directed top-3
+    edges are MUTUAL (the reverse edge also ranks top-3) and the mean
+    edge cosine — the index-quality diagnostic behind ANN graphs
+    (HNSW-family indexes degrade where neighborhoods are asymmetric;
+    a low mutual share marks hub-dominated regions needing deeper
+    probes). Composes q_sim_knn_graph verbatim: same edges, one
+    question up.
+
+    Determinism: edge cosines are already round-6; the mean goes
+    through exact scaled-long sums (slong) with an integral divide —
+    no float accumulation; mutuality is set membership, exact.
+
+    Scale notes: the edge build inherits knn_graph's cell-bounded
+    linear pair volume; mutuality adds ONE self left-semi join of the
+    (3n)-row edge list hash-partitioned on the (nbr, vec) pair key,
+    and the label attach is a shuffle-hash join on vec_id — both
+    edge-list-sized, never corpus-quadratic.
+    """
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    e = q_sim_knn_graph(spark, sf_dir)
+    rev = e.select(
+        F.col("vec_id").alias("r_vec"), F.col("nbr_id").alias("r_nbr")
+    )
+    mutual = e.join(
+        rev.hint("shuffle_hash"),
+        (F.col("vec_id") == F.col("r_nbr")) & (F.col("nbr_id") == F.col("r_vec")),
+        "left_semi",
+    ).select("vec_id", "nbr_id")
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    m = (
+        e.join(
+            mutual.withColumn("mutual", F.lit(True)).hint("shuffle_hash"),
+            ["vec_id", "nbr_id"],
+            "left",
+        )
+        .join(lab.hint("shuffle_hash"), "vec_id")
+        .select(
+            "label",
+            F.coalesce("mutual", F.lit(False)).alias("mutual"),
+            "cosine",
+        )
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(F.col("mutual").cast("long")).alias("n_mutual"),
+            F.sum(slong("cosine", 6)).alias("sc"),
+        )
+        .select(
+            "label",
+            "n_edges",
+            "n_mutual",
+            F.expr("(1000000 * n_mutual) div n_edges").alias("mutual_ppm"),
+            F.expr("sc div n_edges").alias("avg_cosine_e6"),
+        )
+        .orderBy("label")
+    )

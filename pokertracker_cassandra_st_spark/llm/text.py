@@ -1870,3 +1870,83 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_text_lexical_diversity",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types,
+         CASE WHEN len(toks) >= 2 THEN
+           len(list_distinct(
+             [array_to_string(list_slice(toks, i, i + 1), ' ')
+              for i in generate_series(1, len(toks) - 1)]))
+         ELSE 0 END AS n_bigram_types
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id, source, n_tokens, n_types,
+       (1000000 * n_types) // n_tokens AS ttr_ppm,
+       CASE WHEN n_tokens >= 2
+            THEN (1000000 * n_bigram_types) // (n_tokens - 1)
+            ELSE 0 END AS bigram_ttr_ppm
+FROM d ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and bigram
+    type-token ratio in exact integer ppm — the repetitiveness signal
+    quality filters threshold on (a low TTR marks template spam /
+    keyword stuffing; q_text_repetition's top-phrase share is the
+    targeted variant, this is the corpus-wide scalar).
+
+    Scale notes: ZERO exchanges — tokenization, distinct-type counting
+    (array_distinct), and bigram construction (transform over a
+    per-row index sequence) are all row-local array expressions inside
+    codegen; no explode, no shuffle, output is docs-sized. The ratios
+    are integral ppm, no floats anywhere.
+    """
+    toks = F.split("text", " ")
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+            F.when(
+                F.size(toks) >= 2,
+                F.size(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - 1),
+                            lambda i: F.array_join(
+                                F.slice(toks, i, 2), " "
+                            ),
+                        )
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("n_bigram_types"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr("(1000000 * n_types) div n_tokens").alias("ttr_ppm"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.expr("(1000000 * n_bigram_types) div (n_tokens - 1)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bigram_ttr_ppm"),
+    ).orderBy("doc_id")

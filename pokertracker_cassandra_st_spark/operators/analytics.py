@@ -464,3 +464,91 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q1_shape",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sb,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sd,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             * 1000000) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sdis,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) / 10000.0 AS sum_qty,
+       CAST(sb AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sd AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CAST(sc AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(sq AS DOUBLE) / 10000.0 / count_order AS avg_qty,
+       CAST(sb AS DOUBLE) / 100.0 / count_order AS avg_price,
+       CAST(sdis AS DOUBLE) / 10000.0 / count_order AS avg_disc,
+       count_order
+FROM m ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("analytics", "agg", "bench"),
+)
+def q_tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing-summary shape: the canonical scan-heavy
+    aggregate (every warehouse's first benchmark query) — one predicate
+    on ship date, eight aggregates over four grouping cells. Completes
+    the composite-analytics tier's scan-bound corner (q3/q5/q7/q10/q18
+    cover the join shapes; q1 is pure aggregate throughput).
+
+    Determinism: every sum runs over per-row SCALED LONGS (the slong
+    doctrine) — the per-row products are identical IEEE doubles in both
+    engines and the int64 sums are exact and order-independent; every
+    double in the OUTPUT derives from the same BIGINT by the same
+    division, so even values past 2^53 (where DECIMAL->DOUBLE casts
+    diverge in the last ulp between engines — found by this op's own
+    10x gate) hash identically. Int64 headroom: the 1e6-scaled charge
+    sum stays under 2^63 to ~9x10^12 rows per cell; past that, widen
+    the partial to DECIMAL(38,0) with no plan change.
+
+    Scale notes: the filter and 6-column pruning reach the parquet
+    scan; partial aggregation collapses everything map-side to 4
+    cells x 6 longs before a trivial shuffle — the plan IS the 100 TB
+    plan (scan-bound, embarrassingly parallel, zero skew exposure).
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp")
+    )
+    from pokertracker_cassandra_st_spark.exprs import slong
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    m = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(slong("l_quantity", 4)).alias("sq"),
+        F.sum(slong("l_extendedprice", 2)).alias("sb"),
+        F.sum(slong(disc_price, 6)).alias("sd"),
+        F.sum(slong(charge, 6)).alias("sc"),
+        F.sum(slong("l_discount", 4)).alias("sdis"),
+        F.count("*").alias("count_order"),
+    )
+    return m.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sq").cast("double") / 10000.0).alias("sum_qty"),
+        (F.col("sb").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("sd").cast("double") / 1000000.0).alias("sum_disc_price"),
+        (F.col("sc").cast("double") / 1000000.0).alias("sum_charge"),
+        (F.col("sq").cast("double") / 10000.0 / F.col("count_order")).alias(
+            "avg_qty"
+        ),
+        (F.col("sb").cast("double") / 100.0 / F.col("count_order")).alias(
+            "avg_price"
+        ),
+        (F.col("sdis").cast("double") / 10000.0 / F.col("count_order")).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")

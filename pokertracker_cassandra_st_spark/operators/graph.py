@@ -760,3 +760,111 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_q9"), "s1", "s2")
         .limit(20)
     )
+
+
+_CLUSTERING_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT p1 AS node, p2 AS nbr FROM e
+    UNION ALL SELECT p2, p1 FROM e
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1
+  JOIN e e2 ON e1.p2 = e2.p1
+  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+), pt AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS partkey, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       (2000000 * COALESCE(p.n_triangles, 0))
+         // (d.degree * (d.degree - 1)) AS coeff_ppm
+FROM deg d LEFT JOIN pt p ON p.node = d.node
+WHERE d.degree >= 2
+ORDER BY coeff_ppm DESC, partkey
+LIMIT 50
+"""
+
+
+@register(
+    "q_graph_clustering_coeff", oracle=_CLUSTERING_ORACLE, tags=("graph",)
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the part co-purchase
+    graph: 2*triangles(v) / (deg(v)*(deg(v)-1)) in exact integer ppm —
+    how tightly each part's neighborhood interlinks (the community /
+    ego-density signal; q_graph_triangle_count gives the raw counts,
+    this normalizes them per node). Top-50, tie-broken on partkey.
+
+    Scale notes: reuses the oriented edge-edge-edge triangle join
+    (every triangle produced exactly once, wedge fan-out bounded by
+    orientation — see q_graph_triangle_count's degree-ordering note);
+    the degree table is one groupBy over the doubled edge list; the
+    final join is node-keyed and narrow. The coefficient is pure
+    integral arithmetic — zero floats.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionByName(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .select(
+            F.col("e1.p1").alias("a"),
+            F.col("e1.p2").alias("b"),
+            F.col("e2.p2").alias("c"),
+        )
+    )
+    pt = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(pt, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("node").alias("partkey"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(2000000 * coalesce(n_triangles, 0))"
+                " div (degree * (degree - 1))"
+            ).alias("coeff_ppm"),
+        )
+        .orderBy(F.desc("coeff_ppm"), "partkey")
+        .limit(50)
+    )

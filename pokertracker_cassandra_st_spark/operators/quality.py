@@ -1129,3 +1129,86 @@ def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("rule")
     )
+
+
+@register(
+    "q_dq_null_pattern",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS clerk,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS cmnt,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS price
+  FROM orders
+), m AS (
+  SELECT CAST(clerk IS NULL AS BIGINT) * 4
+         + CAST(cmnt IS NULL AS BIGINT) * 2
+         + CAST(price IS NULL AS BIGINT) AS mask,
+         concat(CASE WHEN clerk IS NULL THEN 'prio' ELSE '-' END, '|',
+                CASE WHEN cmnt  IS NULL THEN 'status' ELSE '-' END, '|',
+                CASE WHEN price IS NULL THEN 'price' ELSE '-' END) AS pattern,
+         count(*) AS n
+  FROM t GROUP BY 1, 2
+)
+SELECT mask, pattern, n,
+       (1000000 * n) // (SELECT CAST(SUM(n) AS BIGINT) FROM m) AS share_ppm
+FROM m ORDER BY mask
+""",
+    tags=("dq",),
+)
+def q_dq_null_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-combination profile (the missingno/Little's-test
+    input): every row maps to the BITMASK of which audited columns are
+    NULL; the profile counts rows per combination with an exact
+    integer-ppm share — co-missingness ("priority and status are always
+    null together") that per-column null counts (q_dq_profile) cannot
+    see. NULLs are synthesized deterministically from key residues, as
+    in the other null-semantics fixtures (q_filter_in_like_null).
+
+    Scale notes: the mask computes row-side in codegen; the groupBy
+    carries at most 2^k combination keys (k = audited columns), so the
+    shuffle is k-bounded regardless of table size and map-side combine
+    collapses everything early; the total enters via a broadcast 1-row
+    frame, not a second scan.
+    """
+    t = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority")).alias("clerk"),
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderstatus")).alias("cmnt"),
+        F.when(F.col("o_orderkey") % 11 != 0, F.col("o_totalprice")).alias(
+            "price"
+        ),
+    )
+    m = (
+        t.select(
+            (
+                F.col("clerk").isNull().cast("long") * 4
+                + F.col("cmnt").isNull().cast("long") * 2
+                + F.col("price").isNull().cast("long")
+            ).alias("mask"),
+            F.concat(
+                F.when(F.col("clerk").isNull(), F.lit("prio")).otherwise(
+                    F.lit("-")
+                ),
+                F.lit("|"),
+                F.when(F.col("cmnt").isNull(), F.lit("status")).otherwise(
+                    F.lit("-")
+                ),
+                F.lit("|"),
+                F.when(F.col("price").isNull(), F.lit("price")).otherwise(
+                    F.lit("-")
+                ),
+            ).alias("pattern"),
+        )
+        .groupBy("mask", "pattern")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = m.agg(F.sum("n").alias("tot"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "mask",
+            "pattern",
+            "n",
+            F.expr("(1000000 * n) div tot").alias("share_ppm"),
+        )
+        .orderBy("mask")
+    )

@@ -1164,3 +1164,87 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_agg_lorenz",
+    oracle="""
+WITH spend AS (
+  SELECT user_id,
+         CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                    * 10000) AS BIGINT) AS xq
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), ranked AS (
+  SELECT xq, row_number() OVER (ORDER BY xq, user_id) AS i,
+         count(*) OVER () AS n
+  FROM spend
+), dec AS (
+  SELECT 1 + ((i - 1) * 10) // n AS decile,
+         count(*) AS n_users,
+         CAST(SUM(xq) AS BIGINT) AS dx
+  FROM ranked GROUP BY 1
+), cum AS (
+  SELECT decile, n_users, dx,
+         CAST(SUM(dx) OVER (ORDER BY decile) AS BIGINT) AS cx,
+         (SELECT CAST(SUM(dx) AS BIGINT) FROM dec) AS tot
+  FROM dec
+)
+SELECT decile, n_users,
+       (1000000 * dx) // tot AS spend_ppm,
+       (1000000 * cx) // tot AS cum_ppm
+FROM cum ORDER BY decile
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by spend decile: users ascending-ranked by total
+    value, cut into ten EXACT rank deciles, each reporting its share
+    and cumulative share of total spend in integer ppm — the curve
+    behind q_agg_gini's single coefficient ("the bottom 50% hold 9%,
+    the top decile holds 41%").
+
+    Determinism: per-user totals are exact decimal sums quantized to
+    scaled longs; decile assignment uses the explicit
+    1 + ((i-1)*10) div n formula (ntile's remainder placement is
+    engine lore — the q_win_ntile lesson); every share is integer
+    arithmetic, no floats anywhere.
+
+    Scale notes: one groupBy shuffle, then the global rank runs as the
+    TWO-PHASE distributed row_number (dist_rank.range_row_number) — no
+    single-partition window over data-sized rows; the decile rollup
+    carries 10 rows, where the cumulative window is free.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("x")
+    )
+    xq = F.floor(F.col("x") * 10000 + F.lit(0.5)).cast("long")
+    spend = spend.select("user_id", xq.alias("xq"))
+    n_row = spend.agg(F.count("*").alias("n"))
+    ranked = range_row_number(spend, ["xq", "user_id"], "i").crossJoin(
+        F.broadcast(n_row)
+    )
+    dec = (
+        ranked.select(
+            # integral div, not double `/`: at >2^53 users the double
+            # quotient loses ulps and truncation lands in the wrong tile
+            F.expr("1 + ((i - 1) * 10) div n").alias("decile"),
+            "xq",
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_users"), F.sum("xq").alias("dx"))
+    )
+    tot = dec.agg(F.sum("dx").alias("tot"))
+    w = Window.orderBy("decile")
+    return (
+        dec.withColumn("cx", F.sum("dx").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.expr("(1000000 * dx) div tot").alias("spend_ppm"),
+            F.expr("(1000000 * cx) div tot").alias("cum_ppm"),
+        )
+        .orderBy("decile")
+    )

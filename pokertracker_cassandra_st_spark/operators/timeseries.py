@@ -2236,3 +2236,208 @@ def q_ts_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("event_type", "burst_start")
     )
+
+
+@register(
+    "q_ts_forecast",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS db,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), o AS (SELECT min(db) AS d0 FROM d),
+x AS (
+  SELECT event_type, db - o.d0 AS xi, cnt FROM d CROSS JOIN o
+), m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(xi) AS DOUBLE) AS sx,
+         CAST(SUM(cnt) AS DOUBLE) AS sy,
+         CAST(SUM(xi * cnt) AS DOUBLE) AS sxy,
+         CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+         max(xi) AS mx
+  FROM x GROUP BY event_type
+), hs AS (SELECT unnest(generate_series(1, 3)) AS h)
+SELECT event_type, h,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope6,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (mx + h), 6)
+         + 0.0 AS pred6
+FROM m CROSS JOIN hs
+WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+ORDER BY event_type, h
+""",
+    tags=("ts", "statistics"),
+)
+def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend forecast: fit volume-per-day ~ day by OLS
+    for each event type (exact integer co-moments over (day index,
+    count) pairs), then project 1-3 days past each type's last observed
+    day — the capacity-planning primitive ("will tomorrow's ingest fit
+    the cluster?") that closes q_agg_regression (global fit) with a
+    per-key forecast surface.
+
+    Determinism: day indices anchor on the GLOBAL min day (broadcast
+    1-row frame, same scalar both engines); co-moments are exact
+    integer sums cast once to double, so slope/intercept/prediction are
+    the identical double expressions in both engines; round(6) + 0.0
+    canonicalizes any signed zero (a near-flat declining trend can
+    round to -0.0 — the q_fn_geo lesson applied at build time).
+
+    Scale notes: the daily rollup is ONE map-side-combined shuffle of
+    (type, day) partials — the only data-sized move; the fit sees
+    days x types rows and the forecast explodes 3 literals per type.
+    Int64 headroom: xi <= ~10^4 days and per-day counts <= ~10^12 keep
+    sxy inside 2^53-exact doubles at 100 TB; past that, swap the sums
+    to DECIMAL(38,0) (dsum doctrine) with no plan change.
+    """
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("db"),
+        )
+        .groupBy("event_type", "db")
+        .agg(F.count("*").alias("cnt"))
+    )
+    o = d.agg(F.min("db").alias("d0"))
+    x = d.crossJoin(F.broadcast(o)).select(
+        "event_type", (F.col("db") - F.col("d0")).alias("xi"), "cnt"
+    )
+    m = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("cnt").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("cnt")).cast("double").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.max("xi").alias("mx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    return (
+        m.filter((n >= 2) & (den > 0))
+        .withColumn(
+            "h",
+            F.explode(
+                F.array(
+                    F.lit(1).cast("long"),
+                    F.lit(2).cast("long"),
+                    F.lit(3).cast("long"),
+                )
+            ),
+        )
+        .select(
+            "event_type",
+            "h",
+            (F.round(slope, 6) + F.lit(0.0)).alias("slope6"),
+            (
+                F.round(intercept + slope * (F.col("mx") + F.col("h")), 6)
+                + F.lit(0.0)
+            ).alias("pred6"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+@register(
+    "q_ts_bollinger",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS db,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, db, cnt,
+         CAST(count(*) OVER f AS BIGINT) AS nw,
+         CAST(SUM(cnt) OVER f AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) OVER f AS BIGINT) AS ss
+  FROM d
+  WINDOW f AS (PARTITION BY event_type ORDER BY db
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, db, cnt,
+       round(CAST(s AS DOUBLE) / nw, 6) AS mid6,
+       CASE WHEN nw >= 2 AND nw * ss - s * s > 0 THEN
+         round(CAST(s AS DOUBLE) / nw
+               + 2 * sqrt(CAST(nw * ss - s * s AS DOUBLE) / (nw * (nw - 1))), 6)
+       END AS upper6,
+       CASE WHEN nw >= 2 AND nw * ss - s * s > 0 THEN
+         round(CAST(s AS DOUBLE) / nw
+               - 2 * sqrt(CAST(nw * ss - s * s AS DOUBLE) / (nw * (nw - 1))), 6)
+         + 0.0
+       END AS lower6,
+       CASE WHEN nw >= 2 AND nw * ss - s * s > 0 THEN
+         cnt > CAST(s AS DOUBLE) / nw
+               + 2 * sqrt(CAST(nw * ss - s * s AS DOUBLE) / (nw * (nw - 1)))
+          OR cnt < CAST(s AS DOUBLE) / nw
+               - 2 * sqrt(CAST(nw * ss - s * s AS DOUBLE) / (nw * (nw - 1)))
+       ELSE FALSE END AS is_break
+FROM w ORDER BY event_type, db
+""",
+    tags=("ts", "statistics"),
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily volume per event type: trailing 7-row
+    mean +/- 2 sample standard deviations, plus a band-break flag — the
+    volatility envelope behind q_dq_volume_anomaly's median screen and
+    q_ts_crossover's SMA pair.
+
+    Determinism: mean and sd derive from EXACT integer window sums
+    (count, sum, sum of squares over the ROWS frame — never a running
+    double stddev whose accumulation order differs between engines);
+    the band arithmetic is then the identical double expression in
+    both. DuckDB's window SUM(BIGINT) promotes to HUGEINT — cast back
+    to BIGINT before the double math (the HUGEINT->float64 pandas
+    lesson). lower6 carries a + 0.0 signed-zero epilogue (a band edge
+    can round to exactly -0.0).
+
+    Scale notes: one map-side-combined daily rollup shuffle, then one
+    window pass partitioned by type over days-sized rows (bounded:
+    days x types << raw events). The squared daily counts stay inside
+    int64 up to ~3x10^9 events/day/type; past that the ss sum goes
+    DECIMAL(38,0) with no plan change.
+    """
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("db"),
+        )
+        .groupBy("event_type", "db")
+        .agg(F.count("*").alias("cnt"))
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("db")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = d.select(
+        "event_type",
+        "db",
+        "cnt",
+        F.count("*").over(f).alias("nw"),
+        F.sum("cnt").over(f).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(f).alias("ss"),
+    )
+    nw, s, ss = F.col("nw"), F.col("s"), F.col("ss")
+    mid = s.cast("double") / nw
+    ok = (nw >= 2) & (nw * ss - s * s > 0)
+    sd = F.sqrt((nw * ss - s * s).cast("double") / (nw * (nw - 1)))
+    return w.select(
+        "event_type",
+        "db",
+        "cnt",
+        F.round(mid, 6).alias("mid6"),
+        F.when(ok, F.round(mid + 2 * sd, 6)).alias("upper6"),
+        F.when(ok, F.round(mid - 2 * sd, 6) + F.lit(0.0)).alias("lower6"),
+        F.when(
+            ok, (F.col("cnt") > mid + 2 * sd) | (F.col("cnt") < mid - 2 * sd)
+        )
+        .otherwise(F.lit(False))
+        .alias("is_break"),
+    ).orderBy("event_type", "db")

@@ -391,3 +391,101 @@ def q_win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_win_pattern_var",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY event_id) AS grp
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, grp,
+         count(*) AS run_len,
+         min(event_id) AS min_id,
+         max(event_id) AS max_id
+  FROM s GROUP BY user_id, event_type, grp
+), seq AS (
+  SELECT user_id, event_type, max_id,
+         lead(event_type, 1) OVER w AS t1,
+         lead(run_len, 1)    OVER w AS len1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(min_id, 2)     OVER w AS start2
+  FROM runs
+  WINDOW w AS (PARTITION BY user_id ORDER BY min_id)
+)
+SELECT user_id,
+       max_id AS view_id,
+       len1 AS n_clicks,
+       start2 AS purchase_id
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+ORDER BY user_id, view_id
+""",
+    tags=("window",),
+)
+def q_win_pattern_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH event-pattern detection — MATCH_RECOGNIZE's
+    ``A B+ C`` (view, then ONE OR MORE consecutive clicks, then
+    purchase), which the fixed k-step lead() form of
+    q_win_pattern_match cannot express (VERDICT r10 'Next round #6';
+    the reference's own lifecycle is the variable-length
+    create -> update* -> delete pattern, IT:109-190). Gaps-and-islands
+    compresses each user's history into same-type RUNS (rn - rn_by_type
+    island id), then a single lead() pass over the run sequence finds
+    every view-run immediately followed by a click-run immediately
+    followed by a purchase-run; the emitted match is the LAST view of
+    the view-run, the full click-run length (the B+ count), and the
+    FIRST purchase of the purchase-run — strictly consecutive by
+    construction. Pattern depth in run-space adds lead() columns, not
+    passes; arbitrary ``X+`` segments cost nothing extra because runs
+    already collapse repetition.
+
+    Scale: ONE shuffle on user_id — the island window, the run
+    aggregation, and the run-sequence window all share the same
+    partitioning, so Catalyst plans a single exchange followed by
+    in-partition sorts; the run frame is strictly smaller than the
+    event frame (compression >= 1), so the second window sorts less
+    data than the first.
+    """
+    ev = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    runs = s.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("run_len"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("min_id")
+    seq = runs.select(
+        "user_id",
+        "event_type",
+        "max_id",
+        F.lead("event_type", 1).over(w_run).alias("t1"),
+        F.lead("run_len", 1).over(w_run).alias("len1"),
+        F.lead("event_type", 2).over(w_run).alias("t2"),
+        F.lead("min_id", 2).over(w_run).alias("start2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("max_id").alias("view_id"),
+            F.col("len1").alias("n_clicks"),
+            F.col("start2").alias("purchase_id"),
+        )
+        .orderBy("user_id", "view_id")
+    )

@@ -857,3 +857,186 @@ def q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z6.alias("z6"),
         is_anom.alias("is_anomaly"),
     )
+
+
+@register(
+    "q_stream_dedup_near",
+    oracle="""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+corpus AS (
+  SELECT doc_id, text,
+         least(CAST(floor(doc_id * 2.0 / (m + 1)) AS BIGINT), 1) AS b
+  FROM documents CROSS JOIN mx
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+                                    len(string_split(text, ' ')) - 1), ' ')
+           AS text,
+         2 + least(CAST(floor(doc_id * 2.0 / (m + 1)) AS BIGINT), 1) AS b
+  FROM documents CROSS JOIN mx
+  WHERE len(string_split(text, ' ')) >= 2
+),
+toks AS (SELECT doc_id, b, string_split(text, ' ') AS t FROM corpus),
+shingles AS (
+  SELECT DISTINCT doc_id, b,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+  FROM (SELECT doc_id, b, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, w.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles w ON a.sh = w.sh AND a.b < w.b
+  GROUP BY a.doc_id, w.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.n_common AS DOUBLE) / (ca.n + cb.n - c.n_common), 6)
+         AS jaccard
+FROM common c
+JOIN counts ca ON ca.doc_id = c.id_a
+JOIN counts cb ON cb.doc_id = c.id_b
+WHERE CAST(c.n_common AS DOUBLE) / (ca.n + cb.n - c.n_common) >= 0.5
+ORDER BY id_a, id_b
+""",
+    tags=("stream", "llm", "dedup"),
+)
+def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate dedup against a stored index (the
+    production LLM-ingest loop): 4 document micro-batches arrive in
+    doc_id order — originals in batches 0-1, perturbed near-dup copies
+    (id + 1000000, last token dropped) in batches 2-3; each batch
+    foreachBatch-matches its 5-gram shingles against the index
+    accumulated from every PRIOR batch (exact Jaccard >= 0.5 from
+    stored shingle counts), emits its (prior, new, jaccard) matches,
+    and appends its own shingles to the index. Oracle = the batch
+    recomputation over the same corpus, pairing only across batch
+    buckets — the streaming emission equals the batch answer exactly
+    because candidate recall at the threshold is 1.0 by construction
+    (any qualifying pair shares a shingle; the shingle equi-join
+    enumerates all of them). Within-batch pairs are deliberately out
+    of scope, exactly like q_dedup_incremental's shard-vs-shard
+    exclusion (llm/dedup.py).
+
+    Scale notes: see streaming/stream_dedup.py — per batch the only
+    data-sized shuffle is batch-shingles vs index-shingles on the
+    shingle key; the index is a lakehouse table growing one partition
+    per batch; match/index appends are idempotent dynamic-partition
+    overwrites keyed by epoch, so a crash-replayed batch rewrites
+    itself instead of duplicating (effectively-once on a
+    non-transactional sink).
+    """
+    import os
+
+    from pokertracker_cassandra_st_spark.streaming.runner import SCRATCH
+    from pokertracker_cassandra_st_spark.streaming.stream_dedup import (
+        run_stream_dedup_near,
+    )
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    work = f"{SCRATCH}/stream_dedup_near_{sf_name}"
+    return run_stream_dedup_near(spark, sf_dir, work).orderBy("id_a", "id_b")
+
+
+_THROTTLE_OUT_SCHEMA = "user_id long, n_events long, admitted long, rejected long"
+_THROTTLE_STATE_SCHEMA = "hb long, used long, adm long, rej long"
+_THROTTLE_N = 3
+
+
+def _throttle_fold(
+    key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key hourly admission fold: at most _THROTTLE_N events per
+    (user, hour bucket) in event_id order; the bucket counter resets
+    when the hour advances (event time is monotone in event_id in this
+    log, so one (hour, used) scalar pair IS the full state)."""
+    (user_id,) = key
+    hb, used, adm, rej = state.get if state.exists else (-1, 0, 0, 0)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("event_id")
+        for h in pdf["hb"]:
+            h = int(h)
+            if h != hb:
+                hb, used = h, 0
+            if used < _THROTTLE_N:
+                used += 1
+                adm += 1
+            else:
+                rej += 1
+    state.update((hb, used, adm, rej))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [adm + rej],
+            "admitted": [adm],
+            "rejected": [rej],
+        }
+    )
+
+
+@register(
+    "q_stream_throttle",
+    oracle="""
+WITH r AS (
+  SELECT user_id,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        (CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+           ORDER BY event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+       CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS rejected
+FROM r GROUP BY user_id ORDER BY user_id
+""",
+    tags=("stream",),
+)
+def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key rate limiter (ingest throttling / per-tenant
+    quota): admit at most 3 events per user per event-time hour, in
+    arrival order, with the (current hour, used) counter carried in
+    the state store across 4 micro-batches — the admission-control
+    shape every multi-tenant pipeline runs in front of expensive
+    stages. Oracle = the batch recomputation (rank within (user, hour)
+    by event_id), exact because admission is pure integer folding and
+    event time is monotone in event_id (asserted by the batch rank
+    semantics themselves).
+
+    Scale notes: state is four longs per key (no timeline, no queue);
+    per batch one Arrow pass per key. At 100 TB/day this is the
+    transformWithState pattern keyed on tenant with RocksDB state;
+    the emitted frame is keys-sized, never events-sized.
+    """
+    ev = stream_events(spark, sf_dir, n_files=4).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_timestamp(ts) div 3600").alias("hb"),
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _throttle_fold,
+        outputStructType=_THROTTLE_OUT_SCHEMA,
+        stateStructType=_THROTTLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(folded, "update")
+    # update-mode sink keeps one row per (key, batch); the final state
+    # per key is the row with the highest n_events (monotone)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "admitted", "rejected"), "n_events"
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.admitted").alias("admitted"),
+            F.col("s.rejected").alias("rejected"),
+        )
+        .orderBy("user_id")
+    )

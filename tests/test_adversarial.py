@@ -605,6 +605,52 @@ STREAM_QUERIES = [
     "q_stream_zscore",
 ]
 
+# round 11: variable-length pattern over celebrity-skew runs (user 0's
+# history is one huge island partition; the 1-event user has no run
+# triple); OLS forecast / Bollinger bands over daily counts (NULL
+# value/props never enter — both are pure count rollups); Lorenz
+# deciles where NULL values are filtered before the spend sum
+EVENT_QUERIES.extend(
+    ["q_win_pattern_var", "q_ts_forecast", "q_ts_bollinger", "q_agg_lorenz"]
+)
+# round 11: cross-source fingerprints over empty/whitespace/unicode/
+# duplicated texts (the <5-token gate drops degenerates identically;
+# exact dups share fingerprints by construction); TTR over 1-token and
+# unicode docs (codepoint splits, integer ppm); shard packing where
+# NULL n_chars rows are filtered before the prefix sum
+DOC_QUERIES.extend(
+    [
+        "q_dedup_cross_source",
+        "q_text_lexical_diversity",
+        "q_pipeline_shard_plan",
+    ]
+)
+# round 11: missingness-pattern profile where the synthesized residue
+# NULLs overlay the injected o_totalprice NaNs (CASE ELSE of a NULL is
+# still NULL — both engines agree) and o_custkey orphans are unused
+REL_QUERIES.append("q_dq_null_pattern")
+# round 11: streaming near-dup over the ugly corpus (empty/whitespace
+# docs never shingle; exact-dup texts match at jaccard 1.0 across
+# batches; the perturbed-copy device drops degenerates on both sides)
+STREAM_QUERIES.append("q_stream_dedup_near")
+# round 11: knn-graph mutuality vs the zero vector (NaN cosine edges
+# rank identically cross-engine), the exact-dup pair (mutual by
+# construction), and single-member cells (no edges contributed)
+EMB_QUERIES.append("q_sim_neighbor_overlap")
+# round 11 batch 2: Q1 pricing summary where injected NULL quantity/
+# discount/tax/price rows drop from every decimal sum identically
+# (NULL propagates through the products) while count(*) keeps them;
+# padding-waste over degenerate 0-byte payloads (same bucket rule as
+# aspect_bucket); clustering coefficient on the co-purchase graph
+# where NULL l_partkey rows never form edges (join keys)
+REL_QUERIES.extend(["q_tpch_q1_shape", "q_graph_clustering_coeff"])
+DOC_QUERIES.append("q_multimodal_pad_waste")
+# round 11 batch 2: per-key rate limiter under celebrity skew (user
+# 0's fold spans most of the log; the single-event user admits its one
+# event) — event time stays monotone in event_id in the adversarial
+# log, the invariant the (hour, used) scalar state needs
+STREAM_QUERIES.append("q_stream_throttle")
+
 
 def _inject_rel_nulls(rng, adv):
     li = pd.read_parquet(f"{BASE}/lineitem.parquet")

@@ -1632,3 +1632,148 @@ def test_bursts_share_one_type_exchange(spark, sf_dir):
     assert "windowspecdefinition(event_type" in simple
     assert "Exchange SinglePartition" not in simple
     assert "Join" not in simple
+
+
+# ---- round-11 operators ---------------------------------------------
+
+
+def test_pattern_var_single_user_exchange(spark, sf_dir):
+    # islands window, run aggregation, and run-sequence window all ride
+    # ONE hashpartitioning(user_id) exchange (the run groupBy's keys
+    # contain user_id, so the existing clustering satisfies it); the
+    # only other exchange is the output order's rangepartitioning
+    simple = plan_of(spark, "q_win_pattern_var", sf_dir, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(user_id" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
+
+
+def test_forecast_rollup_is_mapside_and_fit_broadcasts_origin(spark, sf_dir):
+    # daily rollup partial-aggregates before its shuffle; the global
+    # min-day origin rides a broadcast 1-row frame (nested loop over 1
+    # row), never a second data-sized pass or a global window
+    simple = plan_of(spark, "q_ts_forecast", sf_dir, mode="simple")
+    assert "partial_count" in simple
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in simple
+    assert "Window" not in simple
+    assert "Generate explode" in simple
+
+
+def test_bollinger_single_type_window(spark, sf_dir):
+    # one daily-rollup shuffle, then the band window partitioned by
+    # event_type over days-sized rows; no joins, no global window
+    simple = plan_of(spark, "q_ts_bollinger", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "windowspecdefinition(event_type" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
+
+
+def test_null_pattern_mask_groups_mapside(spark, sf_dir):
+    # the mask computes row-side and partial-aggregates before the
+    # (<= 2^k)-key shuffle; the total enters via a broadcast 1-row frame
+    simple = plan_of(spark, "q_dq_null_pattern", sf_dir, mode="simple")
+    assert "partial_count" in simple
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in simple
+    assert simple.count("FileScan parquet") <= 2
+    assert "Window" not in simple
+
+
+def test_cross_source_audit_moves_digests_only(spark, sf_dir):
+    # one shuffle keyed on the fingerprint; text dies at the map side
+    # (the scan projects only the audited columns)
+    plan = plan_of(spark, "q_dedup_cross_source", sf_dir)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    simple = plan_of(spark, "q_dedup_cross_source", sf_dir, mode="simple")
+    assert "Join" not in simple
+    assert "Exchange SinglePartition" not in simple
+
+
+def test_lorenz_rank_is_distributed_two_phase(spark, sf_dir):
+    # the global spend rank is dist_rank's bucket-partitioned window —
+    # the only partition-less window sits over the <=32-row bucket
+    # totals (same contract as q_agg_gini); deciles group 10 keys
+    plan = plan_of(spark, "q_agg_lorenz", sf_dir, mode="simple")
+    windows = [
+        l for l in plan.splitlines()
+        if "Window [" in l or l.strip().startswith("Window")
+    ]
+    assert windows, "expected Window operators in the lorenz plan"
+    partitionless = [l for l in windows if "_b" not in l]
+    # the bucket-offset window and the 10-row cumulative-decile window
+    # may be partition-less; nothing data-sized may be
+    assert len(partitionless) <= 2, partitionless
+
+
+def test_lexical_diversity_zero_exchange(spark, sf_dir):
+    # all array work is row-local; the only exchange is the output sort
+    simple = plan_of(spark, "q_text_lexical_diversity", sf_dir, mode="simple")
+    assert "Exchange hashpartitioning" not in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
+    assert "Generate explode" not in simple
+
+
+def test_shard_plan_prefix_sum_is_two_phase(spark, sf_dir):
+    # byte offsets via dist_rank.range_prefix: per-bucket windows plus
+    # one bounded bucket-totals pass — no global single-task window
+    plan = plan_of(spark, "q_pipeline_shard_plan", sf_dir, mode="simple")
+    windows = [
+        l for l in plan.splitlines()
+        if "Window [" in l or l.strip().startswith("Window")
+    ]
+    assert windows
+    partitionless = [l for l in windows if "_b" not in l]
+    assert len(partitionless) <= 1, partitionless
+
+
+def test_neighbor_overlap_joins_are_hash_never_nested(spark, sf_dir):
+    # edge build inherits knn's cell-bounded SHUFFLE_HASH; mutuality is
+    # a left-semi hash join of the edge list with itself; label attach
+    # is a shuffle-hash join — nothing nested-loop, nothing broadcast
+    # of a data-sized frame
+    simple = plan_of(spark, "q_sim_neighbor_overlap", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    # the only nested loops are knn's inherited 1-row cell-parameter
+    # broadcasts (BuildRight, Cross) — never a data-sized loop join
+    assert simple.count("BroadcastNestedLoopJoin") == simple.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert "ShuffledHashJoin" in simple
+    assert "LeftSemi" in simple
+
+
+def test_q1_shape_pushdown_and_mapside_combine(spark, sf_dir):
+    # the shipdate filter and 6-column projection reach the scan;
+    # partial aggregation collapses everything map-side; no joins
+    plan = plan_of(spark, "q_tpch_q1_shape", sf_dir)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]:
+        assert col not in read_schema
+    simple = plan_of(spark, "q_tpch_q1_shape", sf_dir, mode="simple")
+    assert "partial_sum" in simple
+    assert "Join" not in simple
+    assert "Exchange SinglePartition" not in simple
+
+
+def test_pad_waste_moves_dims_only(spark, sf_dir):
+    # decode runs in Arrow batches partition-side; only (w, h) longs
+    # survive to the 5-group rollup — payload bytes never shuffle
+    simple = plan_of(spark, "q_multimodal_pad_waste", sf_dir, mode="simple")
+    assert "MapInPandas" in simple
+    assert "partial_count" in simple
+    assert "Join" not in simple
+
+
+def test_clustering_coeff_joins_are_equi(spark, sf_dir):
+    # the oriented triangle join is three equi-joins on narrow pairs;
+    # never a nested loop or cartesian anywhere
+    simple = plan_of(spark, "q_graph_clustering_coeff", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "TakeOrderedAndProject" in simple
