@@ -552,3 +552,98 @@ def q_tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "q_agg_contribution",
+    oracle="""
+WITH wk AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), mx AS (SELECT max(w) AS w1 FROM wk),
+d AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CASE WHEN w = mx.w1 THEN cents ELSE 0 END) AS BIGINT)
+           - CAST(SUM(CASE WHEN w = mx.w1 - 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS user_delta_cents
+  FROM wk CROSS JOIN mx
+  WHERE w IN (mx.w1, mx.w1 - 1)
+  GROUP BY event_type, user_id
+), t AS (
+  SELECT event_type, user_id, user_delta_cents,
+         CAST(SUM(user_delta_cents) OVER (PARTITION BY event_type)
+              AS BIGINT) AS type_delta_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(user_delta_cents) DESC, user_id)
+           AS rk
+  FROM d
+)
+SELECT event_type, user_id, user_delta_cents, type_delta_cents, rk
+FROM t WHERE rk <= 3 ORDER BY event_type, rk
+""",
+    tags=("agg", "analytics"),
+)
+def q_agg_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (metric-tree root-causing): for each event
+    type, the week-over-week revenue delta of the LAST observed week vs
+    the week before, decomposed to the top-3 users by absolute delta —
+    the "which accounts moved the metric" question every WBR asks
+    after q_ts_growth says the metric moved. Exact integer cents end
+    to end; no division, so signed deltas never hit floor-vs-trunc
+    engine lore.
+
+    Scale notes: the two-week filter prunes the scan via the broadcast
+    1-row max-week frame; the (type, user) rollup is map-side combined;
+    the per-type total and top-3 rank share one type-partitioned
+    window pass over user-level rows. At 100 TB the deltas frame is
+    users-sized, never events-sized.
+    """
+    wk = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("unix_timestamp(ts) div 604800").alias("w"),
+            slong("value", 2).alias("cents"),
+        )
+    )
+    mx = wk.agg(F.max("w").alias("w1"))
+    d = (
+        wk.crossJoin(F.broadcast(mx))
+        .filter((F.col("w") == F.col("w1")) | (F.col("w") == F.col("w1") - 1))
+        .groupBy("event_type", "user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("w") == F.col("w1"), F.col("cents")).otherwise(
+                        0
+                    )
+                )
+                - F.sum(
+                    F.when(
+                        F.col("w") == F.col("w1") - 1, F.col("cents")
+                    ).otherwise(0)
+                )
+            ).alias("user_delta_cents")
+        )
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("user_delta_cents")).desc(), "user_id"
+    )
+    return (
+        d.select(
+            "event_type",
+            "user_id",
+            "user_delta_cents",
+            F.sum("user_delta_cents").over(wt).alias("type_delta_cents"),
+            F.row_number().over(wr).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("event_type", "rk")
+    )

@@ -277,3 +277,38 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@register(
+    "q_sample_systematic",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (ORDER BY doc_id) AS i
+  FROM documents
+)
+SELECT doc_id, source, i
+FROM r WHERE i % 20 = 7 ORDER BY i
+""",
+    tags=("sample",),
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling: rank the corpus in stable
+    doc_id order and keep ranks ≡ 7 (mod 20) — the evenly-spaced 5%
+    audit sample QA teams pull when random sampling could miss
+    periodic structure (and the one sampling design that GUARANTEES
+    coverage of every corpus region). Completes the sampling tier:
+    split (hash), stratified, weighted, reservoir, systematic.
+
+    Scale notes: the global rank is the two-phase distributed
+    row_number (dist_rank.range_row_number — range-partition on
+    doc_id, local ranks, broadcast bucket offsets); the modulus filter
+    is codegen'd. No global window, no collect.
+    """
+    from pokertracker_cassandra_st_spark.dist_rank import range_row_number
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    r = range_row_number(d, ["doc_id"], "i")
+    return r.filter(F.col("i") % 20 == 7).select(
+        "doc_id", "source", "i"
+    ).orderBy("i")

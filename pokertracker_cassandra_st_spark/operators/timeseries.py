@@ -2441,3 +2441,135 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_break"),
     ).orderBy("event_type", "db")
+
+
+@register(
+    "q_ts_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(DISTINCT user_id) AS du
+  FROM events GROUP BY 1, 2
+), wd AS (
+  SELECT w, count(*) AS n_days,
+         CAST(SUM(du) AS BIGINT) AS sum_daily
+  FROM d GROUP BY w
+), wu AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+         count(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+)
+SELECT wd.w, wd.n_days, wd.sum_daily, wu.wau,
+       (1000000 * wd.sum_daily) // (wd.n_days * wu.wau) AS stickiness_ppm
+FROM wd JOIN wu ON wd.w = wu.w ORDER BY wd.w
+""",
+    tags=("ts", "behavior"),
+)
+def q_ts_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per epoch week: mean daily active users over
+    the week's OBSERVED days divided by weekly actives, in exact
+    integer ppm — the engagement-intensity ratio product analytics
+    reads next to q_ts_retention's return-rate triangle (a user can
+    retain weekly yet visit once; stickiness is what distinguishes
+    that from daily habit).
+
+    Scale notes: one (week, day) distinct-user rollup and one
+    week-level distinct — both map-side partial-set aggregations keyed
+    on calendar buckets; the join is weeks-sized. At extreme user
+    cardinality the exact distincts swap for HLL sketches
+    (q_agg_approx_distinct's contract) with no shape change.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 604800").alias("w"),
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        "user_id",
+    )
+    d = ev.groupBy("w", "day").agg(F.countDistinct("user_id").alias("du"))
+    wd = d.groupBy("w").agg(
+        F.count("*").alias("n_days"), F.sum("du").alias("sum_daily")
+    )
+    wu = ev.groupBy("w").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        wd.join(wu, "w")
+        .select(
+            "w",
+            "n_days",
+            "sum_daily",
+            "wau",
+            F.expr("(1000000 * sum_daily) div (n_days * wau)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("w")
+    )
+
+
+@register(
+    "q_ts_interarrival",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       min(gap_s) AS min_s,
+       max(gap_s) AS max_s,
+       round(CAST(SUM(gap_s) AS DOUBLE) / count(*), 6) AS avg_s,
+       CAST(quantile_cont(gap_s * 4, 0.25) AS BIGINT) AS p25_q4,
+       CAST(quantile_cont(gap_s * 4, 0.50) AS BIGINT) AS p50_q4,
+       CAST(quantile_cont(gap_s * 4, 0.75) AS BIGINT) AS p75_q4
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("ts",),
+)
+def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: integer seconds
+    between consecutive events in version order, summarized with exact
+    x4-quantized quartiles (the q_agg_percentile_exact device) — the
+    traffic-shape statistic behind capacity planning and burst
+    thresholds (q_ts_bursts flags episodes; this measures the baseline
+    cadence they deviate from).
+
+    Scale notes: one event_type-partitioned lag window (event_id is
+    the in-partition sort, monotone with ts) feeding a per-type
+    aggregate over gap scalars; avg from the exact integer sum. The
+    exact percentile sorts per-type gap lists inside the aggregate —
+    at extreme scale swap for approx_percentile under the
+    exact-vs-tolerance contract of q_agg_percentile_approx.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_s").alias("min_s"),
+            F.max("gap_s").alias("max_s"),
+            F.round(F.sum("gap_s").cast("double") / F.count("*"), 6).alias(
+                "avg_s"
+            ),
+            F.percentile(F.col("gap_s") * 4, F.lit(0.25))
+            .cast("long")
+            .alias("p25_q4"),
+            F.percentile(F.col("gap_s") * 4, F.lit(0.50))
+            .cast("long")
+            .alias("p50_q4"),
+            F.percentile(F.col("gap_s") * 4, F.lit(0.75))
+            .cast("long")
+            .alias("p75_q4"),
+        )
+        .orderBy("event_type")
+    )

@@ -650,6 +650,15 @@ DOC_QUERIES.append("q_multimodal_pad_waste")
 # event) — event time stays monotone in event_id in the adversarial
 # log, the invariant the (hour, used) scalar state needs
 STREAM_QUERIES.append("q_stream_throttle")
+# round 11 batch 3: contribution deltas where NULL values are filtered
+# before the cents sums and the celebrity user dominates one type's
+# delta; stickiness/interarrival are pure count/gap rollups (NULL
+# value/props never enter; the 1-event user contributes no gap);
+# systematic sampling over the ugly docs (rank is id-stable)
+EVENT_QUERIES.extend(
+    ["q_agg_contribution", "q_ts_stickiness", "q_ts_interarrival"]
+)
+DOC_QUERIES.append("q_sample_systematic")
 
 
 def _inject_rel_nulls(rng, adv):

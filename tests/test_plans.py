@@ -1777,3 +1777,47 @@ def test_clustering_coeff_joins_are_equi(spark, sf_dir):
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
     assert "TakeOrderedAndProject" in simple
+
+
+def test_contribution_prunes_to_two_weeks_and_shares_type_window(spark, sf_dir):
+    # the broadcast max-week frame prunes the scan to two weeks; the
+    # per-type total and top-3 rank share one type partitioning
+    simple = plan_of(spark, "q_agg_contribution", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in simple
+    assert "windowspecdefinition(event_type" in simple
+    # the top-3 rank prunes per-type heaps before the full sort
+    assert "WindowGroupLimit" in simple
+    # the only SinglePartition is the bounded 1-row max-week aggregate
+    # feeding the broadcast — never a data-sized funnel
+    assert simple.count("Exchange SinglePartition") <= 1
+
+
+def test_stickiness_joins_week_sized_frames(spark, sf_dir):
+    # both distinct rollups partial-aggregate; the join carries
+    # weeks-sized rows only
+    simple = plan_of(spark, "q_ts_stickiness", sf_dir, mode="simple")
+    assert "partial_count(distinct" in simple or "partial_count" in simple
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+
+
+def test_interarrival_single_type_exchange(spark, sf_dir):
+    # lag window and per-type aggregate share the event_type exchange
+    simple = plan_of(spark, "q_ts_interarrival", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "windowspecdefinition(event_type" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
+
+
+def test_systematic_sample_rank_is_distributed(spark, sf_dir):
+    # the global rank is dist_rank's bucket-partitioned window; only
+    # the bounded bucket-totals window may be partition-less
+    plan = plan_of(spark, "q_sample_systematic", sf_dir, mode="simple")
+    windows = [
+        l for l in plan.splitlines()
+        if "Window [" in l or l.strip().startswith("Window")
+    ]
+    assert windows
+    partitionless = [l for l in windows if "_b" not in l]
+    assert len(partitionless) <= 1, partitionless
