@@ -15,6 +15,7 @@ from pokertracker_cassandra_st_spark.operators import (  # noqa: F401
     reshape,
     subqueries,
     analytics,
+    tpch,
     timeseries,
     behavior,
     graph,

@@ -659,6 +659,39 @@ EVENT_QUERIES.extend(
     ["q_agg_contribution", "q_ts_stickiness", "q_ts_interarrival"]
 )
 DOC_QUERIES.append("q_sample_systematic")
+# round 11 batch 4 — TPC-H shapes on the null-injected relational set:
+# Q6 keeps NULL-priced rows in count(*) while the revenue sum skips
+# them identically; Q12 groups NULL returnflags (NULL IN (...) lands in
+# the ELSE branch both engines); Q13's orphan NULL-custkey orders never
+# match the left join; Q14's NULL-revenue terms drop from both
+# conditional sums; Q22's NULL balances fail > 0 and the cross-multiply
+# the same way on both sides
+REL_QUERIES.extend(
+    [
+        "q_tpch_q6_shape",
+        "q_tpch_q4_shape",
+        "q_tpch_q12_shape",
+        "q_tpch_q13_shape",
+        "q_tpch_q14_shape",
+        "q_tpch_q22_shape",
+    ]
+)
+# round 11 batch 5 — more TPC-H shapes: Q15's max ties stay exact-long
+# equality under NULL-revenue drops; Q17's NULL quantities fall out of
+# the cross-multiplied 20%-of-average compare while count(*) keeps them
+# in cnt on both engines; Q19's NULL quantities void every disjunct;
+# Q21's per-order aggregate must match the textbook double-EXISTS on
+# skewless keys (no NULLs injected into the join keys); Q8's ppm share
+# drops NULL-revenue terms from both the numerator CASE and the total
+REL_QUERIES.extend(
+    [
+        "q_tpch_q15_shape",
+        "q_tpch_q17_shape",
+        "q_tpch_q19_shape",
+        "q_tpch_q21_shape",
+        "q_tpch_q8_shape",
+    ]
+)
 
 
 def _inject_rel_nulls(rng, adv):

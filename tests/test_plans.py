@@ -1821,3 +1821,147 @@ def test_systematic_sample_rank_is_distributed(spark, sf_dir):
     assert windows
     partitionless = [l for l in windows if "_b" not in l]
     assert len(partitionless) <= 1, partitionless
+
+
+def test_q6_all_filters_push_to_scan(spark, sf_dir):
+    # the pure-pushdown benchmark: date band, discount band, quantity
+    # cap all reach the parquet reader; 3-column ReadSchema; no join
+    plan = plan_of(spark, "q_tpch_q6_shape", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+    simple = plan_of(spark, "q_tpch_q6_shape", sf_dir, mode="simple")
+    assert "Join" not in simple
+    assert "partial_sum" in simple
+
+
+def test_q4_exists_is_semi_join_never_expands(spark, sf_dir):
+    # the EXISTS plans as ONE left-semi hash/merge join (residual date
+    # compare attached), never a nested loop and never an inner join
+    # that would double-count multi-lineitem orders
+    simple = plan_of(spark, "q_tpch_q4_shape", sf_dir, mode="simple")
+    assert "LeftSemi" in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert simple.count("FileScan parquet") == 2
+    assert "partial_count" in simple
+
+
+def test_q12_single_fact_join_partial_agg(spark, sf_dir):
+    # year filter pushes into the lineitem scan; one equi join on the
+    # order key; conditional counts partial-aggregate before the final
+    plan = plan_of(spark, "q_tpch_q12_shape", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed)
+    simple = plan_of(spark, "q_tpch_q12_shape", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "partial_sum" in simple
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
+    # LEFT OUTER survives to the physical plan (an inner join here is
+    # the classic Q13 wrong answer — zero-order customers vanish);
+    # both aggregations partial-aggregate
+    simple = plan_of(spark, "q_tpch_q13_shape", sf_dir, mode="simple")
+    assert "LeftOuter" in simple
+    assert "partial_count" in simple
+    assert simple.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_q14_part_dim_broadcasts(spark, sf_dir):
+    # part is dim-sized at any scale: BroadcastHashJoin, never a fact
+    # shuffle; the month filter reaches the lineitem scan
+    plan = plan_of(spark, "q_tpch_q14_shape", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed)
+
+
+def test_q22_anti_join_and_single_stats_broadcast(spark, sf_dir):
+    # the NOT EXISTS is a hash LeftAnti on the customer key; the only
+    # nested-loop is the 1-row balance-stats broadcast attach; the
+    # recent-orders date filter reaches the orders scan
+    simple = plan_of(spark, "q_tpch_q22_shape", sf_dir, mode="simple")
+    assert "LeftAnti" in simple
+    assert simple.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in simple
+    plan = plan_of(spark, "q_tpch_q22_shape", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+
+
+def test_q15_single_fact_scan_with_broadcast_max(spark, sf_dir):
+    # the revenue view materializes once: ONE lineitem FileScan; the
+    # scalar max is a window over the supplier-sized post-aggregate
+    # (a separate max branch would re-reference and RESCAN the fact);
+    # supplier name attaches by broadcast
+    plan = plan_of(spark, "q_tpch_q15_shape", sf_dir, mode="simple")
+    li_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, li_scans
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the single-partition exchange feeds the bounded post-agg window
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_q17_window_replaces_fact_self_join(spark, sf_dir):
+    # the per-part average is a window over l_partkey — one fact scan,
+    # one exchange; the textbook self-join would scan lineitem twice
+    plan = plan_of(spark, "q_tpch_q17_shape", sf_dir, mode="simple")
+    li_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, li_scans
+    assert "windowspecdefinition(l_partkey" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_derives_pushed_predicates(spark, sf_dir):
+    # Catalyst derives the implied per-side predicates from the OR:
+    # the brand IN-list reaches the part scan and the quantity
+    # envelope reaches the lineitem scan
+    plan = plan_of(spark, "q_tpch_q19_shape", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed), pushed
+    assert any("l_quantity" in l for l in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_one_fact_scan_no_self_joins(spark, sf_dir):
+    # the EXISTS / NOT-EXISTS pair is ONE per-order aggregate, not two
+    # extra lineitem probes: exactly one lineitem FileScan; top-10 is
+    # TakeOrdered, never a global sort
+    plan = plan_of(spark, "q_tpch_q21_shape", sf_dir, mode="simple")
+    li_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, li_scans
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_star_broadcasts_dims_never_facts(spark, sf_dir):
+    # the 8-table star: part/nation/region/supplier broadcast; the two
+    # fact joins shuffle-hash on their keys; no sort-merge, no fact
+    # broadcast (lineitem/orders never appear under a BroadcastExchange)
+    plan = plan_of(spark, "q_tpch_q8_shape", sf_dir, mode="formatted")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_type" in l for l in pushed)
+    assert any("r_name" in l for l in pushed)
