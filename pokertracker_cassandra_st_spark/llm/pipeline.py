@@ -611,3 +611,121 @@ def q_pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---- q_pipeline_quality_curve ---------------------------------------------- #
+# "How many tokens survive each quality cut?" — the curve a data-mixing
+# team reads before choosing a filter threshold: rank the corpus by a
+# quality score, slice into exact rank deciles, report per-decile and
+# cumulative token counts plus each cut's share of the total budget.
+
+
+@register(
+    "q_pipeline_quality_curve",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
+           // CAST(len(toks) AS BIGINT) AS ttr_ppm
+  FROM t WHERE len(toks) >= 1
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY ttr_ppm DESC, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM d
+), dec AS (
+  SELECT least(CAST(10 AS BIGINT), ((rk - 1) * 10) // n + 1) AS decile,
+         count(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM r GROUP BY 1
+), c AS (
+  SELECT decile, n_docs, n_tokens,
+         CAST(SUM(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+         CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM dec
+)
+SELECT decile, n_docs, n_tokens, cum_docs, cum_tokens,
+       CAST((1000000 * CAST(cum_tokens AS HUGEINT)) // total_tokens
+            AS BIGINT) AS cum_token_share_ppm
+FROM c ORDER BY decile
+""",
+    tags=("llm", "pipeline"),
+)
+def q_pipeline_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold token-budget curve: documents ranked by
+    lexical-diversity score (exact integer TTR ppm — the
+    q_text_lexical_diversity signal), cut into ten EXACT rank deciles
+    (the 1 + ((rk-1)*10) div n formula — ntile remainder placement is
+    engine lore), each decile reporting docs, tokens, cumulative
+    docs/tokens, and the cumulative share of the total token budget in
+    integer ppm. Read it as "keeping the top 30%% best-scoring docs
+    retains N tokens = X ppm of the corpus".
+
+    Scale notes: scoring is row-local array arithmetic (zero
+    exchanges); the global rank is the TWO-PHASE distributed
+    row_number (dist_rank) — no data-sized single-partition window;
+    the decile rollup carries 10 rows, where the cumulative window and
+    the total attach are free. Ties rank deterministically by
+    (score DESC, doc_id).
+    """
+    from pokertracker_cassandra_st_spark.dist_rank import range_row_number
+
+    toks = F.split("text", " ")
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 1)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.expr(
+                "(1000000 * CAST(size(array_distinct(split(text, ' ')))"
+                " AS BIGINT)) div CAST(size(split(text, ' ')) AS BIGINT)"
+            ).alias("ttr_ppm"),
+        )
+        .withColumn("neg_score", -F.col("ttr_ppm"))
+    )
+    ranked = range_row_number(d, ["neg_score", "doc_id"], "rk")
+    n_tot = d.agg(F.count("*").alias("n"))
+    dec = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.least(
+                F.lit(10).cast("long"),
+                F.expr("((rk - 1) * 10) div n + 1"),
+            ).alias("decile"),
+            "n_tokens",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return (
+        dec.select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_docs").over(w_cum).cast("long").alias("cum_docs"),
+            F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+            F.sum("n_tokens").over(w_all).cast("long").alias("total_tokens"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "cum_docs",
+            "cum_tokens",
+            F.expr(
+                "CAST((1000000 * CAST(cum_tokens AS DECIMAL(38,0)))"
+                " DIV total_tokens AS BIGINT)"
+            ).alias("cum_token_share_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -1950,3 +1950,93 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("bigram_ttr_ppm"),
     ).orderBy("doc_id")
+
+
+# ---- q_text_ngram_novelty ---------------------------------------------------- #
+# Memorization / novelty audit: what fraction of each document's
+# trigrams appears for the FIRST time in the corpus at that document
+# (by doc_id order)? Low novelty late in the corpus marks recycled /
+# templated content the dedup tier's whole-doc fingerprints miss.
+
+
+@register(
+    "q_text_ngram_novelty",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, substr(md5(gram), 1, 16) AS d
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             [array_to_string(list_slice(toks, i, i + 2), ' ')
+              for i in generate_series(1, len(toks) - 2)])) AS gram
+    FROM t WHERE len(toks) >= 3
+  )
+), f AS (
+  SELECT doc_id, d,
+         min(doc_id) OVER (PARTITION BY d) AS first_doc
+  FROM g
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       (1000000 * CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT)) // count(*) AS novelty_ppm
+FROM f GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the exact ppm of each document's
+    distinct trigrams whose corpus-wide FIRST occurrence (minimum
+    doc_id) is this document. The sequence-level complement of
+    q_text_contamination (which checks against an external benchmark)
+    and q_dedup_ngram_jaccard (which scores pairs): novelty is a
+    per-document scalar against the whole corpus, no pair enumeration.
+
+    Scale notes: trigrams build row-locally (transform over an index
+    sequence, array_distinct) and explode to 16-hex-char md5 DIGESTS —
+    the shuffle never carries text (the dedup-tier doctrine). The
+    first-occurrence is min(doc_id) OVER the digest partition — ONE
+    digest exchange, no groupBy+join back (which would re-reference
+    and rescan the corpus); the per-doc rollup is a second, smaller
+    exchange on doc_id. Digest collisions (64-bit) are negligible and
+    engine-symmetric either way.
+    """
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    g = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id", F.substring(F.md5("gram"), 1, 16).alias("d")
+        )
+    )
+    f = g.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("d")).alias("first_doc"),
+    )
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        f.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(1000000 * n_novel) div n_grams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1248,3 +1248,249 @@ def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---- q_agg_jackknife_ci ----------------------------------------------------- #
+# Error bars without resampling: the delete-one-block jackknife is the
+# production way to put a CI on a metric over 100 TB — one extra
+# grouping key, zero extra scans, no RNG to keep in sync across
+# engines (a bootstrap's resampling draws are engine lore; the
+# jackknife is a closed formula over block partials).
+
+
+@register(
+    "q_agg_jackknife_ci",
+    oracle="""
+WITH b AS (
+  SELECT event_type, user_id % 20 AS blk,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_b,
+         count(*) AS n_b
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, user_id % 20
+), g AS (
+  SELECT event_type,
+         CAST(SUM(s_b) AS BIGINT) AS s,
+         CAST(SUM(n_b) AS BIGINT) AS n,
+         count(*) AS k
+  FROM b GROUP BY event_type
+), loo AS (
+  SELECT b.event_type,
+         CAST(round(1000000 * (CAST(g.s - b.s_b AS DOUBLE) / 100.0)
+                    / CAST(g.n - b.n_b AS DOUBLE)) AS BIGINT) AS q
+  FROM b JOIN g ON b.event_type = g.event_type
+  WHERE g.k >= 2
+), jk AS (
+  SELECT event_type,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sq2,
+         count(*) AS k
+  FROM loo GROUP BY event_type
+)
+SELECT g.event_type, g.n AS n_events, g.k AS n_blocks,
+       CAST(g.s AS DOUBLE) / 100.0 / g.n AS mean_value,
+       sqrt((jk.k - 1.0) / jk.k
+            * (CAST(jk.sq2 AS DOUBLE)
+               - CAST(jk.sq AS DOUBLE) * CAST(jk.sq AS DOUBLE) / jk.k)
+            ) / 1000000.0 AS se_jack,
+       CAST(g.s AS DOUBLE) / 100.0 / g.n
+         - 1.96 * (sqrt((jk.k - 1.0) / jk.k
+                        * (CAST(jk.sq2 AS DOUBLE)
+                           - CAST(jk.sq AS DOUBLE) * CAST(jk.sq AS DOUBLE)
+                             / jk.k)) / 1000000.0) AS ci_lo,
+       CAST(g.s AS DOUBLE) / 100.0 / g.n
+         + 1.96 * (sqrt((jk.k - 1.0) / jk.k
+                        * (CAST(jk.sq2 AS DOUBLE)
+                           - CAST(jk.sq AS DOUBLE) * CAST(jk.sq AS DOUBLE)
+                             / jk.k)) / 1000000.0) AS ci_hi
+FROM g JOIN jk ON g.event_type = jk.event_type
+ORDER BY g.event_type
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife confidence interval for the mean
+    event value per type: split users into 20 hash blocks, compute each
+    block's exact (sum_cents, count) partial, derive the 20
+    leave-one-out means from the per-type total MINUS the block — a
+    closed-form variance estimate with no resampling and no RNG,
+    the production error bar at any scale.
+
+    Determinism: block partials are exact scaled longs; each
+    leave-one-out mean is the SAME int64 pair divided in DOUBLE on both
+    engines, then quantized to exact micro-units (q). The jackknife
+    variance runs on Σq and Σq² — Σq² accumulates through
+    DECIMAL(38,0)/HUGEINT (q up to ~5e8 squared is ~2.4e17; 20 blocks
+    approaches int64's edge — the cast-first doctrine) and lands back
+    in BIGINT, so every output double derives from the same exact
+    integers by the same IEEE expression. Blocks have n_b >= 1 by
+    construction, so k >= 2 guarantees N - n_b >= 1 (no zero
+    denominator); single-block types drop (se undefined).
+
+    Scale notes: ONE fact scan and one (type, block) exchange with
+    map-side combine; the <=20 block partials per type collect into an
+    array on the types-sized frame and every downstream term (totals,
+    leave-one-out means, Σq, Σq²) is row-local higher-order-function
+    arithmetic — no self-referencing subtree for Spark to rescan, no
+    joins, nothing data-sized after the first partial aggregate.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.groupBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(20)).alias("blk")
+    ).agg(
+        F.sum(slong("value", 2)).alias("s_b"),
+        F.count("*").alias("n_b"),
+    )
+    # collect the <=20 block partials per type: every downstream term is
+    # row-local array arithmetic on a types-sized frame — ONE fact scan,
+    # two bounded exchanges, no self-referencing subtrees to rescan.
+    g = b.groupBy("event_type").agg(
+        F.collect_list(F.struct("s_b", "n_b")).alias("parts")
+    )
+    g = g.select(
+        "event_type",
+        F.expr(
+            "aggregate(parts, CAST(0 AS BIGINT), (a, x) -> a + x.s_b)"
+        ).alias("s"),
+        F.expr(
+            "aggregate(parts, CAST(0 AS BIGINT), (a, x) -> a + x.n_b)"
+        ).alias("n"),
+        F.size("parts").cast("long").alias("k"),
+        F.col("parts"),
+    ).filter(F.col("k") >= 2)
+    # leave-one-out means quantized to exact micro-units (the slong
+    # rounding inlined: signum * floor(|x| * 1e0 + 0.5) on the SAME
+    # IEEE double both engines compute from the same int64 pair)
+    g = g.select(
+        "event_type",
+        "s",
+        "n",
+        "k",
+        F.expr(
+            "transform(parts, x -> CAST(signum("
+            "1000000.0 * ((CAST(s - x.s_b AS DOUBLE) / 100.0)"
+            " / CAST(n - x.n_b AS DOUBLE)))"
+            " * floor(abs(1000000.0 * ((CAST(s - x.s_b AS DOUBLE) / 100.0)"
+            " / CAST(n - x.n_b AS DOUBLE))) + 0.5D) AS BIGINT))"
+        ).alias("q_arr"),
+    )
+    jk = g.select(
+        "event_type",
+        "s",
+        "n",
+        "k",
+        F.expr(
+            "aggregate(q_arr, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("sq"),
+        F.expr(
+            "CAST(aggregate(q_arr, CAST(0 AS DECIMAL(38,0)),"
+            " (a, x) -> a + CAST(x AS DECIMAL(38,0)) * x) AS BIGINT)"
+        ).alias("sq2"),
+    )
+    var = (
+        (F.col("k") - 1.0)
+        / F.col("k")
+        * (
+            F.col("sq2").cast("double")
+            - F.col("sq").cast("double")
+            * F.col("sq").cast("double")
+            / F.col("k")
+        )
+    )
+    se = F.sqrt(var) / 1_000_000.0
+    mean = F.col("s").cast("double") / 100.0 / F.col("n")
+    return jk.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_blocks"),
+        mean.alias("mean_value"),
+        se.alias("se_jack"),
+        (mean - 1.96 * se).alias("ci_lo"),
+        (mean + 1.96 * se).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+# ---- q_agg_power_mde -------------------------------------------------------- #
+
+
+@register(
+    "q_agg_power_mde",
+    oracle="""
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type HAVING count(*) >= 2
+)
+SELECT event_type, n AS n_events,
+       CAST(s AS DOUBLE) / 100.0 / n AS mean_value,
+       sqrt((CAST(ss AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+            / (n - 1)) / 100.0 AS stddev_value,
+       2.8016 * (2.0 * (sqrt((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                             / (n - 1)) / 100.0)
+                 / sqrt(CAST(n AS DOUBLE))) AS mde_abs,
+       CAST(round(1000000 * (2.8016 * (2.0 * (sqrt((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                             / (n - 1)) / 100.0)
+                 / sqrt(CAST(n AS DOUBLE))))
+                  / (CAST(s AS DOUBLE) / 100.0 / n)) AS BIGINT)
+         AS mde_rel_ppm
+FROM m ORDER BY event_type
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-planning table: per event type, the minimal
+    detectable effect of a 50/50 A/B test at alpha=0.05 / power=0.80
+    given the metric's observed variance — MDE = (z_a/2 + z_b) * 2s /
+    sqrt(n) with the z-sum as the exact literal 2.8016. The planning
+    companion to q_agg_ttest (read it before the test, not after) and
+    q_agg_cuped (whose variance reduction shrinks this number).
+
+    Determinism: n, sum and sum-of-squares are exact integers (the
+    square accumulates through DECIMAL(38,0)/HUGEINT — cents² x rows
+    passes int64 around ~4e9 rows/type — then lands in BIGINT), and
+    every output double derives from those integers by the SAME IEEE
+    expression tree in both engines, association pinned down to the
+    parenthesis. Groups need n >= 2 (sample variance).
+
+    Scale notes: one scan, one map-side-combined (type) aggregate
+    carrying three numbers per group; the MDE math runs on the
+    types-sized frame. The 100 TB plan is this plan.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", slong("value", 2).alias("c"))
+    )
+    m = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)"
+            ).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    mean = s_d / 100.0 / F.col("n")
+    sd = F.sqrt((ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1)) / 100.0
+    mde = 2.8016 * (2.0 * sd / F.sqrt(n_d))
+    return (
+        m.select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            mean.alias("mean_value"),
+            sd.alias("stddev_value"),
+            mde.alias("mde_abs"),
+            slong(F.lit(1_000_000) * mde / mean, 0).alias("mde_rel_ppm"),
+        )
+        .orderBy("event_type")
+    )

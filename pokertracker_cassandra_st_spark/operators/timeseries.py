@@ -2573,3 +2573,71 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- q_ts_hour_of_week ------------------------------------------------------ #
+
+
+@register(
+    "q_ts_hour_of_week",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 168 AS how,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, how, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, how) AS rk
+  FROM g
+)
+SELECT event_type, how, n,
+       (1000000 * n) // tot AS share_ppm,
+       rk = 1 AS is_peak
+FROM s ORDER BY event_type, how
+""",
+    tags=("ts",),
+)
+def q_ts_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week traffic profile per event type: the 168-cell
+    weekly heatmap (epoch-hour mod 168 — deterministic calendar
+    arithmetic, no locale/timezone lore) with each cell's exact ppm
+    share of the type's traffic and a peak-hour flag. q_ts_seasonal is
+    the hour-of-DAY profile feeding the anomaly detector; this is the
+    weekly capacity-planning grid (weekday/weekend shape, peak slot).
+
+    Scale notes: the (type, hour-of-week) rollup partial-aggregates
+    map-side to a calendar-bounded frame (168 x types rows); the share
+    window and the peak rank ride ONE event_type partitioning of that
+    bounded frame. Ties on the peak count break by hour for a
+    deterministic flag.
+    """
+    g = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("(unix_timestamp(ts) div 3600) % 168").alias("how"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n"), "how")
+    return (
+        g.select(
+            "event_type",
+            "how",
+            "n",
+            F.sum("n").over(wt).cast("long").alias("tot"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .select(
+            "event_type",
+            "how",
+            "n",
+            F.expr("(1000000 * n) div tot").alias("share_ppm"),
+            (F.col("rk") == 1).alias("is_peak"),
+        )
+        .orderBy("event_type", "how")
+    )

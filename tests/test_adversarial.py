@@ -692,6 +692,20 @@ REL_QUERIES.extend(
         "q_tpch_q8_shape",
     ]
 )
+# round 11 batch 6: jackknife blocks under celebrity skew (user 0's
+# block partial dominates one leave-one-out mean — the estimator's
+# whole point; NULL values filter before the block partials on both
+# engines); the quality curve ranks the ugly corpus (empty/whitespace
+# docs still tokenize to >= 1 split token; ties on ttr break by doc_id)
+EVENT_QUERIES.append("q_agg_jackknife_ci")
+DOC_QUERIES.append("q_pipeline_quality_curve")
+# round 11 batch 7: MDE planning under skew (one celebrity block's
+# variance dominates; NULL values filter before the exact moments);
+# hour-of-week cells under the skewed clock (peak ties break by hour);
+# trigram novelty over the ugly corpus (short docs drop at the >= 3
+# token gate; exact-dup texts donate all novelty to the lower doc_id)
+EVENT_QUERIES.extend(["q_agg_power_mde", "q_ts_hour_of_week"])
+DOC_QUERIES.append("q_text_ngram_novelty")
 
 
 def _inject_rel_nulls(rng, adv):

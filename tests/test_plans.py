@@ -1965,3 +1965,69 @@ def test_q8_star_broadcasts_dims_never_facts(spark, sf_dir):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_type" in l for l in pushed)
     assert any("r_name" in l for l in pushed)
+
+
+def test_jackknife_one_scan_array_form(spark, sf_dir):
+    # ONE fact scan, one (type, block) partial-aggregated exchange;
+    # the block partials collect to arrays so no subtree re-reference
+    # rescans the fact; no joins, nothing funnels to one partition
+    simple = plan_of(spark, "q_agg_jackknife_ci", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_sum" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
+    assert "collect_list" in simple
+
+
+def test_quality_curve_rank_is_distributed(spark, sf_dir):
+    # the corpus-sized rank rides dist_rank's bucketed windows; only
+    # windows keyed on the bounded decile frame may be partition-less
+    # (dist_rank's own extrema/total passes re-scan the pruned
+    # single-column input — the documented helper trade)
+    plan = plan_of(spark, "q_pipeline_quality_curve", sf_dir, mode="simple")
+    windows = [
+        l for l in plan.splitlines()
+        if "Window [" in l or l.strip().startswith("Window")
+    ]
+    assert windows
+    # every partition-less window sits above the decile rollup (its
+    # ordering key is the bounded `decile` or dist_rank's bucket id),
+    # never over corpus rows
+    partitionless = [l for l in windows if "_b" not in l]
+    for l in partitionless:
+        # decile-frame columns only (the unordered total-tokens window
+        # has no decile key in its spec but reads the same 10-row frame)
+        assert "decile" in l or "n_tokens" in l, l
+
+
+def test_power_mde_single_scan_single_agg(spark, sf_dir):
+    # one scan, one map-side-combined (type) aggregate; the MDE math
+    # runs on the types-sized frame — no joins, no windows, no funnel
+    simple = plan_of(spark, "q_agg_power_mde", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_sum" in simple
+    assert "Join" not in simple
+    assert "Exchange SinglePartition" not in simple
+
+
+def test_hour_of_week_windows_ride_bounded_rollup(spark, sf_dir):
+    # the (type, hour-of-week) rollup partial-aggregates first; the
+    # share and peak windows partition by event_type over the
+    # calendar-bounded frame — never over raw events
+    simple = plan_of(spark, "q_ts_hour_of_week", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_count" in simple
+    assert "windowspecdefinition(event_type" in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "Join" not in simple
+
+
+def test_ngram_novelty_digest_window_no_join(spark, sf_dir):
+    # first-occurrence is min() OVER the digest partition — one corpus
+    # scan, no groupBy+join-back (which would rescan); the shuffle
+    # carries 16-char digests, never gram text
+    simple = plan_of(spark, "q_text_ngram_novelty", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "windowspecdefinition(d#" in simple
+    assert "Exchange SinglePartition" not in simple
