@@ -50,7 +50,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
@@ -1212,3 +1212,93 @@ def q_dq_null_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mask")
     )
+
+
+# ---- q_dq_completeness_trend ------------------------------------------------ #
+
+
+@register(
+    "q_dq_completeness_trend",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS n,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, n, n_null,
+         (1000000 * n_null) // n AS null_ppm,
+         CAST(SUM(n_null) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS t_null,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS t_n
+  FROM d
+)
+SELECT event_type, day, n, n_null, null_ppm,
+       (1000000 * t_null) // t_n AS trail7_null_ppm,
+       (1000000 * n_null) * t_n > (1000000 * t_null) * n AS degrading
+FROM w ORDER BY event_type, day
+""",
+    tags=("dq",),
+)
+def q_dq_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness-over-time monitor: per (event type, day), the NULL
+    rate of the value field in exact ppm, the trailing 7-OBSERVED-day
+    rate, and a "degrading" flag when today's rate exceeds the
+    trailing rate — the trend view that catches a slow upstream rot
+    q_dq_expectations' static thresholds miss until it's bad.
+
+    Determinism: counts and null-counts are exact integers; both ppm
+    rates are integer floor divisions, and the degrading compare is
+    CROSS-MULTIPLIED (n_null * t_n vs t_null * n, scaled 1e6) — no
+    float ratio anywhere. Int64 headroom: 1e6 * daily_nulls *
+    trailing_total wraps past ~9e12 daily rows — document/widen to
+    DECIMAL at that scale, no plan change.
+
+    Scale notes: the (type, day) rollup partial-aggregates map-side to
+    a calendar-bounded frame; the trailing window rides the same
+    event_type partitioning. "Trailing 7 observed days" is a rows
+    frame — days with zero events don't emit rows; at production a
+    gapfill (q_ts_gapfill) in front makes it calendar-exact.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("value").isNull(), 1).otherwise(0)
+            ).alias("n_null"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "n",
+        "n_null",
+        F.expr("(1000000 * n_null) div n").alias("null_ppm"),
+        F.sum("n_null").over(w7).cast("long").alias("t_null"),
+        F.sum("n").over(w7).cast("long").alias("t_n"),
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        "n_null",
+        "null_ppm",
+        F.expr("(1000000 * t_null) div t_n").alias("trail7_null_ppm"),
+        (
+            F.lit(1_000_000) * F.col("n_null") * F.col("t_n")
+            > F.lit(1_000_000) * F.col("t_null") * F.col("n")
+        ).alias("degrading"),
+    ).orderBy("event_type", "day")

@@ -2641,3 +2641,103 @@ def q_ts_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "how")
     )
+
+
+# ---- q_ts_cusum ------------------------------------------------------------- #
+
+
+@register(
+    "q_ts_cusum",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, day, x,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+  FROM d
+), p AS (
+  SELECT event_type, day, x, n, sx,
+         CAST(SUM(4 * n * x - 5 * sx) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS pf
+  FROM st
+), s AS (
+  SELECT event_type, day, x, n, sx, pf,
+         least(CAST(0 AS BIGINT), CAST(min(pf) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT)) AS mn
+  FROM p
+)
+SELECT event_type, day, x,
+       pf - mn AS cusum_x4n,
+       (pf - mn) > 8 * sx AS alarm
+FROM s ORDER BY event_type, day
+""",
+    tags=("ts",),
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on daily event counts per
+    type: the sequential statistic S_i = max(0, S_{i-1} + x_i - mu - k)
+    with allowance k = mu/4 and alarm threshold h = 2*mu. The
+    recursion LOOKS inherently sequential (the q_ts_holtwinters trap),
+    but has the classic closed form S_i = P_i - min(0, min_{j<=i} P_j)
+    over the deviation prefix sums P — so it runs as TWO stacked
+    windows on one exchange, no fold, no applyInPandas.
+
+    Determinism: deviations are scaled by 4n (days observed per type)
+    to clear every fraction — e_i = 4*n*x_i - 5*sum_x is exact int64
+    (headroom: 4 * days * daily_count * days needs days²·x·4 < 2^63 —
+    safe past a million days at 1e9 events/day), so prefix sums,
+    running mins, and the 8*sum_x alarm compare are all exact integer
+    arithmetic, identical in both engines.
+
+    Scale notes: the (type, day) rollup partial-aggregates map-side to
+    a calendar-bounded frame; the level stats, prefix sum, and running
+    min all ride ONE event_type partitioning of that bounded frame.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = d.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("*").over(wt).alias("n"),
+        F.sum("x").over(wt).cast("long").alias("sx"),
+    )
+    p = st.withColumn(
+        "pf",
+        F.sum(4 * F.col("n") * F.col("x") - 5 * F.col("sx"))
+        .over(wc)
+        .cast("long"),
+    )
+    s = p.withColumn(
+        "mn",
+        F.least(
+            F.lit(0).cast("long"), F.min("pf").over(wc).cast("long")
+        ),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        "x",
+        (F.col("pf") - F.col("mn")).alias("cusum_x4n"),
+        ((F.col("pf") - F.col("mn")) > 8 * F.col("sx")).alias("alarm"),
+    ).orderBy("event_type", "day")

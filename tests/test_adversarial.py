@@ -706,6 +706,12 @@ DOC_QUERIES.append("q_pipeline_quality_curve")
 # token gate; exact-dup texts donate all novelty to the lower doc_id)
 EVENT_QUERIES.extend(["q_agg_power_mde", "q_ts_hour_of_week"])
 DOC_QUERIES.append("q_text_ngram_novelty")
+# round 11 batch 8: CUSUM over the skewed clock (integer prefix sums
+# and running mins are order-exact under any distribution); the
+# completeness trend CONSUMES the injected NULL values directly —
+# daily null rates, trailing windows, and the cross-multiplied
+# degrading flag must agree on the 5%-null fixture
+EVENT_QUERIES.extend(["q_ts_cusum", "q_dq_completeness_trend"])
 
 
 def _inject_rel_nulls(rng, adv):

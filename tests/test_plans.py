@@ -2031,3 +2031,27 @@ def test_ngram_novelty_digest_window_no_join(spark, sf_dir):
     assert "Join" not in simple
     assert "windowspecdefinition(d#" in simple
     assert "Exchange SinglePartition" not in simple
+
+
+def test_cusum_closed_form_one_exchange(spark, sf_dir):
+    # the CUSUM recursion runs as stacked windows (prefix sum +
+    # running min) on ONE event_type partitioning of the calendar-
+    # bounded daily rollup — no fold, no Python, no join
+    simple = plan_of(spark, "q_ts_cusum", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_count" in simple
+    assert "windowspecdefinition(event_type" in simple
+    assert "Join" not in simple
+    assert "Exchange SinglePartition" not in simple
+    assert "mapInPandas" not in simple and "FlatMapGroupsInPandas" not in simple
+
+
+def test_completeness_trend_bounded_windows(spark, sf_dir):
+    # (type, day) rollup partial-aggregates map-side; the trailing
+    # window rides the same event_type partitioning; no joins
+    simple = plan_of(spark, "q_dq_completeness_trend", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_count" in simple or "partial_sum" in simple
+    assert "windowspecdefinition(event_type" in simple
+    assert "Join" not in simple
+    assert "Exchange SinglePartition" not in simple
