@@ -1834,3 +1834,73 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_sources") >= 2)
         .orderBy("fp")
     )
+
+
+# ---- q_dedup_cluster_sizes --------------------------------------------------- #
+
+
+@register(
+    "q_dedup_cluster_sizes",
+    oracle=f"""
+WITH corpus AS ({_AUG_ORACLE}),
+g AS (
+  SELECT sha256(text) AS h, count(*) AS n,
+         max(length(text)) AS chars
+  FROM corpus GROUP BY sha256(text)
+)
+SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+            WHEN n <= 5 THEN '3-5' ELSE '6+' END AS bucket,
+       count(*) AS clusters,
+       CAST(SUM(n) AS BIGINT) AS docs,
+       CAST(SUM(n - 1) AS BIGINT) AS dup_docs,
+       CAST(SUM((n - 1) * chars) AS BIGINT) AS chars_reclaimable
+FROM g
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: exact-dedup clusters bucketed
+    by copy count (1 / 2 / 3-5 / 6+) with per-bucket cluster, doc,
+    duplicate, and reclaimable-character totals — the policy view
+    BEFORE running a dedup (q_dedup_report is the per-source ledger
+    AFTER choosing keepers; this answers "is duplication a long tail
+    of pairs or a few mega-clusters?", which decides whether exact
+    dedup alone pays).
+
+    Reclaimable chars per cluster are (n-1) * the cluster's text
+    length — exact because byte-identical copies have identical
+    lengths (max() is just the NULL-safe pick).
+
+    Scale notes: the shuffle key is the 32-byte sha2, never the text;
+    the cluster frame partial-aggregates map-side; the bucket rollup
+    carries 4 rows. Same movement profile as q_dedup_exact.
+    """
+    corpus = augmented_corpus(spark, sf_dir)
+    g = (
+        corpus.select(
+            F.sha2("text", 256).alias("h"),
+            F.length("text").alias("len"),
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.max("len").alias("chars"))
+    )
+    bucket = (
+        F.when(F.col("n") == 1, "1")
+        .when(F.col("n") == 2, "2")
+        .when(F.col("n") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return (
+        g.select(bucket.alias("bucket"), "n", "chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("clusters"),
+            F.sum("n").alias("docs"),
+            F.sum(F.col("n") - 1).alias("dup_docs"),
+            F.sum((F.col("n") - 1) * F.col("chars")).alias(
+                "chars_reclaimable"
+            ),
+        )
+        .orderBy("bucket")
+    )

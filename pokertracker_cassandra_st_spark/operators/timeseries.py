@@ -2741,3 +2741,72 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pf") - F.col("mn")).alias("cusum_x4n"),
         ((F.col("pf") - F.col("mn")) > 8 * F.col("sx")).alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+# ---- q_ts_new_users --------------------------------------------------------- #
+
+
+@register(
+    "q_ts_new_users",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS h
+  FROM events GROUP BY user_id
+), hr AS (
+  SELECT h, count(*) AS new_users FROM f GROUP BY h
+), c AS (
+  SELECT h, new_users,
+         CAST(SUM(new_users) OVER (ORDER BY h) AS BIGINT) AS cum_users,
+         lag(new_users) OVER (ORDER BY h) AS prev
+  FROM hr
+)
+SELECT h, new_users, cum_users,
+       CAST(1000000 * (new_users - prev) AS DOUBLE) / CAST(prev AS DOUBLE)
+         AS growth_ppm
+FROM c ORDER BY h
+""",
+    tags=("ts", "behavior"),
+)
+def q_ts_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition curve: users by FIRST-activity period (hour grain —
+    the fixture's user base onboards within its first days, so hours
+    are the non-degenerate grain; at production the 3600 divisor is
+    the only knob), the cumulative user base, and period-over-period
+    growth — the top-line growth report feeding q_ts_retention (who
+    came back) and q_ts_cohort_ltv (what they were worth). Growth is
+    signed, so it is a DOUBLE from the same exact integers on both
+    engines (integer floor-vs-truncate division diverges between
+    engines on NEGATIVES — the one place the ppm integer-division
+    doctrine does not apply).
+
+    Scale notes: one user_id-keyed min(ts) aggregate (map-side
+    combined), one period rollup; the cumulative and lag windows are
+    partition-less but run over the calendar-bounded period frame,
+    the same bounded-frame exception as the decile curves.
+    """
+    f = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.expr("unix_timestamp(min(ts)) div 3600").alias("h"))
+    )
+    hr = f.groupBy("h").agg(F.count("*").alias("new_users"))
+    w_cum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("h")
+    c = hr.select(
+        "h",
+        "new_users",
+        F.sum("new_users").over(w_cum).cast("long").alias("cum_users"),
+        F.lag("new_users").over(w_lag).alias("prev"),
+    )
+    return c.select(
+        "h",
+        "new_users",
+        "cum_users",
+        (
+            (F.lit(1_000_000) * (F.col("new_users") - F.col("prev"))).cast(
+                "double"
+            )
+            / F.col("prev").cast("double")
+        ).alias("growth_ppm"),
+    ).orderBy("h")

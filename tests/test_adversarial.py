@@ -712,6 +712,12 @@ DOC_QUERIES.append("q_text_ngram_novelty")
 # daily null rates, trailing windows, and the cross-multiplied
 # degrading flag must agree on the 5%-null fixture
 EVENT_QUERIES.extend(["q_ts_cusum", "q_dq_completeness_trend"])
+# round 11 batch 9: cluster-size histogram over the ugly corpus (the
+# planted exact dups land in the 2/3-5 buckets; empty/whitespace docs
+# hash like any other byte string); hourly acquisition under celebrity
+# skew (user 0's min(ts) is one first-seen row like everyone else's)
+DOC_QUERIES.append("q_dedup_cluster_sizes")
+EVENT_QUERIES.append("q_ts_new_users")
 
 
 def _inject_rel_nulls(rng, adv):

@@ -2055,3 +2055,33 @@ def test_completeness_trend_bounded_windows(spark, sf_dir):
     assert "windowspecdefinition(event_type" in simple
     assert "Join" not in simple
     assert "Exchange SinglePartition" not in simple
+
+
+def test_cluster_sizes_shuffles_digests_only(spark, sf_dir):
+    # the cluster frame groups on the 32-byte sha2 — text never
+    # shuffles; the bucket rollup carries 4 rows
+    plan = plan_of(spark, "q_dedup_cluster_sizes", sf_dir, mode="simple")
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # grouping key is the hash, not text
+    agg_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert agg_exchanges
+    assert not any("text#" in l for l in agg_exchanges), agg_exchanges
+
+
+def test_new_users_bounded_windows(spark, sf_dir):
+    # one user_id-keyed min aggregate, one period rollup; partition-
+    # less windows only over the calendar-bounded period frame
+    simple = plan_of(spark, "q_ts_new_users", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "partial_min" in simple
+    assert "Join" not in simple
+    windows = [
+        l for l in simple.splitlines()
+        if "Window [" in l or l.strip().startswith("Window")
+    ]
+    for l in windows:
+        assert "new_users" in l or "h#" in l, l
