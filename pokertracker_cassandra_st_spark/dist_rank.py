@@ -76,6 +76,7 @@ def range_prefix(
     sums: dict[str, str],
     inclusive: bool,
     n_buckets: int = N_RANGE_BUCKETS,
+    totals: dict[str, str] | None = None,
 ) -> DataFrame:
     """For each row, the sum of each ``sums`` source column over all
     rows at-or-before (``inclusive=True``) or strictly before it in
@@ -87,7 +88,19 @@ def range_prefix(
     cross bucket boundaries). The caller must pass order columns
     forming a TOTAL order (or operate on a frame whose order keys are
     unique, e.g. grouped-by-value), so the result is well-defined.
+
+    ``totals`` (optional) maps source column name -> output column
+    name for GRAND totals over the whole frame, attached to every row
+    for free: the per-bucket totals frame already holds them, so a
+    caller needing "n = count(*)" alongside a global row_number must
+    NOT re-aggregate the input — that re-references the source and
+    Spark re-executes the whole scan subtree (the documented
+    re-reference-rescan trap; ADVICE r11 on q_pipeline_quality_curve).
     """
+    if totals:
+        missing = [s for s in totals if s not in sums]
+        if missing:
+            raise ValueError(f"totals sources must be in sums: {missing}")
     part = _with_bucket(df, order_cols[0], n_buckets)
     end = 0 if inclusive else -1
     w_local = (
@@ -103,11 +116,18 @@ def range_prefix(
     )
     # n_buckets-row frame: the only global window, bounded by construction
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     off = tot.select(
         "_b",
         *[
             F.coalesce(F.sum(f"_{dst}_tot").over(w_off), F.lit(0)).alias(f"_{dst}_off")
             for dst in sums.values()
+        ],
+        *[
+            F.sum(f"_{sums[src]}_tot").over(w_all).alias(dst)
+            for src, dst in (totals or {}).items()
         ],
     )
     res = out.join(F.broadcast(off), "_b")
@@ -123,13 +143,20 @@ def range_row_number(
     order_cols: list[str],
     out_col: str,
     n_buckets: int = N_RANGE_BUCKETS,
+    total_col: str | None = None,
 ) -> DataFrame:
-    """Global row_number over a total order, two-phase (see module doc)."""
+    """Global row_number over a total order, two-phase (see module doc).
+
+    ``total_col``: optionally also attach the frame's total row count
+    to every row — derived from the per-bucket totals the algorithm
+    already aggregates, NOT a second scan of ``df``.
+    """
     out = range_prefix(
         df.withColumn("_one", F.lit(1)),
         order_cols,
         {"_one": out_col},
         inclusive=True,
         n_buckets=n_buckets,
+        totals={"_one": total_col} if total_col else None,
     )
     return out.drop("_one")

@@ -666,9 +666,12 @@ def q_pipeline_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: scoring is row-local array arithmetic (zero
     exchanges); the global rank is the TWO-PHASE distributed
     row_number (dist_rank) — no data-sized single-partition window;
-    the decile rollup carries 10 rows, where the cumulative window and
-    the total attach are free. Ties rank deterministically by
-    (score DESC, doc_id).
+    the corpus total n rides the rank's own bucket-totals frame
+    (total_col) instead of a second aggregate over the scored frame,
+    which would re-reference the subtree and re-scan + re-tokenize the
+    corpus (ADVICE r11); the decile rollup carries 10 rows, where the
+    cumulative window and the total attach are free. Ties rank
+    deterministically by (score DESC, doc_id).
     """
     from pokertracker_cassandra_st_spark.dist_rank import range_row_number
 
@@ -686,10 +689,14 @@ def q_pipeline_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg_score", -F.col("ttr_ppm"))
     )
-    ranked = range_row_number(d, ["neg_score", "doc_id"], "rk")
-    n_tot = d.agg(F.count("*").alias("n"))
+    # total_col rides the rank's own bucket-totals frame — aggregating
+    # d again here would re-reference the scored subtree and re-scan
+    # the corpus + re-tokenize every row (ADVICE r11).
+    ranked = range_row_number(
+        d, ["neg_score", "doc_id"], "rk", total_col="n"
+    )
     dec = (
-        ranked.crossJoin(F.broadcast(n_tot))
+        ranked
         .select(
             F.least(
                 F.lit(10).cast("long"),
