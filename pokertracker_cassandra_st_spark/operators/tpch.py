@@ -1,8 +1,11 @@
 """TPC-H-shaped composite queries beyond the q1/q3/q5/q7/q10/q18 set
-in :mod:`analytics` — the remaining decision-support shapes the fixture
-schema can express (no ``partsupp`` table exists, so Q2/Q9/Q11/Q16/Q20
-are out of scope; the rest are adapted to the available columns with
-the predicate substitutions documented per query).
+in :mod:`analytics` — the remaining decision-support shapes over the
+fixture schema.  The fixture ships no ``partsupp`` table, so the five
+shapes that need one (Q2/Q9/Q11/Q16/Q20) run over a DERIVED partsupp:
+a deterministic part x {0..3} expansion in the spirit of dbgen's
+public 4-suppliers-per-part generator (see :func:`derived_partsupp`),
+built identically by both engines from the part and supplier tables —
+completing all 22 TPC-H query shapes.
 
 Each query is a SHAPE: the join/agg/subquery structure of the TPC-H
 original over this repo's TPC-H-ish fixture tables, with exact
@@ -20,7 +23,7 @@ join each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table, tables
@@ -796,4 +799,479 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share_ppm"),
         )
         .orderBy("yr")
+    )
+
+
+# ---- derived partsupp (Q2/Q9/Q11/Q16/Q20) --------------------------------- #
+# The fixture ships no partsupp table (TESTDATA.md), so the five shapes
+# that need one derive it deterministically from part x supplier-count,
+# in the spirit of dbgen's public generator (each part supplied by 4
+# suppliers at a fixed stride; qty/cost from arithmetic on the keys):
+#
+#   stride        = S div 4 + 1            (S = count(supplier))
+#   ps_suppkey_i  = (p_partkey + i*stride) % S          for i in 0..3
+#   ps_availqty   = (p_partkey*7  + i*1009) % 9999  + 1
+#   ps_supplycost = (p_partkey*31 + i*641 ) % 99900 + 100   [CENTS]
+#
+# stride is collision-free for the fixture's supplier counts (S = 10 /
+# 100 / 1000: k*stride % S != 0 for k in 1..3 — asserted by a test at
+# every sf), so each part gets 4 DISTINCT suppliers.  Supply cost stays
+# an exact cents BIGINT end-to-end; no float ever enters the derived
+# table, so both engines build bit-identical rows from the same parquet
+# keys.  Cost: one part scan + a broadcast 1-row supplier count — the
+# expansion is a row-local generator, no shuffle.
+
+_PARTSUPP_CTE = """
+  SELECT p.p_partkey AS ps_partkey,
+         (p.p_partkey + i.i * (sc.S // 4 + 1)) % sc.S AS ps_suppkey,
+         (p.p_partkey * 7 + i.i * 1009) % 9999 + 1 AS ps_availqty,
+         (p.p_partkey * 31 + i.i * 641) % 99900 + 100 AS ps_supplycost_cents
+  FROM part p
+  CROSS JOIN (SELECT count(*) AS S FROM supplier) sc
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp frame (see module comment): 4 deterministic
+    supplier rows per part, supply cost in exact cents.  One part scan,
+    one broadcast 1-row supplier count, row-local explode — partsupp
+    inherits part's partitioning and never shuffles to build."""
+    s_cnt = table(spark, sf_dir, "supplier").agg(F.count("*").alias("S"))
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey")
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "S",
+            F.explode(F.expr("array(0, 1, 2, 3)")).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr("(p_partkey + i * (S div 4 + 1)) % S").alias("ps_suppkey"),
+            F.expr("(p_partkey * 7 + i * 1009) % 9999 + 1").alias(
+                "ps_availqty"
+            ),
+            F.expr("(p_partkey * 31 + i * 641) % 99900 + 100").alias(
+                "ps_supplycost_cents"
+            ),
+        )
+    )
+
+
+# ---- q_tpch_q2_shape ------------------------------------------------------ #
+
+
+@register(
+    "q_tpch_q2_shape",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_CTE}
+), rs AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+         s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+), mn AS (
+  SELECT rs.*, min(ps_supplycost_cents) OVER (PARTITION BY ps_partkey)
+           AS min_cost
+  FROM rs
+)
+SELECT m.s_acctbal, m.s_name, m.n_name, p.p_partkey, p.p_type,
+       m.ps_supplycost_cents
+FROM mn m
+JOIN part p ON p.p_partkey = m.ps_partkey
+WHERE p.p_type = 'ECONOMY' AND p.p_size <= 10
+  AND m.ps_supplycost_cents = m.min_cost
+ORDER BY m.s_acctbal DESC, m.n_name, m.s_name, p.p_partkey
+LIMIT 100
+""",
+    tags=("analytics",),
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — for each small ECONOMY
+    part, the ASIA-region supplier offering the lowest supply cost,
+    ranked by account balance.  The textbook form is a correlated
+    scalar-min subquery re-scanning partsupp; this plan computes the
+    regional partsupp frame ONCE and takes min(cost) OVER the part
+    partition (the q_tpch_q15/q17 window-over-post-join doctrine) —
+    no second fact pass.
+
+    Determinism: supply costs are exact cents (derived, see module
+    comment) and DISTINCT within a part (641*k % 99900 != 0), so the
+    min row is unique per part; the final order has p_partkey as a
+    unique tie-break, making LIMIT 100 stable.  s_acctbal is compared
+    and output raw (byte-identical parquet doubles, never summed).
+
+    Scale notes: partsupp derives row-locally from part (no shuffle);
+    supplier/nation/region are broadcast dims; the only exchange is
+    the ps_partkey hash for the window.  At 100 TB partsupp scales
+    with part (4 rows each) — the window stays 4-rows-per-key.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rs = (
+        ps.join(
+            F.broadcast(
+                sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+                .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+                .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+            ),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    mn = rs.withColumn(
+        "min_cost", F.min("ps_supplycost_cents").over(w)
+    ).filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    return (
+        mn.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "ps_supplycost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---- q_tpch_q9_shape ------------------------------------------------------ #
+
+
+@register(
+    "q_tpch_q9_shape",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_CTE}
+)
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+         - ps.ps_supplycost_cents * CAST(round(l.l_quantity) AS BIGINT) * 100
+       ) AS BIGINT) AS DOUBLE) / 10000 AS profit
+FROM lineitem l
+JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+    tags=("analytics",),
+)
+def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit measure — per supplier
+    nation per order year, the profit (discounted revenue minus supply
+    cost) on '%red%' parts.  The 6-way join workout: lineitem joins
+    the derived partsupp on the COMPOUND (partkey, suppkey) key plus
+    part / supplier / nation / orders.
+
+    Determinism: profit accumulates as exact scale-4 longs — revenue
+    is cents x (100 - disc_cents), the cost term is cents x integral
+    quantity x 100 — one cast to double at the very end.  Int64
+    headroom: |term| <= ~1e9, safe past 1e9 rows; at larger scales the
+    partial widens to DECIMAL(38,0) with no plan change.
+
+    Scale notes: part ('%red%' pushdown), supplier, and nation
+    broadcast; partsupp derives row-locally from part and is small
+    enough to broadcast at fixture scale but is hash-joined on the
+    compound key so the plan survives a partsupp that scales with a
+    100 TB part table; lineitem/orders meet in a shuffle-hash join on
+    orderkey — facts never broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _rev_col() - F.col("ps_supplycost_cents") * slong(
+        "l_quantity", 0
+    ) * F.lit(100)
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(
+            ps.hint("shuffle_hash"),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(amount).cast("double") / 10_000).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---- q_tpch_q11_shape ----------------------------------------------------- #
+
+
+@register(
+    "q_tpch_q11_shape",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_CTE}
+), v AS (
+  SELECT ps.ps_partkey,
+         CAST(SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT)
+           AS value_cents
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+  GROUP BY ps.ps_partkey
+), t AS (
+  SELECT v.*,
+         CAST(SUM(CAST(value_cents AS HUGEINT)) OVER () AS HUGEINT)
+           AS total_cents,
+         count(*) OVER () AS n_parts
+  FROM v
+)
+SELECT ps_partkey, value_cents
+FROM t
+WHERE CAST(value_cents AS HUGEINT) * n_parts
+      > 2 * total_cents
+ORDER BY value_cents DESC, ps_partkey
+""",
+    tags=("analytics",),
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock identification — per part, the
+    total supply value (cost x available qty) held by suppliers of a
+    nation group, keeping parts whose value exceeds a corpus-relative
+    threshold.  The spec's fraction is scale-dependent (0.0001/SF);
+    this shape uses the scale-free equivalent "more than 2x the mean
+    part value", so the output stays non-degenerate at every fixture
+    sf.
+
+    The textbook form computes the grand total in a second scalar
+    subquery over partsupp — a full re-scan; this plan attaches
+    total AND group count to the post-aggregate via an empty-frame
+    window (the q_tpch_q15 doctrine): the threshold compare
+    value * n_parts > 2 * total is exact integer arithmetic routed
+    through DECIMAL(38,0)/HUGEINT (value_cents <= ~1e9 x 4, total up
+    to parts x 4e9 — the product exceeds int64 past ~2k parts).
+
+    Scale notes: partsupp derives row-locally; supplier/nation
+    broadcast; ONE hash exchange on ps_partkey for the aggregate; the
+    window runs over the parts-sized post-aggregate, not the fact.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+    )
+    v = (
+        ps.join(
+            F.broadcast(
+                sup.join(
+                    F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+                ).select("s_suppkey")
+            ),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    w_all = Window.partitionBy()
+    t = v.select(
+        "ps_partkey",
+        "value_cents",
+        F.sum(F.col("value_cents").cast("decimal(38,0)"))
+        .over(w_all)
+        .alias("total_cents"),
+        F.count("*").over(w_all).alias("n_parts"),
+    )
+    return (
+        t.filter(
+            F.expr(
+                "CAST(value_cents AS DECIMAL(38,0)) * n_parts"
+                " > 2 * total_cents"
+            )
+        )
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
+# ---- q_tpch_q16_shape ----------------------------------------------------- #
+
+
+@register(
+    "q_tpch_q16_shape",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_CTE}
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_type NOT LIKE 'PRO%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    tags=("analytics",),
+)
+def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: parts/supplier relationship — how many distinct
+    suppliers can deliver each (brand, type, size) combination,
+    excluding one brand, one type prefix, and a supplier denylist.
+    The fixture has no s_comment, so the spec's complaints exclusion
+    is adapted to s_acctbal < 0 (same NOT IN anti-join structure; the
+    denylist key is never NULL, so the NOT IN stays a plain anti
+    join — no null-aware expansion).
+
+    Scale notes: partsupp derives row-locally from part; the part
+    predicate trio prunes at the scan and broadcasts; the denylist is
+    a broadcast LEFT ANTI join; the distinct-count shuffles once on
+    the (brand, type, size) group key.  No fact-sized exchange beyond
+    the single distinct aggregation.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").like("PRO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    deny = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(
+            F.broadcast(deny),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---- q_tpch_q20_shape ----------------------------------------------------- #
+
+
+@register(
+    "q_tpch_q20_shape",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_CTE}
+), sq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  JOIN sq ON sq.l_partkey = ps.ps_partkey
+         AND sq.l_suppkey = ps.ps_suppkey
+  WHERE p.p_name LIKE 'small%'
+    AND 2 * ps.ps_availqty > sq.sum_qty
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN excess e ON e.ps_suppkey = s.s_suppkey
+WHERE n.n_nationkey < 13
+ORDER BY s.s_name
+""",
+    tags=("analytics",),
+)
+def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: potential part promotion — suppliers in a
+    nation group holding MORE stock of 'small%' parts than half of
+    what they actually shipped in 1996 (over-stocked suppliers worth
+    a promotion).  The spec's correlated half-sum subquery becomes
+    one (partkey, suppkey) aggregate of the year's lineitem joined
+    against the derived partsupp; the comparison 2*availqty > sum_qty
+    stays exact integer (quantities are integral doubles -> slong 0).
+
+    As in the spec, a (part, supplier) pair with NO shipments drops
+    out (the scalar subquery yields NULL there): the aggregate join
+    is INNER, so unshipped stock never qualifies.
+
+    Scale notes: the year filter prunes lineitem at the scan; ONE
+    fact exchange on the compound (partkey, suppkey) key with
+    map-side combine; partsupp derives row-locally, the 'small%'
+    part filter broadcasts, the final supplier/nation attach is a
+    broadcast over the DISTINCT excess suppliers (bounded by the
+    supplier table).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sq = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(slong("l_quantity", 0)).alias("sum_qty"))
+    )
+    ps = derived_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    excess = (
+        ps.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(
+            sq.hint("shuffle_hash"),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("sum_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    # nation group = the lower half of the key space: at sf0.001 only
+    # 10 suppliers exist across 25 nations, so a 3-nation list (the
+    # spec's single-nation selectivity) degenerates to 0 output rows —
+    # the same shape, wider slice.
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
     )
