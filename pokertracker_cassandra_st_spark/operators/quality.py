@@ -1267,7 +1267,9 @@ def q_dq_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .groupBy(
             "event_type",
-            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            # FLOOR, not div: matches DuckDB // for pre-1970 ts too
+            # (ADVICE r11; doctrine at q_ts_stickiness)
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 86400.0D) AS BIGINT)").alias("day"),
         )
         .agg(
             F.count("*").alias("n"),
@@ -1302,3 +1304,91 @@ def q_dq_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(1_000_000) * F.col("t_null") * F.col("n")
         ).alias("degrading"),
     ).orderBy("event_type", "day")
+
+
+# ---- q_dq_key_audit --------------------------------------------------------- #
+
+
+@register(
+    "q_dq_key_audit",
+    oracle="""
+WITH a AS (
+  SELECT 'events.event_id' AS key_name, count(*) AS n_rows,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+         min(event_id) AS key_min, max(event_id) AS key_max
+  FROM events
+  UNION ALL
+  SELECT 'documents.doc_id', count(*),
+         CAST(count(DISTINCT doc_id) AS BIGINT),
+         CAST(count(*) - count(doc_id) AS BIGINT),
+         min(doc_id), max(doc_id)
+  FROM documents
+  UNION ALL
+  SELECT 'orders.o_orderkey', count(*),
+         CAST(count(DISTINCT o_orderkey) AS BIGINT),
+         CAST(count(*) - count(o_orderkey) AS BIGINT),
+         min(o_orderkey), max(o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', count(*),
+         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         CAST(count(*) - count(l_orderkey) AS BIGINT),
+         min(l_orderkey), max(l_orderkey)
+  FROM lineitem
+)
+SELECT key_name, n_rows, n_distinct, n_null, key_min, key_max,
+       CAST(n_rows - n_distinct - n_null AS BIGINT) AS n_duplicate_rows,
+       CAST(key_max - key_min + 1 - n_distinct AS BIGINT) AS n_gaps
+FROM a ORDER BY key_name
+""",
+    tags=("quality",),
+)
+def q_dq_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary/foreign-key integrity audit across four key columns in
+    one report: row count, distinct keys, nulls, key range, duplicate
+    surplus (rows - distinct - nulls), and sequence holes (range
+    density: max - min + 1 - distinct).  The one-page answer to "is
+    event_id still dense, is doc_id still unique, how many lines per
+    order key" that every ingest pipeline re-checks after a backfill.
+
+    Determinism: pure integer counting — no floats anywhere.
+
+    Scale notes: each table contributes ONE scan and one exact
+    count-distinct exchange on its key (map-side partial dedup);
+    min/max come from the same aggregate (parquet footer stats answer
+    them at scan level for unfiltered scans); the union is 4 rows.
+    At extreme key cardinality the exact distinct swaps for HLL with
+    a documented error band (q_agg_approx_distinct's contract).
+    """
+    def audit(tbl: str, key: str) -> DataFrame:
+        t = table(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(f"{tbl}.{key}").alias("key_name"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+            (F.count("*") - F.count(key)).alias("n_null"),
+            F.min(key).alias("key_min"),
+            F.max(key).alias("key_max"),
+        )
+
+    a = (
+        audit("events", "event_id")
+        .unionAll(audit("documents", "doc_id"))
+        .unionAll(audit("orders", "o_orderkey"))
+        .unionAll(audit("lineitem", "l_orderkey"))
+    )
+    return a.select(
+        "key_name",
+        "n_rows",
+        "n_distinct",
+        "n_null",
+        "key_min",
+        "key_max",
+        (F.col("n_rows") - F.col("n_distinct") - F.col("n_null")).alias(
+            "n_duplicate_rows"
+        ),
+        (
+            F.col("key_max") - F.col("key_min") + 1 - F.col("n_distinct")
+        ).alias("n_gaps"),
+    ).orderBy("key_name")

@@ -1334,8 +1334,12 @@ def q_agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, nothing data-sized after the first partial aggregate.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # `%`, not pmod: Spark's % follows the dividend's sign exactly like
+    # DuckDB's %, so negative user_ids land in the SAME block on both
+    # engines (pmod is always non-negative and would silently diverge;
+    # ADVICE r11).  Current fixtures have non-negative ids either way.
     b = ev.groupBy(
-        "event_type", F.pmod(F.col("user_id"), F.lit(20)).alias("blk")
+        "event_type", F.expr("user_id % 20").alias("blk")
     ).agg(
         F.sum(slong("value", 2)).alias("s_b"),
         F.count("*").alias("n_b"),
@@ -1366,11 +1370,16 @@ def q_agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
         F.expr(
+            # association pinned to the ORACLE's parse tree
+            # (1000000 * X / Y == (1000000 * X) / Y, left-to-right):
+            # multiply-then-divide, NOT 1e6 * (X / Y) — the two
+            # associations land ~1 in 75k (S, N) pairs on opposite
+            # sides of the .5 rounding boundary (ADVICE r11).
             "transform(parts, x -> CAST(signum("
-            "1000000.0 * ((CAST(s - x.s_b AS DOUBLE) / 100.0)"
-            " / CAST(n - x.n_b AS DOUBLE)))"
-            " * floor(abs(1000000.0 * ((CAST(s - x.s_b AS DOUBLE) / 100.0)"
-            " / CAST(n - x.n_b AS DOUBLE))) + 0.5D) AS BIGINT))"
+            "(1000000.0 * (CAST(s - x.s_b AS DOUBLE) / 100.0))"
+            " / CAST(n - x.n_b AS DOUBLE))"
+            " * floor(abs((1000000.0 * (CAST(s - x.s_b AS DOUBLE) / 100.0))"
+            " / CAST(n - x.n_b AS DOUBLE)) + 0.5D) AS BIGINT))"
         ).alias("q_arr"),
     )
     jk = g.select(
@@ -1494,3 +1503,201 @@ def q_agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- q_agg_srm -------------------------------------------------------------- #
+# Sample-ratio mismatch: the first health check of every A/B system.
+# Units (users) are hashed into two arms; a 50/50 design whose
+# realized split fails the chi-square test marks broken assignment
+# (bot filtering, logging loss, triggering bias) before any metric
+# is read.  Assignment is a deterministic md5 bucket — reproducible
+# across engines and replays, never rand().
+
+
+@register(
+    "q_agg_srm",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 0 ELSE 1 END AS arm
+  FROM events
+), c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM u GROUP BY event_type
+)
+SELECT event_type, n0, n1,
+       CAST((1000000 * CAST((n0 - n1) AS HUGEINT) * (n0 - n1))
+            // (n0 + n1) AS BIGINT) AS chi2_ppm,
+       CAST((1000000 * CAST((n0 - n1) AS HUGEINT) * (n0 - n1))
+            // (n0 + n1) > 3841459 AS BOOLEAN) AS srm_flag
+FROM c
+ORDER BY event_type
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check per experiment (event_type as the
+    experiment key): users hash-assigned 50/50 into arms by their md5
+    first hex digit, the realized per-arm DISTINCT-user counts tested
+    with the one-degree chi-square ((n0-n1)^2/(n0+n1), exact integer
+    micro-units) against the 0.05 critical value 3.841459.
+
+    Determinism: assignment is md5 on the decimal string of user_id —
+    byte-identical in both engines; the chi-square statistic never
+    leaves integer arithmetic (the squared difference is routed
+    through DECIMAL(38,0)/HUGEINT before the ppm divide — (n0-n1)^2
+    times 1e6 exceeds int64 once an arm passes ~3e6 users).
+
+    Scale notes: ONE exchange on (event_type, user_id) for the exact
+    distinct (map-side partial dedup), then a types-sized conditional
+    rollup — the chi-square math runs on the bounded frame.  At
+    extreme user cardinality the distinct swaps for HLL per the
+    q_agg_approx_distinct contract with no shape change.
+    """
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", 0
+    ).otherwise(1)
+    u = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id", arm.alias("arm"))
+        .distinct()
+    )
+    c = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    chi2 = F.expr(
+        "CAST((1000000 * CAST((n0 - n1) AS DECIMAL(38,0)) * (n0 - n1))"
+        " DIV (n0 + n1) AS BIGINT)"
+    )
+    return c.select(
+        "event_type",
+        "n0",
+        "n1",
+        chi2.alias("chi2_ppm"),
+        (chi2 > 3_841_459).alias("srm_flag"),
+    ).orderBy("event_type")
+
+
+# ---- q_agg_delta_ratio_var --------------------------------------------------- #
+# Delta-method SE for a ratio metric with users as the randomization
+# unit — the correct error bar when the metric's denominator is itself
+# random (revenue per event, CTR, items per session).  Naive SE over
+# event rows ignores within-user correlation and understates variance.
+#
+# Cross-engine doctrine: the entire float tail is ONE SQL expression
+# string shared verbatim by both engines (Spark F.expr and DuckDB parse
+# the same text with the same precedence), over exact integer moments —
+# the strongest form of the association-pinning lesson (ADVICE r11 on
+# the jackknife).
+
+_DELTA_SE_EXPR = (
+    "sqrt(GREATEST("
+    "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    " - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    " * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+    " + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    " * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    " * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))"
+    " / CAST(n AS DOUBLE), 0.0))"
+    " / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0"
+)
+
+_DELTA_RATIO_EXPR = (
+    "CAST(sx AS DOUBLE) / 100.0 / CAST(sy AS DOUBLE)"
+)
+
+
+@register(
+    "q_agg_delta_ratio_var",
+    oracle=f"""
+WITH u AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, user_id
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM u GROUP BY event_type HAVING count(*) >= 2
+)
+SELECT event_type, n AS n_users,
+       {_DELTA_RATIO_EXPR} AS ratio,
+       {_DELTA_SE_EXPR} AS se_delta,
+       {_DELTA_RATIO_EXPR} - 1.96 * ({_DELTA_SE_EXPR}) AS ci_lo,
+       {_DELTA_RATIO_EXPR} + 1.96 * ({_DELTA_SE_EXPR}) AS ci_hi
+FROM m ORDER BY event_type
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_delta_ratio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for mean event value with USERS
+    as the randomization unit: ratio = sum(value)/count(events) but
+    the SE treats each user's (sum, count) pair as one observation —
+    Var(X/Y) ~ (var_x - 2R cov + R^2 var_y) / (n * mean_y^2), the
+    standard A/B ratio-metric correction (Deng et al., WSDM'18 is the
+    public reference).  The jackknife (q_agg_jackknife_ci) is the
+    resampling-free empirical twin; this is the closed form.
+
+    Determinism: per-user (x, y) partials are exact ints; the five
+    moments accumulate through DECIMAL(38,0)/HUGEINT; every output
+    double then derives from the SAME SQL expression STRING evaluated
+    by both engines — identical text, identical precedence, identical
+    IEEE tree (the module's association-pinning doctrine, strongest
+    form).  The sqrt argument is clamped at 0 (GREATEST) so float
+    cancellation near zero variance cannot produce engine-lore NaNs.
+
+    Scale notes: ONE fact exchange on (type, user) with map-side
+    combine, then a types-sized moment rollup — same shuffle budget as
+    q_agg_power_mde; all delta arithmetic runs on the bounded frame.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "user_id", slong("value", 2).alias("c"))
+    )
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum("c").alias("x"), F.count("*").alias("y")
+    )
+    m = (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.expr(
+                "CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))"
+            ).alias("sxx"),
+            F.expr(
+                "CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))"
+            ).alias("syy"),
+            F.expr(
+                "CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))"
+            ).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.expr(_DELTA_RATIO_EXPR).alias("ratio"),
+        F.expr(_DELTA_SE_EXPR).alias("se_delta"),
+        F.expr(f"{_DELTA_RATIO_EXPR} - 1.96 * ({_DELTA_SE_EXPR})").alias(
+            "ci_lo"
+        ),
+        F.expr(f"{_DELTA_RATIO_EXPR} + 1.96 * ({_DELTA_SE_EXPR})").alias(
+            "ci_hi"
+        ),
+    ).orderBy("event_type")

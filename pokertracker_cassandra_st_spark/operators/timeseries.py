@@ -2480,9 +2480,15 @@ def q_ts_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality the exact distincts swap for HLL sketches
     (q_agg_approx_distinct's contract) with no shape change.
     """
+    # FLOOR(x / k) (not `div`): Spark div truncates toward zero while
+    # DuckDB // floors, so pre-1970 timestamps would split buckets
+    # differently (ADVICE r11).  The double quotient is exact here:
+    # |epoch| << 2^53 and the rounding error (~1e-12) can never cross
+    # an integer boundary (nearest boundary is 1/k ~ 1e-5 away).  Same
+    # floor form at every calendar-bucket site in this module.
     ev = table(spark, sf_dir, "events").select(
-        F.expr("unix_timestamp(ts) div 604800").alias("w"),
-        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts) / 604800.0D) AS BIGINT)").alias("w"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts) / 86400.0D) AS BIGINT)").alias("day"),
         "user_id",
     )
     d = ev.groupBy("w", "day").agg(F.countDistinct("user_id").alias("du"))
@@ -2618,7 +2624,7 @@ def q_ts_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .groupBy(
             "event_type",
-            F.expr("(unix_timestamp(ts) div 3600) % 168").alias("how"),
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 3600.0D) AS BIGINT) % 168").alias("how"),
         )
         .agg(F.count("*").alias("n"))
     )
@@ -2705,7 +2711,7 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .groupBy(
             "event_type",
-            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 86400.0D) AS BIGINT)").alias("day"),
         )
         .agg(F.count("*").alias("x"))
     )
@@ -2788,7 +2794,7 @@ def q_ts_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.expr("unix_timestamp(min(ts)) div 3600").alias("h"))
+        .agg(F.expr("CAST(FLOOR(unix_timestamp(min(ts)) / 3600.0D) AS BIGINT)").alias("h"))
     )
     hr = f.groupBy("h").agg(F.count("*").alias("new_users"))
     w_cum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
@@ -2810,3 +2816,99 @@ def q_ts_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("prev").cast("double")
         ).alias("growth_ppm"),
     ).orderBy("h")
+
+
+# ---- q_ts_mad_anomaly ------------------------------------------------------- #
+
+
+@register(
+    "q_ts_mad_anomaly",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS med FROM d GROUP BY 1
+), mad AS (
+  SELECT d.event_type, m.med,
+         quantile_cont(abs(d.x - m.med), 0.5) AS mad
+  FROM d JOIN med m ON d.event_type = m.event_type
+  GROUP BY d.event_type, m.med
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       any_value(m.med) AS med_cnt,
+       any_value(m.mad) AS mad_cnt,
+       CAST(SUM(CASE WHEN abs(d.x - m.med) > 3 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+    tags=("timeseries",),
+)
+def q_ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly screen per type: median absolute
+    deviation instead of stddev, so one broken day cannot inflate its
+    own detection threshold (the z-score screen's classic failure —
+    q_ts_anomaly is the parametric sibling).  A day is anomalous when
+    |count - median| > 3 * MAD.
+
+    Determinism: daily counts are integers; the interpolated median of
+    integers is k or k+0.5 and |x - med| is again integer-or-half — all
+    values and the 3*MAD threshold are exact dyadic doubles well under
+    2^53, so percentile interpolation ((a+b)/2) and the comparison are
+    bit-identical in both engines.  Day buckets use the FLOOR form
+    (pre-1970-safe, the module doctrine at q_ts_stickiness).
+
+    Scale notes: ONE fact exchange for the (type, day) rollup with
+    map-side combine; the daily counts then collect into a
+    calendar-bounded array per type (the jackknife array doctrine —
+    the join-back textbook form references the daily frame from THREE
+    plan branches and Spark would re-execute the fact rollup per
+    branch), so both medians and the flag count are row-local
+    higher-order-function arithmetic on the types-sized frame.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(FLOOR(unix_timestamp(ts) / 86400.0D) AS BIGINT)"
+            ).alias("day"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    g = d.groupBy("event_type").agg(
+        F.expr("array_sort(collect_list(CAST(x AS DOUBLE)))").alias("xs")
+    )
+    # interpolated median of a sorted array: (s[(n+1) div 2] +
+    # s[n div 2 + 1]) / 2 covers odd and even n with the same exact
+    # (a+b)/2 arithmetic quantile_cont/percentile use at p=0.5
+    g = g.withColumn("n_days", F.size("xs").cast("long")).withColumn(
+        "med",
+        F.expr(
+            "(element_at(xs, CAST((n_days + 1) div 2 AS INT))"
+            " + element_at(xs, CAST(n_days div 2 + 1 AS INT))) / 2"
+        ),
+    )
+    g = g.withColumn(
+        "devs", F.expr("array_sort(transform(xs, x -> abs(x - med)))")
+    ).withColumn(
+        "mad",
+        F.expr(
+            "(element_at(devs, CAST((n_days + 1) div 2 AS INT))"
+            " + element_at(devs, CAST(n_days div 2 + 1 AS INT))) / 2"
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        F.col("med").alias("med_cnt"),
+        F.col("mad").alias("mad_cnt"),
+        F.expr(
+            "CAST(size(filter(xs, x -> abs(x - med) > 3 * mad)) AS BIGINT)"
+        ).alias("n_anomalies"),
+    ).orderBy("event_type")
