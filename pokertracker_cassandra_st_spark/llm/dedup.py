@@ -1904,3 +1904,131 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---- q_dedup_threshold_curve ------------------------------------------------ #
+
+
+_THRESH_CURVE_ORACLE = f"""
+WITH corpus AS ({_AUG_ORACLE}),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         (1000000 * CAST(c.n_common AS BIGINT))
+           // (ca.n + cb.n - c.n_common) AS jac_ppm
+  FROM common c
+  JOIN counts ca ON ca.doc_id = c.id_a
+  JOIN counts cb ON cb.doc_id = c.id_b
+),
+sweep AS (
+  SELECT t.thr, u.id
+  FROM pairs p
+  CROSS JOIN (SELECT unnest([500000, 600000, 700000, 800000, 900000]) AS thr) t
+  CROSS JOIN (SELECT unnest([p.id_a, p.id_b]) AS id) u
+  WHERE p.jac_ppm >= t.thr
+)
+SELECT thr AS threshold_ppm,
+       CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs_flagged
+FROM sweep GROUP BY thr ORDER BY thr
+"""
+
+
+@register(
+    "q_dedup_threshold_curve", oracle=_THRESH_CURVE_ORACLE, tags=("llm", "dedup")
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep: for Jaccard cutoffs 0.5..0.9, how many
+    5-gram-shingle pairs qualify and how many documents get flagged —
+    the curve a dedup owner reads to pick the threshold (too low eats
+    unique data, too high ships near-dups).  The similarity twin is
+    q_sim_threshold_sweep; this is its lexical counterpart, and it
+    prices the EXACT pair volume each cutoff commits the verifier to.
+
+    Determinism: similarities are exact integral ppm ((1e6 * common)
+    div union — never a float Jaccard); the five cutoffs are integer
+    literals; each qualifying pair contributes exactly two id rows, so
+    n_pairs = count div 2 stays exact.
+
+    Scale notes: ONE shared-shingle pair build (the
+    q_dedup_ngram_jaccard machinery — shingle keys shuffle, text never
+    does), then a bounded x5 threshold explode on the pairs frame with
+    BOTH outputs (pair count, distinct flagged docs) aggregated from
+    the SAME exploded subtree — one plan branch, no pair-frame
+    re-reference, no second shingle join.  At 100 TB the pair frame is
+    the LSH candidate set, same as the verifier's.
+    """
+    corpus = augmented_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    sh = (
+        corpus.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("t") - 4, F.lit(1))),
+                    lambda i: F.array_join(F.slice("t", i, 5), " "),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    pairs = (
+        common.join(ca, F.col("id_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("id_b") == F.col("cb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "(1000000 * n_common) div (ca.n + cb.n - n_common)"
+            ).alias("jac_ppm"),
+        )
+    )
+    sweep = (
+        pairs.select(
+            "jac_ppm",
+            "id_a",
+            "id_b",
+            F.explode(
+                F.expr("array(500000, 600000, 700000, 800000, 900000)")
+            ).alias("thr"),
+        )
+        .filter(F.col("jac_ppm") >= F.col("thr"))
+        .select("thr", F.explode(F.expr("array(id_a, id_b)")).alias("id"))
+    )
+    return (
+        sweep.groupBy(F.col("thr").alias("threshold_ppm"))
+        .agg(
+            F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_pairs"),
+            F.countDistinct("id").alias("n_docs_flagged"),
+        )
+        .orderBy("threshold_ppm")
+    )

@@ -2040,3 +2040,74 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- q_text_hapax ----------------------------------------------------------- #
+
+
+@register(
+    "q_text_hapax",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+v AS (
+  SELECT source, tok, count(*) AS cnt FROM t GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       (1000000 * CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS hapax_vocab_ppm,
+       (1000000 * CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // CAST(SUM(cnt) AS BIGINT) AS hapax_token_ppm
+FROM v GROUP BY source ORDER BY source
+""",
+    tags=("llm", "text"),
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per source: how much of each slice's
+    vocabulary (and token mass) occurs exactly once.  A high hapax
+    share marks OCR noise, codified ids, or genuinely diverse prose —
+    the quick vocabulary-health read before committing a source to a
+    training mixture (Zipf's tail, one number per source;
+    q_text_zipf fits the head).
+
+    Determinism: whitespace tokenization with empties dropped (the
+    module convention), pure integer counting, integral ppm divides.
+
+    Scale notes: ONE (source, token) exchange with map-side partial
+    counts — the same shuffle budget as q_text_vocab_build; the hapax
+    rollup collapses to a sources-sized frame in the same pass.
+    Token strings cross the wire once; documents never do.
+    """
+    t = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    v = t.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return (
+        v.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("vocab_size"),
+            hap.alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            "n_hapax",
+            F.expr("(1000000 * n_hapax) div vocab_size").alias(
+                "hapax_vocab_ppm"
+            ),
+            F.expr("(1000000 * n_hapax) div n_tokens").alias(
+                "hapax_token_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

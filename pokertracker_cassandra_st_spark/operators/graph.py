@@ -868,3 +868,118 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("coeff_ppm"), "partkey")
         .limit(50)
     )
+
+
+# ---- q_graph_assortativity -------------------------------------------------- #
+
+
+_ASSORT_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+  ) GROUP BY node
+), dir AS (
+  SELECT p1 AS u, p2 AS v FROM e
+  UNION ALL
+  SELECT p2, p1 FROM e
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(du.d AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(du.d AS HUGEINT) * dv.d) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(du.d AS HUGEINT) * du.d) AS HUGEINT) AS sxx
+  FROM dir
+  JOIN deg du ON du.node = dir.u
+  JOIN deg dv ON dv.node = dir.v
+)
+SELECT m AS n_directed_edges,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS DOUBLE)
+         AS assortativity
+FROM m
+"""
+
+
+@register("q_graph_assortativity", oracle=_ASSORT_ORACLE, tags=("graph",))
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over all DIRECTED edge instances
+    (each undirected edge counted both ways — Newman 2002's estimator).
+    Positive r = hubs link hubs (assortative); negative = hub-spoke.
+    Because the x/y samples are symmetric under edge reversal,
+    sum(x) = sum(y) and sum(x^2) = sum(y^2), so the correlation
+    reduces to (m*sxy - sx^2) / (m*sxx - sx^2).
+
+    Determinism: every moment (m, sx, sxy, sxx) is an exact integer
+    accumulated through DECIMAL(38,0)/HUGEINT (deg^2 times edge count
+    passes int64 at the 100x rung); the single output double derives
+    from the same four integers by the same pinned expression tree —
+    numerator and denominator each multiply-then-subtract, one final
+    divide.
+
+    Scale notes: the edge build is the oriented-distinct pair join the
+    whole graph family shares; degrees come from ONE aggregation of
+    the edge endpoints; the two degree attaches are hash joins on the
+    node key (nodes-sized frames, never all-pairs); the moments
+    collapse map-side to a single row.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dir_ = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    m = (
+        dir_.join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(F.col("du").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("du").cast("decimal(38,0)") * F.col("dv")).alias(
+                "sxy"
+            ),
+            F.sum(F.col("du").cast("decimal(38,0)") * F.col("du")).alias(
+                "sxx"
+            ),
+        )
+    )
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("sx").cast("long").alias("sum_deg"),
+        (
+            (
+                F.col("m").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+            / (
+                F.col("m").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("assortativity"),
+    )

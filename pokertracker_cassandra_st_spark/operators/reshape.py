@@ -11,7 +11,7 @@ monotonically_increasing_id in anything hash-checked).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
@@ -312,3 +312,83 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("i") % 20 == 7).select(
         "doc_id", "source", "i"
     ).orderBy("i")
+
+
+# ---- q_sample_balanced ------------------------------------------------------ #
+
+
+@register(
+    "q_sample_balanced",
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+), sz AS (
+  SELECT min(n) AS k FROM (
+    SELECT count(*) AS n FROM events GROUP BY event_type
+  )
+)
+SELECT r.event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(r.event_id) AS BIGINT) AS min_kept_id,
+       CAST(max(r.event_id) AS BIGINT) AS max_kept_id,
+       CAST(SUM(r.event_id) AS BIGINT) AS sum_kept_id
+FROM r CROSS JOIN sz
+WHERE r.rk <= sz.k
+GROUP BY r.event_type
+ORDER BY r.event_type
+""",
+    tags=("sampling",),
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event_type keeps EXACTLY the
+    minority class's row count, rows chosen by seeded md5 order (the
+    engine-portable shuffle — reproducible across engines and retries,
+    never rand()).  The class-imbalance fix applied before training on
+    categorical targets; reported as per-class keep summaries with an
+    id-sum fingerprint so the oracle pins the exact kept SET, not just
+    its size.
+
+    Determinism: the keep rank orders by (md5(event_id), event_id) —
+    md5 of the decimal string is byte-identical in both engines and the
+    unique id breaks any hash tie.
+
+    Scale notes: the ranked branch pays ONE fact exchange partitioned
+    by event_type; the minority size k comes from a SEPARATE pruned
+    (event_type)-only scan + map-side count — deliberately NOT derived
+    from the ranked frame, because a second reference to it would
+    re-execute the window subtree (the re-reference-rescan trap), and
+    the count branch is strictly cheaper than the windowed one.  The
+    per-type window is the family's documented skew point: a single
+    giant class serializes its partition; the cluster-scale upgrade is
+    the two-phase dist_rank bucketing with (type, md5-prefix) keys,
+    same contract.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    r = ev.select("event_type", "event_id", F.row_number().over(w).alias("rk"))
+    # minority size from a pruned count-only scan (see scale notes)
+    sz = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("k"))
+    )
+    return (
+        r.crossJoin(F.broadcast(sz))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("event_id").alias("min_kept_id"),
+            F.max("event_id").alias("max_kept_id"),
+            F.sum("event_id").alias("sum_kept_id"),
+        )
+        .orderBy("event_type")
+    )

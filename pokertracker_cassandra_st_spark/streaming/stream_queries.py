@@ -1040,3 +1040,107 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---- q_stream_funnel -------------------------------------------------------- #
+
+_FUNNEL_OUT_SCHEMA = (
+    "user_id long, n_seen long, signup_id long, conv_id long"
+)
+_FUNNEL_STATE_SCHEMA = "fs long, fc long, n long"
+
+
+def _funnel_fold(
+    key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user two-step funnel fold: the FIRST 'signup' arms the
+    funnel, the first LATER 'purchase' (by event_id) completes it.
+    State is three longs — no per-event timeline survives a batch."""
+    (user_id,) = key
+    fs, fc, n = state.get if state.exists else (-1, -1, 0)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("event_id")
+        n += len(pdf)
+        for eid, et in zip(pdf["event_id"], pdf["event_type"]):
+            if fs < 0:
+                if et == "signup":
+                    fs = int(eid)
+            elif fc < 0 and et == "purchase":
+                fc = int(eid)
+    state.update((fs, fc, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_seen": [n],
+            "signup_id": [fs],
+            "conv_id": [fc],
+        }
+    )
+
+
+@register(
+    "q_stream_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(event_id) AS signup_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.event_id) AS conv_id
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.event_id > s.signup_id
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_id, c.conv_id,
+       c.conv_id IS NOT NULL AS converted
+FROM s LEFT JOIN c ON c.user_id = s.user_id
+ORDER BY s.user_id
+""",
+    tags=("stream",),
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-step funnel (signup -> first later purchase) with
+    per-user state carried across 4 micro-batches: the realtime
+    conversion tracker behind activation dashboards.  Unlike the batch
+    funnel (q_ts_funnel's windowed form), the streaming fold never
+    sees the whole history — three longs of state (first signup id,
+    first conversion id, events seen) fully determine the answer
+    because arrival order is event_id order (the log's monotone
+    invariant, same as q_stream_throttle).
+
+    Oracle = the batch recomputation: min signup id per user, min
+    later purchase id, LEFT JOIN preserving never-converted users.
+
+    Scale notes: state is three longs per key; each micro-batch does
+    one Arrow pass per updated key; the emitted frame is keys-sized.
+    At 100 TB/day this is transformWithState keyed on user with
+    RocksDB state and a TTL on unconverted funnels.
+    """
+    ev = stream_events(spark, sf_dir, n_files=4).select(
+        "user_id", "event_id", "event_type"
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fold,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(folded, "update")
+    # update-mode sink keeps one row per (key, batch); n_seen is
+    # monotone, so max_by picks each key's final state
+    return (
+        sink.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_seen", "signup_id", "conv_id"), "n_seen").alias("s"))
+        .filter(F.col("s.signup_id") >= 0)
+        .select(
+            "user_id",
+            F.col("s.signup_id").alias("signup_id"),
+            F.when(F.col("s.conv_id") >= 0, F.col("s.conv_id")).alias(
+                "conv_id"
+            ),
+            (F.col("s.conv_id") >= 0).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
