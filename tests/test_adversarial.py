@@ -692,6 +692,22 @@ REL_QUERIES.extend(
         "q_tpch_q8_shape",
     ]
 )
+# round 12: the derived-partsupp set.  partsupp itself derives from
+# part/supplier keys (never nulled — bit-identical on both engines);
+# the injected NULLs hit the lineitem side: Q9's profit term goes NULL
+# through round(NULL qty) and drops from SUM identically; Q20's
+# half-sum skips NULL quantities in both engines; Q2/Q11/Q16 read only
+# the clean dim columns, proving the derivation is insensitive to the
+# fact-table corruption around it
+REL_QUERIES.extend(
+    [
+        "q_tpch_q2_shape",
+        "q_tpch_q9_shape",
+        "q_tpch_q11_shape",
+        "q_tpch_q16_shape",
+        "q_tpch_q20_shape",
+    ]
+)
 # round 11 batch 6: jackknife blocks under celebrity skew (user 0's
 # block partial dominates one leave-one-out mean — the estimator's
 # whole point; NULL values filter before the block partials on both
@@ -718,6 +734,27 @@ EVENT_QUERIES.extend(["q_ts_cusum", "q_dq_completeness_trend"])
 # skew (user 0's min(ts) is one first-seen row like everyone else's)
 DOC_QUERIES.append("q_dedup_cluster_sizes")
 EVENT_QUERIES.append("q_ts_new_users")
+# round 12 batch 2: SRM under celebrity skew (user 0 is ONE distinct
+# unit per type regardless of its 60% event share — the whole point of
+# counting users, not events; the md5 arm split is id-deterministic);
+# MAD anomaly over the skewed clock (the celebrity burst inflates some
+# days — the median threshold must not chase it); balanced sampling
+# where one type's count is dragged by the null-props rows (counts
+# ignore NULLs — rows still count); hapax over the ugly corpus
+# (empty/whitespace docs contribute zero tokens after the '' drop);
+# threshold curve over the planted near-dup pairs; key audit sees the
+# orphaned NULL o_custkey rows only through o_orderkey (never nulled)
+EVENT_QUERIES.extend(["q_agg_srm", "q_ts_mad_anomaly", "q_sample_balanced"])
+DOC_QUERIES.extend(["q_text_hapax", "q_dedup_threshold_curve"])
+REL_QUERIES.extend(["q_graph_assortativity", "q_dq_key_audit"])
+# round 12 batch 3: delta-method ratio CI under celebrity skew (user
+# 0's giant (x, y) pair dominates every moment — exactly the
+# within-user correlation the estimator exists to price; NULL values
+# filter before the per-user partials on both engines); the streaming
+# funnel folds user 0's massive event run through three longs of
+# state, and the single-event user arms or completes nothing
+EVENT_QUERIES.append("q_agg_delta_ratio_var")
+STREAM_QUERIES.append("q_stream_funnel")
 
 
 def _inject_rel_nulls(rng, adv):
@@ -814,6 +851,62 @@ def test_fn_json_validity(spark, tmp_path_factory):
     by_id = dict(zip(pdf["event_id"], pdf["is_json"]))
     expect = [True, True, True, True, False, True, True, True, True, False, False, False]
     assert [bool(by_id[i]) for i in range(n)] == expect
+
+
+def test_jackknife_rounding_boundary_tie(spark, tmp_path_factory):
+    """Association-boundary pin for q_agg_jackknife_ci (ADVICE r11,
+    medium): the leave-one-out micro-unit quantization must use the
+    ORACLE's float association (1000000 * X / Y parses left-to-right
+    as (1000000 * X) / Y).  This fixture makes one leave-one-out mean
+    land EXACTLY on the .5 rounding boundary: remaining sum 15 cents
+    over 96 rows -> (1e6 * (15/100.0)) / 96 == 1562.5 exactly, which
+    rounds to 1563 — while the rejected association
+    1e6 * ((15/100.0) / 96) == 1562.4999999999998 rounds to 1562 and
+    flips q, sq, sq2, se_jack, ci_lo, ci_hi.  ~1 in 75k (S, N) pairs
+    sits on such a boundary, so the sf0.01 sweep alone cannot hold
+    this invariant."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("jk_tie"))
+    # block 0 (user_id 20): 96 rows totaling 15 cents; block 1
+    # (user_id 1): 4 rows of 1.00.  Leaving out block 1 exposes the
+    # 15-cents/96-rows boundary mean.
+    vals = [0.01] * 15 + [0.0] * 81 + [1.0] * 4
+    uids = [20] * 96 + [1] * 4
+    n = len(vals)
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": (np.arange(n, dtype="int64") + 1_700_000_000) * 1_000_000_000,
+            "user_id": np.array(uids, dtype="int64"),
+            "event_type": ["click"] * n,
+            "value": np.array(vals, dtype="float64"),
+            "props": pd.Series(["{}"] * n, dtype=object),
+        }
+    ).to_parquet(f"{d}/events.parquet", index=False)
+    q = REGISTRY["q_agg_jackknife_ci"]
+    pdf = q.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, "q_agg_jackknife_ci[boundary-tie]")
+    # the boundary q itself: leave-out-block-1 mean must quantize UP
+    # (1562.5 -> 1563); with the rejected association se_jack shifts
+    # by ~5e-7.  Pin the exact jackknife SE both engines must agree on:
+    # q = [1563, 1000000], k = 2 -> se = sqrt(1/2 * (q1-q2)^2/2)/1e6
+    row = pdf.iloc[0]
+    assert row["n_blocks"] == 2
+    import math
+
+    expect_se = math.sqrt(
+        (2 - 1.0) / 2 * (1563.0**2 + 1000000.0**2 - (1563.0 + 1000000.0) ** 2 / 2)
+    ) / 1_000_000.0
+    assert row["se_jack"] == expect_se
 
 
 def test_salted_join_spreads_hot_key(spark, adv_dir):

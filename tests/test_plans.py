@@ -1736,13 +1736,17 @@ def test_neighbor_overlap_joins_are_hash_never_nested(spark, sf_dir):
     # of a data-sized frame
     simple = plan_of(spark, "q_sim_neighbor_overlap", sf_dir, mode="simple")
     assert "CartesianProduct" not in simple
-    # the only nested loops are knn's inherited 1-row cell-parameter
-    # broadcasts (BuildRight, Cross) — never a data-sized loop join
-    assert simple.count("BroadcastNestedLoopJoin") == simple.count(
-        "BroadcastNestedLoopJoin BuildRight, Cross"
-    )
+    assert "BroadcastNestedLoopJoin" not in simple
     assert "ShuffledHashJoin" in simple
     assert "LeftSemi" in simple
+    # the knn edge build runs EXACTLY ONCE: the edge frame is
+    # localCheckpointed before the rev/mutual/label fan-out, so the
+    # final plan reads the materialized RDD from its three branches
+    # and the only parquet scan left is the label attach (VERDICT r11
+    # 'What's wrong #1' — the pre-fix plan re-executed the whole knn
+    # subtree, incl. its embeddings scans, from every branch)
+    assert simple.count("FileScan parquet") == 1
+    assert simple.count("ExistingRDD") >= 3
 
 
 def test_q1_shape_pushdown_and_mapside_combine(spark, sf_dir):
@@ -1985,6 +1989,12 @@ def test_quality_curve_rank_is_distributed(spark, sf_dir):
     # (dist_rank's own extrema/total passes re-scan the pruned
     # single-column input — the documented helper trade)
     plan = plan_of(spark, "q_pipeline_quality_curve", sf_dir, mode="simple")
+    # exactly dist_rank's own 4 scans (window branch + bucket-totals
+    # branch, each re-deriving the pruned single-column extrema — the
+    # documented helper trade): the corpus total n rides the rank's
+    # bucket-totals frame via total_col — a 5th scan means someone
+    # re-aggregated the scored frame (ADVICE r11's re-reference rescan)
+    assert plan.count("FileScan parquet") == 4
     windows = [
         l for l in plan.splitlines()
         if "Window [" in l or l.strip().startswith("Window")
@@ -2085,3 +2095,193 @@ def test_new_users_bounded_windows(spark, sf_dir):
     ]
     for l in windows:
         assert "new_users" in l or "h#" in l, l
+
+
+def test_partsupp_derivation_distinct_and_shuffle_free(spark):
+    # the derived partsupp must give every part 4 DISTINCT suppliers
+    # at every fixture supplier count (stride = S div 4 + 1 must have
+    # k*stride % S != 0 for k in 1..3), and must build without any
+    # data-sized exchange: one part scan + a broadcast 1-row count
+    from pokertracker_cassandra_st_spark.operators.tpch import (
+        derived_partsupp,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        ps = derived_partsupp(spark, d)
+        bad = (
+            ps.groupBy("ps_partkey")
+            .agg(
+                F.countDistinct("ps_suppkey").alias("k"),
+                F.count("*").alias("n"),
+            )
+            .filter((F.col("k") != 4) | (F.col("n") != 4))
+            .count()
+        )
+        assert bad == 0, f"{sf}: partsupp rows not 4-distinct per part"
+    plan = explain_str(
+        derived_partsupp(spark, "/root/testdata/sf0.01"), "simple"
+    )
+    # the only join is the broadcast 1-row supplier count; the
+    # expansion itself never hash-shuffles
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+
+
+def test_tpch_q2_min_cost_window_not_self_join(spark, sf_dir):
+    # the correlated scalar-min subquery is a window over the regional
+    # partsupp frame — partsupp builds once, no second derivation; the
+    # supplier/nation/region dims broadcast
+    simple = plan_of(spark, "q_tpch_q2_shape", sf_dir, mode="simple")
+    # six dim-sized scans: part twice (partsupp derivation + the
+    # p_type filter), supplier twice (count + dims), nation, region —
+    # but NO second partsupp branch: a self-join min would add a 7th
+    assert simple.count("FileScan parquet") == 6
+    assert "Window" in simple
+    assert "SortMergeJoin" not in simple
+
+
+def test_tpch_q9_facts_hash_dims_broadcast(spark, sf_dir):
+    # 6-way star: lineitem never broadcasts; orders meets it in a
+    # shuffle-hash join; part/supplier/nation broadcast
+    simple = plan_of(spark, "q_tpch_q9_shape", sf_dir, mode="simple")
+    assert "SortMergeJoin" not in simple
+    assert "ShuffledHashJoin" in simple
+    # lineitem (the only fact with l_ columns) never sits under a
+    # broadcast exchange
+    for i, l in enumerate(simple.splitlines()):
+        if "BroadcastExchange" in l:
+            assert "l_orderkey" not in l
+    plan = plan_of(spark, "q_tpch_q9_shape", sf_dir, mode="formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l for l in pushed), "'%red%' must push down"
+
+
+def test_tpch_q11_total_rides_window_not_rescan(spark, sf_dir):
+    # the grand total attaches via an empty-frame window over the
+    # parts-sized post-aggregate (q_tpch_q15 doctrine) — the textbook
+    # second scalar-subquery pass over partsupp would show extra scans
+    simple = plan_of(spark, "q_tpch_q11_shape", sf_dir, mode="simple")
+    # part once (partsupp) + supplier twice (count + nation attach)
+    assert simple.count("FileScan parquet") <= 4
+    assert "Window" in simple
+    assert "SortMergeJoin" not in simple
+
+
+def test_tpch_q16_denylist_is_broadcast_anti(spark, sf_dir):
+    simple = plan_of(spark, "q_tpch_q16_shape", sf_dir, mode="simple")
+    assert "LeftAnti, BuildRight" in simple or (
+        "BroadcastHashJoin" in simple and "LeftAnti" in simple
+    )
+    assert "SortMergeJoin" not in simple
+
+
+def test_tpch_q20_one_fact_exchange(spark, sf_dir):
+    # lineitem shuffles ONCE on the compound (partkey, suppkey) key
+    # with map-side combine; everything downstream is bounded
+    simple = plan_of(spark, "q_tpch_q20_shape", sf_dir, mode="simple")
+    assert "partial_sum" in simple
+    assert "SortMergeJoin" not in simple
+    li_scans = [
+        l for l in simple.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, "lineitem must scan exactly once"
+
+
+def test_srm_single_distinct_exchange(spark, sf_dir):
+    # one exact-distinct exchange on (type, user, arm) with map-side
+    # partial dedup; the chi-square math runs on the types-sized frame
+    simple = plan_of(spark, "q_agg_srm", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "Exchange SinglePartition" not in simple
+
+
+def test_assortativity_moments_collapse_mapside(spark, sf_dir):
+    # edge/degree joins are hash joins on node keys; the four moments
+    # collapse map-side to one row — no data-sized broadcast, no SMJ
+    simple = plan_of(spark, "q_graph_assortativity", sf_dir, mode="simple")
+    assert "SortMergeJoin" not in simple
+    assert "ShuffledHashJoin" in simple
+    assert "partial_count" in simple or "partial_sum" in simple
+
+
+def test_mad_anomaly_one_scan_array_form(spark, sf_dir):
+    # ONE fact scan + the (type, day) rollup; medians/MAD/flags are
+    # row-local HOF arithmetic on the types-sized collected frame —
+    # the join-back textbook form would show 3 scans
+    simple = plan_of(spark, "q_ts_mad_anomaly", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "collect_list" in simple
+
+
+def test_key_audit_four_scans_footer_friendly(spark, sf_dir):
+    # one scan per audited table, nothing else
+    simple = plan_of(spark, "q_dq_key_audit", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 4
+    assert "Join" not in simple
+
+
+def test_balanced_sample_pruned_count_branch(spark, sf_dir):
+    # the ranked branch carries the only window; the k branch reads
+    # event_type alone (pruned scan, no window)
+    plan = plan_of(spark, "q_sample_balanced", sf_dir, mode="formatted")
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("event_id" not in l for l in schemas), (
+        "the minority-size branch must not read event_id"
+    )
+    simple = plan_of(spark, "q_sample_balanced", sf_dir, mode="simple")
+    assert simple.count("Window") == 1
+
+
+def test_hapax_single_token_exchange(spark, sf_dir):
+    # one (source, token) exchange with partial counts; the source
+    # rollup rides the same shuffle — no joins, no second scan
+    simple = plan_of(spark, "q_text_hapax", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "partial_count" in simple
+
+
+def test_threshold_curve_one_pair_build(spark, sf_dir):
+    # the shingle self-join builds ONE pair frame; both outputs
+    # aggregate from the same exploded subtree — a second shingle join
+    # would double the corpus-side scans
+    simple = plan_of(spark, "q_dedup_threshold_curve", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    # the q_dedup_ngram_jaccard machinery's footprint exactly: 4
+    # shingle-frame references (self-join a/b + counts ca/cb) x the
+    # augmented corpus' 2 scan branches = 8.  A second sweep subtree
+    # (e.g. a separate docs-flagged branch off the pairs frame) would
+    # re-execute the pair build and double this.
+    assert simple.count("FileScan parquet") == 8
+    base = plan_of(spark, "q_dedup_ngram_jaccard", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == base.count("FileScan parquet")
+
+
+def test_delta_ratio_one_scan_two_stage_agg(spark, sf_dir):
+    # one fact scan, (type, user) partial-combined exchange, then the
+    # types-sized moment rollup; the delta tail is row-local
+    simple = plan_of(spark, "q_agg_delta_ratio_var", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "partial_sum" in simple
+    assert "Exchange SinglePartition" not in simple
+
+
+def test_delta_ratio_shared_expression_text(spark, sf_dir):
+    # the float tail must be the SAME expression string in both
+    # engines — the strongest association pin (ADVICE r11).  If the
+    # Spark side ever rewrites the expression inline, this canary
+    # fails before a boundary fixture ever could.
+    from pokertracker_cassandra_st_spark.operators.statistics import (
+        _DELTA_RATIO_EXPR,
+        _DELTA_SE_EXPR,
+    )
+    from pokertracker_cassandra_st_spark.registry import REGISTRY
+
+    oracle = REGISTRY["q_agg_delta_ratio_var"].oracle
+    assert _DELTA_RATIO_EXPR in oracle
+    assert _DELTA_SE_EXPR in oracle

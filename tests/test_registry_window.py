@@ -282,70 +282,122 @@ def test_round10_window_ran_as_planned():
     assert "q_fn_geo" in r10
 
 
-def test_round11_window_is_active_with_explicit_deferral():
-    """Round-11 rotation contract (VERDICT r10 'Next round #2/#3'):
-    WINDOW_R11 is the active window and holds EXACTLY the round-10
-    additions minus the explicit DEFERRED_R11 overflow — the 51st
-    round-10 op q_ts_bursts is deferred by name, never silently
-    truncated by plan_window's [:size].  Round 11 has zero renewal
-    slots, so the 17 round-5-stale driver rows must already be staged
-    to lead the round-12 renewal block, and q_ts_bursts must lead
-    WINDOW_R12 outright."""
+def test_round11_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r11.json must cover exactly the 50
+    WINDOW_R11 slots — the round-11 rotation executed as drafted:
+    era-10 minus the named DEFERRED_R11 overflow (q_ts_bursts was
+    deferred by name, never silently truncated by plan_window's
+    [:size])."""
+    import json
+
     from pokertracker_cassandra_st_spark.registry import (
         DEFERRED_R11,
         POST_ROTATION_R10,
-        POST_ROTATION_R11,
         WINDOW_R11,
+    )
+
+    r11 = set(json.load(open("/root/repo/CORRECTNESS_r11.json")))
+    assert r11 == set(WINDOW_R11), (
+        f"r11 artifact vs WINDOW_R11: missing={sorted(set(WINDOW_R11) - r11)} "
+        f"extra={sorted(r11 - set(WINDOW_R11))}"
+    )
+    assert DEFERRED_R11 == ["q_ts_bursts"]
+    assert set(WINDOW_R11) == set(POST_ROTATION_R10) - set(DEFERRED_R11)
+    assert "q_ts_bursts" not in WINDOW_R11
+
+
+def test_round12_window_is_active_and_completes_driver_coverage():
+    """Round-12 rotation contract (VERDICT r11 'Next round #1'):
+    WINDOW_R12 is the active window, materializing plan_window(12)
+    exactly — 39 never-driver-checked leads (the 38 round-11 additions
+    plus the DEFERRED_R11 overflow q_ts_bursts, which must lead
+    outright) and 11 renewal slots that all go to round-5-stale driver
+    rows.  After this window lands, every ledgered query has a driver
+    row — full 355/355 driver coverage for the first time."""
+    from pokertracker_cassandra_st_spark.registry import (
+        DEFERRED_R11,
+        POST_ROTATION_R11,
+        POST_ROTATION_R12,
+        WINDOW_R12,
         _WINDOWS,
         plan_window,
     )
 
     qs = get_queries()
     oracles = get_oracles()
-    assert WINDOW is WINDOW_R11, "round-11 window must be active"
-    assert len(WINDOW_R11) == 50 == len(set(WINDOW_R11))
-    # exactly era-10 minus the named deferral — no silent [:size] cut
-    assert DEFERRED_R11 == ["q_ts_bursts"]
-    assert set(WINDOW_R11) == set(POST_ROTATION_R10) - set(DEFERRED_R11)
-    assert "q_ts_bursts" not in WINDOW_R11
-    assert "q_ts_bursts" in qs and "q_ts_bursts" in oracles
-    no_oracle = [n for n in WINDOW_R11 if n not in oracles]
-    assert not no_oracle, f"WINDOW_R11 entries without an oracle: {no_oracle}"
-    # the deferral must lead the round-12 draft (first-time coverage
-    # cannot be stranded a second round)
-    pw12 = plan_window(12)
-    assert pw12[0] == "q_ts_bursts", "q_ts_bursts must lead WINDOW_R12"
-    # round-12 renewal pre-stage: with zero r11 renewal slots, the
-    # round-5-stale driver rows (7 rounds old at the r12 flip) must
-    # head the r12 renewal block — stalest-first by construction.  The
-    # renewal block shrinks as round-11 additions grow the lead block;
-    # however many renewal slots survive, every one must go to a
-    # round-5-stale row (any remainder spills to the r13 head by the
-    # same stalest-first sort).
-    lead12 = [n for n in pw12 if not any(x < 12 for x in _WINDOWS[n])]
-    reps12 = pw12[len(lead12):]
-    stale5 = {n for n, w in _WINDOWS.items() if w and max(w) == 5}
-    assert len(stale5) == 17
-    assert len(reps12) == 50 - len(lead12)
-    take = min(len(reps12), len(stale5))
-    assert take > 0, "round 12 must renew at least one stale row"
-    assert set(reps12[:take]) <= stale5, (
-        "round-12 renewal block must lead with the round-5-stale rows"
-    )
-    # every never-driver-checked query is either in the active window
-    # (getting its row this round), the named deferral, or ledgered as
-    # a round-11 addition
+    assert WINDOW is WINDOW_R12, "round-12 window must be active"
+    assert len(WINDOW_R12) == 50 == len(set(WINDOW_R12))
+    # the flip materialized plan_window(12) as drafted AT FLIP TIME;
+    # queries registered DURING round 12 join POST_ROTATION_R12 and
+    # lead plan_window(13) instead (they cannot displace a committed
+    # window slot) — so the plan minus the round-12 additions must be
+    # exactly the shipped window, order included.  plan_window drafts
+    # 50 slots; each round-12 registration displaces one renewal from
+    # the tail, so draft enough extra slots before filtering.
+    drafted = plan_window(12, size=50 + len(POST_ROTATION_R12))
+    assert WINDOW_R12 == [
+        n for n in drafted if n not in set(POST_ROTATION_R12)
+    ][:50], "WINDOW_R12 must be plan_window(12) as of the flip commit"
+    assert WINDOW_R12[0] == "q_ts_bursts", "the deferral must lead"
+    unreg = [n for n in WINDOW_R12 if n not in qs]
+    assert not unreg, f"WINDOW_R12 names not registered: {unreg}"
+    no_oracle = [n for n in WINDOW_R12 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R12 entries without an oracle: {no_oracle}"
+    # lead block = every never-driver-checked query, exactly: the 38
+    # round-11 additions + the named deferral — none stranded, none
+    # wasted on an already-checked row
+    lead = [n for n in WINDOW_R12 if _WINDOWS[n] == (12,)]
+    assert len(lead) == 39
+    assert set(lead) == set(POST_ROTATION_R11) | set(DEFERRED_R11)
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(
-        never - set(WINDOW_R11) - set(DEFERRED_R11) - set(POST_ROTATION_R11)
-    )
+    stranded = sorted(never - set(lead) - set(POST_ROTATION_R12))
     assert not stranded, (
-        f"queries registered during round 11 without joining "
-        f"POST_ROTATION_R11: {stranded}"
+        f"queries registered during round 12 without joining "
+        f"POST_ROTATION_R12: {stranded}"
     )
-    undeclared = [n for n in POST_ROTATION_R11 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R11 names not registered: {undeclared}"
+    undeclared = [n for n in POST_ROTATION_R12 if n not in qs]
+    assert not undeclared, f"POST_ROTATION_R12 names not registered: {undeclared}"
+    # the 11 renewal slots must all be round-5-stale rows (last driver
+    # row round 5 — the stalest in the ledger at the r12 flip), and
+    # each must carry a prior driver row
+    reps = WINDOW_R12[len(lead):]
+    assert len(reps) == 11
+    assert all(_WINDOWS[n] == (5, 12) for n in reps), (
+        "round-12 renewals must be exactly the round-5-stale rows"
+    )
+    unchecked_reps = sorted(set(reps) - checked)
+    assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
+
+
+def test_round13_renewals_prestaged_with_last_stale5_rows():
+    """Round-13 pre-stage contract (VERDICT r11 'Next round #3'): the
+    6 round-5-stale rows that did not fit round 12's 11 renewal slots
+    (q_graph_degree_hist, q_graph_jaccard, q_ts_changepoint,
+    q_text_winnow, q_text_cooccurrence, q_pipeline_interleave — last
+    driver rows round 5, 8 rounds stale at r13) must head the round-13
+    renewal block by plan_window's stalest-first sort."""
+    from pokertracker_cassandra_st_spark.registry import (
+        _WINDOWS,
+        plan_window,
+    )
+
+    stale5 = {n for n, w in _WINDOWS.items() if w and max(w) == 5}
+    assert stale5 == {
+        "q_graph_degree_hist",
+        "q_graph_jaccard",
+        "q_ts_changepoint",
+        "q_text_winnow",
+        "q_text_cooccurrence",
+        "q_pipeline_interleave",
+    }, "exactly 6 round-5-stale rows must remain after the r12 flip"
+    pw13 = plan_window(13)
+    lead13 = [n for n in pw13 if not any(x < 13 for x in _WINDOWS[n])]
+    reps13 = pw13[len(lead13):]
+    assert set(reps13[: len(stale5)]) == stale5, (
+        "round-13 renewal block must lead with the 6 remaining "
+        "round-5-stale rows"
+    )
 
 
 def test_round7_window_is_staged_correctly():
