@@ -606,7 +606,11 @@ def q_agg_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "user_id",
-            F.expr("unix_timestamp(ts) div 604800").alias("w"),
+            # FLOOR, not div: matches DuckDB // for pre-1970 ts too
+            # (doctrine at q_ts_stickiness)
+            F.expr(
+                "CAST(FLOOR(unix_timestamp(ts) / 604800.0D) AS BIGINT)"
+            ).alias("w"),
             slong("value", 2).alias("cents"),
         )
     )

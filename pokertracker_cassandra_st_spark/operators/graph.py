@@ -108,12 +108,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines plain CTEs per reference; e is
+  -- referenced three times (e1/e2/e3), so the inlined plan recomputed
+  -- the distinct edge set thrice and spilled past the disk at the
+  -- 100x rung (ENOSPC in duckdb_temp_storage — the q_graph_kcore
+  -- round-8 lesson, hit here at 100x round 12).  Oracle-side planning
+  -- hint only; values unchanged.
   SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a
   JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
   FROM e e1
   JOIN e e2 ON e1.p2 = e2.p1
@@ -763,7 +769,11 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTERING_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
+  -- MATERIALIZED: e is referenced five times (deg's union + the
+  -- e1/e2/e3 wedge join); DuckDB's per-reference inlining recomputed
+  -- the distinct edge set and ENOSPC'd at the 100x rung (same round-12
+  -- finding as q_graph_triangle_count).  Planning hint only.
   SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a
   JOIN lineitem b
@@ -773,7 +783,7 @@ WITH e AS (
     SELECT p1 AS node, p2 AS nbr FROM e
     UNION ALL SELECT p2, p1 FROM e
   ) GROUP BY node
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
   FROM e e1
   JOIN e e2 ON e1.p2 = e2.p1

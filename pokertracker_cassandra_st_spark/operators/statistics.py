@@ -597,9 +597,15 @@ WITH m AS (
 ), c AS (
   SELECT l_returnflag, n,
          s2 - s1 * s1 / n AS m2c,
-         s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n) AS m3c,
-         s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n)
-            - 3 * s1 * s1 * s1 * s1 / (n * n * n) AS m4c
+         -- n-powers through DOUBLE: n*n*n overflows INT64 once a
+         -- group passes ~2.1M rows (found by the round-12 100x sweep:
+         -- DuckDB errors loudly, Spark non-ANSI would wrap silently).
+         -- Both engines build the identical double from the same n.
+         s3 - 3 * s1 * s2 / n
+            + 2 * s1 * s1 * s1 / (CAST(n AS DOUBLE) * n) AS m3c,
+         s4 - 4 * s1 * s3 / n
+            + 6 * s1 * s1 * s2 / (CAST(n AS DOUBLE) * n)
+            - 3 * s1 * s1 * s1 * s1 / (CAST(n AS DOUBLE) * n * n) AS m4c
   FROM m
 )
 SELECT l_returnflag, n,
@@ -633,13 +639,16 @@ def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     s3, s4 = F.col("s3"), F.col("s4")
+    # n-powers through DOUBLE — mirrors the oracle exactly; n*n*n in
+    # LONG wraps silently past ~2.1M rows per group (100x sweep find)
+    n_d = n.cast("double")
     m2c = s2 - s1 * s1 / n
-    m3c = s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)
+    m3c = s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n_d * n)
     m4c = (
         s4
         - 4 * s1 * s3 / n
-        + 6 * s1 * s1 * s2 / (n * n)
-        - 3 * s1 * s1 * s1 * s1 / (n * n * n)
+        + 6 * s1 * s1 * s2 / (n_d * n)
+        - 3 * s1 * s1 * s1 * s1 / (n_d * n * n)
     )
     return m.select(
         "l_returnflag",

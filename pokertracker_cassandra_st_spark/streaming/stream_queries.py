@@ -1013,7 +1013,9 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir, n_files=4).select(
         "user_id",
         "event_id",
-        F.expr("unix_timestamp(ts) div 3600").alias("hb"),
+        # FLOOR, not div: matches DuckDB // for pre-1970 ts too
+        # (doctrine at q_ts_stickiness)
+        F.expr("CAST(FLOOR(unix_timestamp(ts) / 3600.0D) AS BIGINT)").alias("hb"),
     )
     folded = ev.groupBy("user_id").applyInPandasWithState(
         _throttle_fold,
