@@ -306,97 +306,125 @@ def test_round11_window_ran_as_planned():
     assert "q_ts_bursts" not in WINDOW_R11
 
 
-def test_round12_window_is_active_and_completes_driver_coverage():
-    """Round-12 rotation contract (VERDICT r11 'Next round #1'):
-    WINDOW_R12 is the active window, materializing plan_window(12)
-    exactly — 39 never-driver-checked leads (the 38 round-11 additions
-    plus the DEFERRED_R11 overflow q_ts_bursts, which must lead
-    outright) and 11 renewal slots that all go to round-5-stale driver
-    rows.  After this window lands, every ledgered query has a driver
-    row — full 355/355 driver coverage for the first time."""
+def test_round12_window_ran_as_planned():
+    """Historical pin: CORRECTNESS_r12.json must cover exactly the 50
+    WINDOW_R12 slots — 39 never-driver-checked leads (the 38 round-11
+    additions + the named DEFERRED_R11 overflow q_ts_bursts, which led
+    outright) and 11 renewal slots that all went to round-5-stale
+    driver rows."""
+    import json
+
     from pokertracker_cassandra_st_spark.registry import (
         DEFERRED_R11,
         POST_ROTATION_R11,
-        POST_ROTATION_R12,
         WINDOW_R12,
+        _WINDOWS,
+    )
+
+    r12 = set(json.load(open("/root/repo/CORRECTNESS_r12.json")))
+    assert r12 == set(WINDOW_R12), (
+        f"r12 artifact vs WINDOW_R12: missing={sorted(set(WINDOW_R12) - r12)} "
+        f"extra={sorted(r12 - set(WINDOW_R12))}"
+    )
+    assert WINDOW_R12[0] == "q_ts_bursts", "the deferral must lead"
+    lead = [n for n in WINDOW_R12 if _WINDOWS[n] == (12,)]
+    assert len(lead) == 39
+    assert set(lead) == set(POST_ROTATION_R11) | set(DEFERRED_R11)
+    reps = WINDOW_R12[len(lead):]
+    assert len(reps) == 11
+    assert all(_WINDOWS[n][:2] == (5, 12) for n in reps), (
+        "round-12 renewals were exactly the stalest round-5 rows"
+    )
+
+
+def test_round13_window_is_active_and_completes_driver_coverage():
+    """Round-13 rotation contract (VERDICT r12 'Next round #4'):
+    WINDOW_R13 is the active window, materializing plan_window(13)
+    exactly — 14 never-driver-checked leads (the round-12 additions:
+    the 5 derived-partsupp TPC-H shapes, srm, assortativity,
+    mad_anomaly, key_audit, balanced, hapax, threshold_curve,
+    stream_funnel, delta_ratio_var) and 36 renewal slots headed by the
+    6 remaining round-5-stale rows then the round-6-stale block.
+    After this window lands, every ledgered query has a driver row —
+    full 369/369 cumulative driver coverage for the first time."""
+    from pokertracker_cassandra_st_spark.registry import (
+        POST_ROTATION_R12,
+        POST_ROTATION_R13,
+        WINDOW_R13,
         _WINDOWS,
         plan_window,
     )
 
     qs = get_queries()
     oracles = get_oracles()
-    assert WINDOW is WINDOW_R12, "round-12 window must be active"
-    assert len(WINDOW_R12) == 50 == len(set(WINDOW_R12))
-    # the flip materialized plan_window(12) as drafted AT FLIP TIME;
-    # queries registered DURING round 12 join POST_ROTATION_R12 and
-    # lead plan_window(13) instead (they cannot displace a committed
-    # window slot) — so the plan minus the round-12 additions must be
-    # exactly the shipped window, order included.  plan_window drafts
-    # 50 slots; each round-12 registration displaces one renewal from
-    # the tail, so draft enough extra slots before filtering.
-    drafted = plan_window(12, size=50 + len(POST_ROTATION_R12))
-    assert WINDOW_R12 == [
-        n for n in drafted if n not in set(POST_ROTATION_R12)
-    ][:50], "WINDOW_R12 must be plan_window(12) as of the flip commit"
-    assert WINDOW_R12[0] == "q_ts_bursts", "the deferral must lead"
-    unreg = [n for n in WINDOW_R12 if n not in qs]
-    assert not unreg, f"WINDOW_R12 names not registered: {unreg}"
-    no_oracle = [n for n in WINDOW_R12 if n not in oracles]
-    assert not no_oracle, f"WINDOW_R12 entries without an oracle: {no_oracle}"
-    # lead block = every never-driver-checked query, exactly: the 38
-    # round-11 additions + the named deferral — none stranded, none
-    # wasted on an already-checked row
-    lead = [n for n in WINDOW_R12 if _WINDOWS[n] == (12,)]
-    assert len(lead) == 39
-    assert set(lead) == set(POST_ROTATION_R11) | set(DEFERRED_R11)
+    assert WINDOW is WINDOW_R13, "round-13 window must be active"
+    assert len(WINDOW_R13) == 50 == len(set(WINDOW_R13))
+    # the flip materialized plan_window(13) as drafted AT FLIP TIME;
+    # queries registered DURING round 13 join POST_ROTATION_R13 and
+    # lead plan_window(14) instead (they cannot displace a committed
+    # window slot).
+    drafted = plan_window(13, size=50 + len(POST_ROTATION_R13))
+    assert WINDOW_R13 == [
+        n for n in drafted if n not in set(POST_ROTATION_R13)
+    ][:50], "WINDOW_R13 must be plan_window(13) as of the flip commit"
+    unreg = [n for n in WINDOW_R13 if n not in qs]
+    assert not unreg, f"WINDOW_R13 names not registered: {unreg}"
+    no_oracle = [n for n in WINDOW_R13 if n not in oracles]
+    assert not no_oracle, f"WINDOW_R13 entries without an oracle: {no_oracle}"
+    # lead block = every never-driver-checked query, exactly the 14
+    # round-12 additions — none stranded, none wasted
+    lead = [n for n in WINDOW_R13 if _WINDOWS[n] == (13,)]
+    assert len(lead) == 14
+    assert set(lead) == set(POST_ROTATION_R12)
     checked = _driver_checked()
     never = {n for n in qs if n not in checked}
-    stranded = sorted(never - set(lead) - set(POST_ROTATION_R12))
+    stranded = sorted(never - set(lead) - set(POST_ROTATION_R13))
     assert not stranded, (
-        f"queries registered during round 12 without joining "
-        f"POST_ROTATION_R12: {stranded}"
+        f"queries registered during round 13 without joining "
+        f"POST_ROTATION_R13: {stranded}"
     )
-    undeclared = [n for n in POST_ROTATION_R12 if n not in qs]
-    assert not undeclared, f"POST_ROTATION_R12 names not registered: {undeclared}"
-    # the 11 renewal slots must all be round-5-stale rows (last driver
-    # row round 5 — the stalest in the ledger at the r12 flip), and
-    # each must carry a prior driver row
-    reps = WINDOW_R12[len(lead):]
-    assert len(reps) == 11
-    assert all(_WINDOWS[n] == (5, 12) for n in reps), (
-        "round-12 renewals must be exactly the round-5-stale rows"
-    )
-    unchecked_reps = sorted(set(reps) - checked)
-    assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
-
-
-def test_round13_renewals_prestaged_with_last_stale5_rows():
-    """Round-13 pre-stage contract (VERDICT r11 'Next round #3'): the
-    6 round-5-stale rows that did not fit round 12's 11 renewal slots
-    (q_graph_degree_hist, q_graph_jaccard, q_ts_changepoint,
-    q_text_winnow, q_text_cooccurrence, q_pipeline_interleave — last
-    driver rows round 5, 8 rounds stale at r13) must head the round-13
-    renewal block by plan_window's stalest-first sort."""
-    from pokertracker_cassandra_st_spark.registry import (
-        _WINDOWS,
-        plan_window,
-    )
-
-    stale5 = {n for n, w in _WINDOWS.items() if w and max(w) == 5}
-    assert stale5 == {
+    # the 36 renewal slots: stalest-first — the 6 round-5-stale rows
+    # that missed round 12's 11 slots head the block (VERDICT r11
+    # 'Next round #3' pre-stage, now materialized), then 30
+    # round-6-stale rows; each carries a prior driver row
+    reps = WINDOW_R13[len(lead):]
+    assert len(reps) == 36
+    stale5 = {
         "q_graph_degree_hist",
         "q_graph_jaccard",
         "q_ts_changepoint",
         "q_text_winnow",
         "q_text_cooccurrence",
         "q_pipeline_interleave",
-    }, "exactly 6 round-5-stale rows must remain after the r12 flip"
-    pw13 = plan_window(13)
-    lead13 = [n for n in pw13 if not any(x < 13 for x in _WINDOWS[n])]
-    reps13 = pw13[len(lead13):]
-    assert set(reps13[: len(stale5)]) == stale5, (
-        "round-13 renewal block must lead with the 6 remaining "
-        "round-5-stale rows"
+    }
+    assert set(reps[:6]) == stale5, (
+        "round-13 renewals must head with the 6 remaining round-5-stale rows"
+    )
+    assert all(max(x for x in _WINDOWS[n] if x < 13) == 6 for n in reps[6:]), (
+        "remaining round-13 renewals must all be round-6-stale rows"
+    )
+    unchecked_reps = sorted(set(reps) - checked)
+    assert not unchecked_reps, f"rep slots lacking any driver row: {unchecked_reps}"
+
+
+def test_round14_renewals_prestaged_with_stale6_rows():
+    """Round-14 pre-stage contract: after the r13 flip the stalest
+    driver rows are the round-6 renewals that did not fit round 13's
+    36 slots; plan_window(14)'s renewal block must head with
+    round-6-stale rows (era-13 additions, if any, lead)."""
+    from pokertracker_cassandra_st_spark.registry import (
+        _WINDOWS,
+        plan_window,
+    )
+
+    stale6 = {n for n, w in _WINDOWS.items() if w and max(w) == 6}
+    assert stale6, "some round-6-stale rows must remain after the r13 flip"
+    pw14 = plan_window(14)
+    lead14 = [n for n in pw14 if not any(x < 14 for x in _WINDOWS[n])]
+    reps14 = pw14[len(lead14):]
+    head = reps14[: len(stale6)] if len(stale6) <= len(reps14) else reps14
+    assert set(head) <= stale6, (
+        "round-14 renewal block must head with round-6-stale rows"
     )
 
 
