@@ -74,11 +74,54 @@ def main() -> None:
     REGISTRY[STREAMING_EXTRA].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    t0 = time.perf_counter()
-    REGISTRY[STREAMING_EXTRA].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    stream_sec = round(time.perf_counter() - t0, 3)
+
+    # per-micro-batch wall instrumentation (VERDICT r12 'Next round
+    # #5'): BENCH_r12 recorded stream_replay at 11.8 s vs a 4.4 s
+    # five-run floor with no per-batch visibility.  A listener records
+    # each progress event's batchId + triggerExecution wall so the
+    # artifact itself shows WHICH micro-batch stalls (scheduler stall
+    # vs code regression) instead of needing a rerun to diagnose.
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    batch_walls: list[dict] = []
+
+    class _BatchWallListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            batch_walls.append(
+                {
+                    "batch_id": p.batchId,
+                    "trigger_ms": p.durationMs.get("triggerExecution"),
+                    "add_batch_ms": p.durationMs.get("addBatch"),
+                    "rows": p.numInputRows,
+                }
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _BatchWallListener()
+    spark.streams.addListener(listener)
+    try:
+        t0 = time.perf_counter()
+        REGISTRY[STREAMING_EXTRA].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        stream_sec = round(time.perf_counter() - t0, 3)
+        # progress events are delivered async on the listener bus —
+        # give the tail event a moment to land before reading
+        deadline = time.time() + 5.0
+        while time.time() < deadline and not batch_walls:
+            time.sleep(0.1)
+        time.sleep(0.3)
+    finally:
+        spark.streams.removeListener(listener)
 
     total = round(sum(times.values()), 3)
     print(
@@ -89,6 +132,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "stream_replay_sec": stream_sec,
+                "stream_replay_batches": sorted(
+                    batch_walls, key=lambda b: b["batch_id"]
+                ),
                 "sf": sf,
             }
         )

@@ -101,6 +101,29 @@ def range_prefix(
         missing = [s for s in totals if s not in sums]
         if missing:
             raise ValueError(f"totals sources must be in sums: {missing}")
+    # output-name collision guard: a sums/totals destination that
+    # already exists on the frame, duplicates another destination, or
+    # matches the internal helper-name pattern (_b, _<dst>_loc/_off/
+    # _tot) would silently produce duplicate/ambiguous columns.
+    dsts = [*sums.values(), *(totals or {}).values()]
+    dupes = sorted({d for d in dsts if dsts.count(d) > 1})
+    if dupes:
+        raise ValueError(f"duplicate output column names: {dupes}")
+    clashes = sorted(set(dsts) & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"output columns already exist on the frame: {clashes}"
+        )
+    helpers = {"_b"} | {
+        f"_{d}_{suf}" for d in dsts for suf in ("loc", "off", "tot")
+    }
+    helper_clash = sorted(
+        (set(dsts) | set(df.columns)) & helpers
+    )
+    if helper_clash:
+        raise ValueError(
+            f"column names collide with range_prefix helpers: {helper_clash}"
+        )
     part = _with_bucket(df, order_cols[0], n_buckets)
     end = 0 if inclusive else -1
     w_local = (

@@ -1454,26 +1454,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hinge on an (1-s)^16 tail event at any replication factor.
     Verification is exact, so the output is deterministic.
 
-    Scale notes: nothing corpus-sized is ever self-joined or
-    broadcast. The corpus contributes (a) a digest column scan and
-    (b) band-bucket triples (doc_id, table, hash) — both of which a
-    production deployment STORES as the dedup index (here they are
-    recomputed from the parquet fixture; the plan from the signatures
-    onward is identical). The shard side is broadcast ONLY where the
-    frame is narrow and shard-linear with small constants — digests
-    (~48 B/doc), band-bucket triples (16 x ~24 B/doc), leading-shingle
-    fingerprints (~16 B/doc), candidate ids — which stay under Spark's
-    8 GB broadcast ceiling up to shards of ~10^7-10^8 docs (a daily
-    ingest, not a corpus); past that, drop these hints and AQE picks
-    shuffle-hash from runtime sizes. The shingle-array-carrying shard
-    frame is the one shard-linear frame with LARGE row payloads, so it
-    is never broadcast: the verify join first narrows the corpus side
-    by the broadcast candidate set, then SHUFFLE_HASH-joins the shard
-    shingles on new_id — both shuffle inputs are sized by the
-    candidate count / shard size, never the corpus. Shard-vs-shard
-    pairs are out of scope here (run the ordinary full-corpus
-    operators on the shard alone — it is shard-sized, not
-    corpus-sized).
+    Scale notes: nothing corpus-sized is ever self-joined, and NOTHING
+    is ever broadcast — every shard-vs-corpus join SHUFFLE_HASH-builds
+    on the shard/candidate side (round-13 fix: the prior hard
+    F.broadcast hints on the narrow shard frames hit
+    notEnoughMemoryToBuildAndBroadcastTableError in the 100x sweep
+    once the shard outgrew driver build memory; a shuffle-hash build
+    is size-unbounded, sort-free, and moves only the narrow columns —
+    digests ~48 B/doc, band-bucket triples 16 x ~24 B/doc,
+    leading-shingle fingerprints ~16 B/doc, candidate id pairs — while
+    corpus text never crosses an exchange). The corpus contributes
+    (a) a digest column scan and (b) band-bucket triples
+    (doc_id, table, hash) — both of which a production deployment
+    STORES as the dedup index (here they are recomputed from the
+    parquet fixture; the plan from the signatures onward is
+    identical). The shingle-array-carrying shard frame is the one
+    shard-linear frame with LARGE row payloads: the verify join first
+    narrows the corpus side by the candidate set, then
+    SHUFFLE_HASH-joins the shard shingles on new_id — both shuffle
+    inputs are sized by the candidate count / shard size, never the
+    corpus. Shard-vs-shard pairs are out of scope here (run the
+    ordinary full-corpus operators on the shard alone — it is
+    shard-sized, not corpus-sized).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
@@ -1492,12 +1494,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # tier 1: digest join — corpus scans against the BROADCAST shard
-    # digest set; corpus text never moves, corpus never self-joins
+    # tier 1: digest join — corpus digests against the shard digest
+    # set, SHUFFLE_HASH building on the shard side (round-13 fix: the
+    # previous hard F.broadcast OOM'd the 100x sweep with
+    # notEnoughMemoryToBuildAndBroadcastTableError once the shard grew
+    # past driver build memory — the docstring's "drop the hints"
+    # fallback is now the code, unconditionally: shuffle-hash never
+    # OOMs the driver, never sorts, and only the narrow 48 B/doc
+    # digest columns cross the exchange; corpus text never moves,
+    # corpus never self-joins)
     c_dig = corpus.select("doc_id", F.sha2("text", 256).alias("h"))
     s_dig = shard.select("doc_id", F.sha2("text", 256).alias("h"))
     exact = (
-        c_dig.join(F.broadcast(s_dig.withColumnRenamed("doc_id", "new_id")), "h")
+        c_dig.join(
+            s_dig.withColumnRenamed("doc_id", "new_id").hint("shuffle_hash"),
+            "h",
+        )
         .select("new_id", F.col("doc_id").alias("corpus_id"))
     )
 
@@ -1540,7 +1552,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets(sh_c)
         .withColumnRenamed("doc_id", "corpus_id")
         .join(
-            F.broadcast(buckets(sh_s).withColumnRenamed("doc_id", "new_id")),
+            buckets(sh_s)
+            .withColumnRenamed("doc_id", "new_id")
+            .hint("shuffle_hash"),
             ["t", "h"],
         )
         .select("new_id", "corpus_id")
@@ -1558,7 +1572,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand_prefix = (
         lead_fp(sh_c, "corpus_id")
-        .join(F.broadcast(lead_fp(sh_s, "new_id")), "fp")
+        .join(lead_fp(sh_s, "new_id").hint("shuffle_hash"), "fp")
         .select("new_id", "corpus_id")
     )
     cand = cand_lsh.unionByName(cand_prefix).distinct()
@@ -1575,7 +1589,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").alias("h_c"),
             F.col("shingles").alias("sh_c"),
         )
-        .join(F.broadcast(cand), "corpus_id")
+        .join(cand.hint("shuffle_hash"), "corpus_id")
         .join(
             sh_s.select(
                 F.col("doc_id").alias("new_id"),

@@ -1870,7 +1870,13 @@ def q_sim_neighbor_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pokertracker_cassandra_st_spark.exprs import slong
 
-    e = q_sim_knn_graph(spark, sf_dir).localCheckpoint()
+    # eager=False: the checkpoint still computes the knn subtree ONCE
+    # (within the first action) but plan construction stays lazy —
+    # eager localCheckpoint would execute the whole edge build merely
+    # on DataFrame construction (explain-only paths included), and the
+    # non-reliable checkpointed RDD is better materialized by the real
+    # action than by query *registration*.
+    e = q_sim_knn_graph(spark, sf_dir).localCheckpoint(eager=False)
     rev = e.select(
         F.col("vec_id").alias("r_vec"), F.col("nbr_id").alias("r_nbr")
     )

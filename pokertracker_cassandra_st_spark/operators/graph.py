@@ -910,8 +910,9 @@ SELECT m AS n_directed_edges,
        CAST(sx AS BIGINT) AS sum_deg,
        CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS DOUBLE)
+            / nullif(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+         AS DOUBLE)
          AS assortativity
 FROM m
 """
@@ -987,9 +988,16 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m").cast("double") * F.col("sxy").cast("double")
                 - F.col("sx").cast("double") * F.col("sx").cast("double")
             )
-            / (
+            # nullif-guarded divide (BOTH engines): a degree-regular
+            # graph zeroes the variance denominator; Spark's non-ANSI
+            # Divide returns NULL on /0 while DuckDB IEEE doubles give
+            # NaN/Inf — pinning nullif(den, 0.0) on both sides makes
+            # the engines agree on NULL for the degenerate input (not
+            # in fixtures, but 100x sweeps regenerate data).
+            / F.nullif(
                 F.col("m").cast("double") * F.col("sxx").cast("double")
-                - F.col("sx").cast("double") * F.col("sx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"),
+                F.lit(0.0),
             )
         ).alias("assortativity"),
     )

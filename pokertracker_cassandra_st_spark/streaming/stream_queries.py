@@ -1060,10 +1060,16 @@ def _funnel_fold(
     State is three longs — no per-event timeline survives a batch."""
     (user_id,) = key
     fs, fc, n = state.get if state.exists else (-1, -1, 0)
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values("event_id")
+    # Concatenate ALL Arrow chunks for the key BEFORE the single sort:
+    # a key whose batch rows span multiple chunks (celebrity user past
+    # maxRecordsPerBatch, or a batch file split past maxPartitionBytes
+    # at 100x) delivers chunks in no guaranteed cross-chunk event_id
+    # order, and per-chunk sorting could latch a non-first signup or
+    # purchase.  Per-key-per-batch cost is unchanged (one sort either
+    # way); only the latch order is fixed.
+    chunks = [pdf for pdf in pdf_iter if len(pdf) > 0]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("event_id")
         n += len(pdf)
         for eid, et in zip(pdf["event_id"], pdf["event_type"]):
             if fs < 0:

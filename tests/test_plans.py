@@ -534,21 +534,24 @@ def test_snapshot_incremental_keeps_rank_limit_pushdown(spark, sf_dir):
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
 
 
-def test_incremental_dedup_broadcasts_shard_never_selfjoins_corpus(spark, sf_dir):
-    # the incremental contract: every join against a corpus-sized frame
-    # builds on the SHARD side's NARROW frames (digests, band buckets,
-    # leading-shingle fingerprints, candidates) — the corpus streams; a
-    # SortMergeJoin would mean a corpus-sized sort crept in, and a
-    # cartesian/cross join would mean the asymmetric pairing regressed
-    # to all-pairs. The one non-broadcast join is the verify join: the
-    # shingle-carrying shard frame is SHUFFLE_HASH-joined (broadcasting
-    # it would grow linearly with shard size at large payload width —
-    # ADVICE r6), with the corpus side already narrowed to candidates.
+def test_incremental_dedup_shuffle_hash_never_broadcasts_never_selfjoins(spark, sf_dir):
+    # the incremental contract (round-13 form): every join against a
+    # corpus-sized frame SHUFFLE_HASH-builds on the SHARD side's
+    # NARROW frames (digests, band buckets, leading-shingle
+    # fingerprints, candidates) — the corpus streams; a SortMergeJoin
+    # would mean a corpus-sized sort crept in, and a cartesian/cross
+    # join would mean the asymmetric pairing regressed to all-pairs.
+    # NO BroadcastExchange anywhere: the prior hard F.broadcast hints
+    # on the shard frames OOM'd the 100x sweep
+    # (notEnoughMemoryToBuildAndBroadcastTableError) once the shard
+    # outgrew driver build memory — the shuffle-hash build is
+    # size-unbounded and this lock keeps the OOM shape from returning.
     simple = plan_of(spark, "q_dedup_incremental", sf_dir, mode="simple")
     assert "SortMergeJoin" not in simple
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
-    assert "BroadcastHashJoin" in simple
+    assert "BroadcastExchange" not in simple
+    assert "BroadcastHashJoin" not in simple
     assert "ShuffledHashJoin" in simple
 
 
@@ -1989,12 +1992,14 @@ def test_quality_curve_rank_is_distributed(spark, sf_dir):
     # (dist_rank's own extrema/total passes re-scan the pruned
     # single-column input — the documented helper trade)
     plan = plan_of(spark, "q_pipeline_quality_curve", sf_dir, mode="simple")
-    # exactly dist_rank's own 4 scans (window branch + bucket-totals
+    # at most dist_rank's own 4 scans (window branch + bucket-totals
     # branch, each re-deriving the pruned single-column extrema — the
     # documented helper trade): the corpus total n rides the rank's
     # bucket-totals frame via total_col — a 5th scan means someone
-    # re-aggregated the scored frame (ADVICE r11's re-reference rescan)
-    assert plan.count("FileScan parquet") == 4
+    # re-aggregated the scored frame (ADVICE r11's re-reference rescan,
+    # the trap actually observed here; upper bound, not ==, so a plan
+    # refactor that SHEDS a scan doesn't fail with a misleading message)
+    assert plan.count("FileScan parquet") <= 4
     windows = [
         l for l in plan.splitlines()
         if "Window [" in l or l.strip().startswith("Window")
@@ -2133,10 +2138,11 @@ def test_tpch_q2_min_cost_window_not_self_join(spark, sf_dir):
     # partsupp frame — partsupp builds once, no second derivation; the
     # supplier/nation/region dims broadcast
     simple = plan_of(spark, "q_tpch_q2_shape", sf_dir, mode="simple")
-    # six dim-sized scans: part twice (partsupp derivation + the
-    # p_type filter), supplier twice (count + dims), nation, region —
-    # but NO second partsupp branch: a self-join min would add a 7th
-    assert simple.count("FileScan parquet") == 6
+    # at most six dim-sized scans: part twice (partsupp derivation +
+    # the p_type filter), supplier twice (count + dims), nation,
+    # region — a second partsupp branch (self-join min) would add a
+    # 7th (upper bound: the rescan trap adds scans, refactors may shed)
+    assert simple.count("FileScan parquet") <= 6
     assert "Window" in simple
     assert "SortMergeJoin" not in simple
 
@@ -2218,9 +2224,10 @@ def test_mad_anomaly_one_scan_array_form(spark, sf_dir):
 
 
 def test_key_audit_four_scans_footer_friendly(spark, sf_dir):
-    # one scan per audited table, nothing else
+    # at most one scan per audited table, nothing else (upper bound —
+    # a rescan regression adds scans; version/refactor drift may shed)
     simple = plan_of(spark, "q_dq_key_audit", sf_dir, mode="simple")
-    assert simple.count("FileScan parquet") == 4
+    assert simple.count("FileScan parquet") <= 4
     assert "Join" not in simple
 
 
@@ -2251,12 +2258,11 @@ def test_threshold_curve_one_pair_build(spark, sf_dir):
     # would double the corpus-side scans
     simple = plan_of(spark, "q_dedup_threshold_curve", sf_dir, mode="simple")
     assert "CartesianProduct" not in simple
-    # the q_dedup_ngram_jaccard machinery's footprint exactly: 4
-    # shingle-frame references (self-join a/b + counts ca/cb) x the
-    # augmented corpus' 2 scan branches = 8.  A second sweep subtree
+    # the q_dedup_ngram_jaccard machinery's footprint, asserted
+    # RELATIVE to that baseline (not an absolute count, which is
+    # brittle to Spark-version plan drift): a second sweep subtree
     # (e.g. a separate docs-flagged branch off the pairs frame) would
-    # re-execute the pair build and double this.
-    assert simple.count("FileScan parquet") == 8
+    # re-execute the pair build and exceed the baseline's scan count.
     base = plan_of(spark, "q_dedup_ngram_jaccard", sf_dir, mode="simple")
     assert simple.count("FileScan parquet") == base.count("FileScan parquet")
 
