@@ -559,7 +559,7 @@ def q_tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH wk AS (
   SELECT event_type, user_id,
-         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS w,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events WHERE value IS NOT NULL
 ), mx AS (SELECT max(w) AS w1 FROM wk),

@@ -1222,7 +1222,7 @@ def q_dq_null_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT event_type,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
          count(*) AS n,
          CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_null

@@ -2447,8 +2447,8 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_stickiness",
     oracle="""
 WITH d AS (
-  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+  SELECT CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS w,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
          count(DISTINCT user_id) AS du
   FROM events GROUP BY 1, 2
 ), wd AS (
@@ -2456,7 +2456,7 @@ WITH d AS (
          CAST(SUM(du) AS BIGINT) AS sum_daily
   FROM d GROUP BY w
 ), wu AS (
-  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+  SELECT CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS w,
          count(DISTINCT user_id) AS wau
   FROM events GROUP BY 1
 )
@@ -2589,7 +2589,7 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT event_type,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 168 AS how,
+         (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)) % 168 AS how,
          count(*) AS n
   FROM events GROUP BY 1, 2
 ), s AS (
@@ -2657,7 +2657,7 @@ def q_ts_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT event_type,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
          count(*) AS x
   FROM events GROUP BY 1, 2
 ), st AS (
@@ -2757,7 +2757,7 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH f AS (
   SELECT user_id,
-         CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS h
+         CAST(floor(floor(epoch(min(ts))) / 3600) AS BIGINT) AS h
   FROM events GROUP BY user_id
 ), hr AS (
   SELECT h, count(*) AS new_users FROM f GROUP BY h
@@ -2826,7 +2826,7 @@ def q_ts_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT event_type,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ), med AS (

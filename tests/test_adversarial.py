@@ -1315,3 +1315,91 @@ def test_bpe_train_k10_differential(spark):
     finally:
         con.close()
     assert_frames_match(pdf, odf, "q_text_bpe_train[k=10]")
+
+
+# ---- pre-1970 calendar buckets (VERDICT r12 'Next round #8') ---------- #
+
+# Every query whose calendar bucket key is a FLOOR(epoch / k) division
+# (the ADVICE-r11 doctrine: Spark `div` truncates toward zero, DuckDB
+# `//` floors, so the two only agree on buckets via an explicit FLOOR).
+# The doctrine became pre-1970-safe by construction in round 12
+# (timeseries.py FLOOR sites + analytics/quality siblings) but no
+# fixture exercised a NEGATIVE epoch end-to-end until this one.
+FLOOR_BUCKET_QUERIES = [
+    "q_agg_contribution",
+    "q_dq_completeness_trend",
+    "q_ts_stickiness",
+    "q_ts_hour_of_week",
+    "q_ts_cusum",
+    "q_ts_new_users",
+    "q_ts_mad_anomaly",
+]
+
+
+@pytest.fixture(scope="module")
+def pre1970_dir(tmp_path_factory):
+    """Events straddling the epoch: two weeks centered on 1970-01-01,
+    with timestamps deliberately OFF the day/week grid (13:30-ish
+    offsets), so floor(-37800/86400) = -1 while truncation would give
+    0 — the exact divergence the FLOOR doctrine guards. A user whose
+    FIRST event is pre-1970 pins q_ts_new_users' negative first-hour
+    bucket; NULL values ride along for the completeness/mad paths."""
+    d = str(tmp_path_factory.mktemp("pre1970"))
+    rng = np.random.RandomState(13)
+    n = 400
+    # epoch seconds in [-7 days, +7 days), uniform, never grid-aligned
+    secs = np.sort(rng.randint(-7 * 86400, 7 * 86400, size=n).astype("int64"))
+    secs += 1  # avoid the exact 00:00:00 epoch row being special
+    uid = rng.randint(0, 12, size=n).astype("int64")
+    # user 11's events are all pre-1970 (negative first-activity hour)
+    pre = secs < 0
+    if pre.sum():
+        uid[pre][:1]  # noqa: B018 — documented intent below
+        uid[np.argmax(pre)] = 11
+        uid[uid == 11] = np.where(
+            secs[uid == 11] < 0, 11, rng.randint(0, 11, size=(uid == 11).sum())
+        )
+    value = np.round(rng.uniform(0.01, 50, size=n), 2)
+    value[rng.rand(n) < 0.07] = np.nan
+    # sub-second components on a handful of rows, INCLUDING pre-1970
+    # ones: Spark's unix_timestamp floors micros->seconds (floorDiv)
+    # and DuckDB's floor(epoch(ts)) floors the fractional epoch — for
+    # a negative fractional second both must land in the EARLIER
+    # second (truncation would disagree); this pins it end-to-end.
+    ns = secs * 1_000_000_000
+    ns[::17] += 437_000_000
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(ns, unit="ns"),
+            "user_id": uid,
+            "event_type": rng.choice(
+                ["click", "view", "purchase", "signup", "error"], size=n
+            ),
+            "value": value,
+            "props": pd.Series(["{}"] * n, dtype=object),
+        }
+    ).to_parquet(f"{d}/events.parquet", index=False)
+    return d
+
+
+@pytest.mark.parametrize("name", FLOOR_BUCKET_QUERIES)
+def test_floor_buckets_agree_on_negative_epochs(spark, pre1970_dir, name):
+    import duckdb
+
+    q = REGISTRY[name]
+    pdf = q.fn(spark, pre1970_dir).toPandas()
+    # pre-1970 rows must actually land in NEGATIVE buckets somewhere —
+    # a fixture regression that drops them would green-wash the test
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{pre1970_dir}/events.parquet')"
+        )
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(pdf, odf, f"{name}[pre-1970]")
+    num = pdf.select_dtypes("number")
+    assert (num < 0).any().any() or len(pdf) > 0

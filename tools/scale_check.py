@@ -82,6 +82,31 @@ EXCLUDED_10X: dict[str, str] = {}
 
 REPORT_VOLUME = {"q_dedup_simhash", "q_sim_lsh_hyperplane"}
 
+# Aggregate-level differential (VERDICT r12 'Next round #3'): at
+# replication factors past 10x, the full row-set differ on the two
+# pair-volume monsters exceeds the single-host harness, not the
+# engine — q_dedup_simhash's ~74 M candidate pairs blow the driver
+# collect + pandas canonicalization (103 GB RSS), q_dedup_near_minhash
+# blows spark.driver.maxResultSize ("getResult" in the round-12 sweep
+# logs). Their PLANS are the bounded shapes the plan locks assert; the
+# check that actually scales compares engine-side aggregates instead:
+#   * total pair count,
+#   * a 256-bucket histogram keyed on id_a % 256 with per-bucket
+#     count + sum(id_a) + sum(id_b) (+ sum of the round-6 jaccard
+#     scaled to exact integers, where the query has one),
+#   * a SEEDED EXACT SAMPLE — every pair with
+#     (id_a * 131 + id_b) % 1009 < 5 (same arithmetic both engines,
+#     ~0.5% of pairs) compared row-for-row through the ordinary
+#     differ.
+# A count/sum mismatch localizes to a bucket; the seeded sample keeps
+# a row-level witness. Value columns are listed per query so the
+# aggregates stay schema-exact.
+AGG_CHECK: dict[str, list[str]] = {
+    "q_dedup_simhash": [],
+    "q_dedup_near_minhash": ["jaccard"],
+}
+AGG_CHECK_MIN_REPLICAS = 11  # full row-set differ still runs at <= 10x
+
 
 def checked_names(registry) -> list[str]:
     return [n for n in registry if n not in EXCLUDED_10X]
@@ -255,6 +280,17 @@ def main() -> None:
             q = REGISTRY[name]
             t0 = time.perf_counter()
             try:
+                if name in AGG_CHECK and args.replicas >= AGG_CHECK_MIN_REPLICAS:
+                    n_pairs = _agg_differential(
+                        spark, con, q, sf_dir, AGG_CHECK[name], name
+                    )
+                    print(
+                        f"differential OK  {name:28s} "
+                        f"({time.perf_counter() - t0:6.1f}s)"
+                        f"  [aggregate-level] pairs={n_pairs}",
+                        flush=True,
+                    )
+                    continue
                 pdf = q.fn(spark, sf_dir).toPandas()
                 assert_frames_match(pdf, con.execute(q.oracle).fetchdf(), f"{name}[10x]")
             except Exception as exc:  # keep sweeping; report all at once
@@ -271,6 +307,58 @@ def main() -> None:
         con.close()
         if failures:
             raise SystemExit("10x differential failures:\n" + "\n".join(failures))
+
+
+def _agg_differential(spark, con, q, sf_dir, val_cols, name) -> int:
+    """Aggregate-level differential for a (id_a, id_b[, value...]) pair
+    query whose full row set exceeds the single-host differ: compare a
+    256-bucket histogram of engine-side exact aggregates plus a seeded
+    exact row sample (see AGG_CHECK). Returns the total pair count."""
+    from pyspark.sql import functions as F
+
+    from tests.differ import assert_frames_match
+
+    res = q.fn(spark, sf_dir)
+
+    # --- histogram: per-(id_a % 256) count + exact integer sums -----
+    vexprs = [
+        F.sum(F.round(F.col(c) * 1_000_000).cast("long")).alias(f"sum_{c}_e6")
+        for c in val_cols
+    ]
+    hist = (
+        res.groupBy((F.col("id_a") % 256).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("id_a").alias("sum_a"),
+            F.sum("id_b").alias("sum_b"),
+            *vexprs,
+        )
+        .toPandas()
+    )
+    vsql = "".join(
+        f", CAST(sum(CAST(round({c} * 1000000) AS BIGINT)) AS BIGINT)"
+        f" AS sum_{c}_e6"
+        for c in val_cols
+    )
+    o_hist = con.execute(
+        f"WITH __res AS ({q.oracle})\n"
+        f"SELECT id_a % 256 AS bucket, CAST(count(*) AS BIGINT) AS n,\n"
+        f"       CAST(sum(id_a) AS BIGINT) AS sum_a,\n"
+        f"       CAST(sum(id_b) AS BIGINT) AS sum_b{vsql}\n"
+        f"FROM __res GROUP BY 1"
+    ).fetchdf()
+    assert_frames_match(hist, o_hist, f"{name}[agg-hist]")
+
+    # --- seeded exact sample: ~0.5% of pairs, row-for-row ------------
+    sample = res.filter(
+        (F.col("id_a") * 131 + F.col("id_b")) % 1009 < 5
+    ).toPandas()
+    o_sample = con.execute(
+        f"WITH __res AS ({q.oracle})\n"
+        f"SELECT * FROM __res WHERE (id_a * 131 + id_b) % 1009 < 5"
+    ).fetchdf()
+    assert_frames_match(sample, o_sample, f"{name}[agg-sample]")
+    return int(hist["n"].sum())
 
 
 def _timed(f) -> float:
