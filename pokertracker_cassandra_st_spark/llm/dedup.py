@@ -183,16 +183,21 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: this is THE scalable near-dup path — candidate cost is
     O(n · hashes) plus a bucket-join whose fan-out the band width
-    controls, and the exact verification touches only candidate pairs —
-    never all-pairs. The bucket join is OUR DataFrame plan rather than
+    controls, and the output is restricted to LSH candidate pairs.
+    The bucket join is OUR DataFrame plan rather than
     model.approxSimilarityJoin: the ml helper carries each doc's full
     feature/shingle payload through its exploded self-join, and at the
     10x sweep the planner turned that into a 7 GiB broadcast (the
     exploded side's size estimate is unknowable pre-execution). Here
     ONLY (doc_id, table_idx, hash) rows — 24 bytes/row — enter the
-    self-join; shingle arrays are re-joined BY ID strictly after the
-    candidate set exists, so shuffled bytes track candidate count, not
-    corpus text size. Same hash family, same recall, scale-safe plan.
+    self-join, and the exact verification runs in EXPLODED
+    (shingle, doc_id) form: one narrow string row per shared shingle
+    (linear in a shingle-sparse corpus), group-counted to |A ∩ B| and
+    semi-joined to the candidate set — shingle ARRAYS never cross an
+    exchange (the round-13 fix: the previous array-carrying verify
+    join spilled candidates x payload bytes and ENOSPC'd the 100x
+    host). Same hash family, same recall, byte-identical output,
+    scale-safe plan.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
@@ -247,28 +252,46 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    pairs = (
-        cand.join(
-            sh.select(
-                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
-            ).hint("shuffle_hash"),
-            "id_a",
-        )
+    # exact verification in EXPLODED (shingle, doc_id) form (round-13
+    # rework): the previous verify tier joined each candidate pair to
+    # both docs' full shingle ARRAYS and intersected row-locally —
+    # shuffled bytes then scaled as candidates x array payload, which
+    # spilled past the 100x host's disk (ENOSPC at ~70 GB). Here only
+    # narrow (sh, doc_id) string pairs ever cross an exchange: the
+    # sparse shingle equi-join emits one row per SHARED shingle (the
+    # exact form q_dedup_ngram_jaccard proved at the 100x rung — in a
+    # shingle-sparse corpus its output is linear, not quadratic), the
+    # group-count reproduces |A ∩ B| exactly (shingle sets are
+    # array_distinct'd, so exploded rows are unique per (doc, sh)),
+    # and the LSH candidate set restricts the result by a LEFT SEMI
+    # join on the pair key. Set sizes |A|, |B| attach by doc id;
+    # jaccard arithmetic is unchanged, so the output is byte-identical
+    # to the array form at every scale.
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    counts = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        ex.alias("ea")
         .join(
-            sh.select(
-                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
-            ).hint("shuffle_hash"),
-            "id_b",
+            ex.alias("eb").hint("shuffle_hash"),
+            (F.col("ea.sh") == F.col("eb.sh"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
         )
+        .groupBy(
+            F.col("ea.doc_id").alias("id_a"), F.col("eb.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .join(cand.hint("shuffle_hash"), ["id_a", "id_b"], "left_semi")
     )
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = n_common.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - n_common
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
     )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        common.join(ca.hint("shuffle_hash"), F.col("id_a") == F.col("ca.doc_id"))
+        .join(cb.hint("shuffle_hash"), F.col("id_b") == F.col("cb.doc_id"))
         .filter(jac >= 0.5)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
