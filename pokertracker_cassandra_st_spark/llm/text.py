@@ -2111,3 +2111,90 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- q_text_dup_ngram_coverage ---------------------------------------------- #
+
+
+@register(
+    "q_text_dup_ngram_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5)
+), c AS (
+  SELECT doc_id, sh,
+         count(*) OVER (PARTITION BY sh) AS n_docs
+  FROM sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (n_docs >= 2) AS BIGINT) AS n_shared,
+       (1000000 * CAST(count(*) FILTER (n_docs >= 2) AS BIGINT))
+         // count(*) AS coverage_ppm
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def q_text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-5-gram coverage: the share (ppm) of a
+    doc's DISTINCT word-5-grams that also occur in at least one other
+    document — the memorization-risk audit run before training (a doc
+    whose shingles are mostly corpus-shared is boilerplate/template
+    mass even when no single pair crosses a dedup threshold; SemDeDup-
+    adjacent diagnostics rank docs by exactly this kind of redundancy).
+
+    Cross-engine determinism: counts and the ppm integer division are
+    exact; the shingle builder is the dedup family's (distinct 5-gram
+    sets, docs shorter than one shingle drop out).
+
+    Scale notes: ONE corpus scan; shingle cross-doc frequency comes
+    from a count window PARTITIONED BY shingle on the exploded narrow
+    (sh, doc_id) frame — a groupBy-then-join-back would re-execute the
+    explode subtree per branch (the re-reference-rescan trap), here
+    everything rides one shingle-keyed exchange followed by the
+    doc-keyed rollup. Shuffled bytes are (sh, doc_id) pairs — text
+    never moves. A degenerate mega-shingle (template spam) skews one
+    window partition; the fix at that scale is the simhash family's
+    anchor-cap ladder, not a different plan shape.
+    """
+    toks = F.split("text", " ")
+    sh = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size("t") - 4, F.lit(1))
+                        ),
+                        lambda i: F.array_join(F.slice("t", i, 5), " "),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    c = sh.withColumn("n_docs", F.count("*").over(Window.partitionBy("sh")))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("n_docs") >= 2, F.lit(1))).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.expr("(1000000 * n_shared) div n_shingles").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1392,3 +1392,118 @@ def q_dq_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("key_max") - F.col("key_min") + 1 - F.col("n_distinct")
         ).alias("n_gaps"),
     ).orderBy("key_name")
+
+
+# ---- q_dq_schema_drift ------------------------------------------------------ #
+
+_DRIFT_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+_DRIFT_SPLIT = "1995-01-01"
+
+
+@register(
+    "q_dq_schema_drift",
+    oracle=f"""
+WITH s AS (
+  SELECT *, o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}' AS is_old FROM orders
+), m AS (
+  SELECT
+    count(*) FILTER (is_old) AS n_old,
+    count(*) FILTER (NOT is_old) AS n_new,
+    {", ".join(
+        f'''count(CASE WHEN is_old THEN {c} END) AS nn_old_{c},
+    count(CASE WHEN NOT is_old THEN {c} END) AS nn_new_{c},
+    count(DISTINCT CASE WHEN is_old THEN {c} END) AS d_old_{c},
+    count(DISTINCT CASE WHEN NOT is_old THEN {c} END) AS d_new_{c}'''
+        for c in _DRIFT_COLS
+    )}
+  FROM s
+)
+SELECT col, n_old, n_new, null_ppm_old, null_ppm_new,
+       CAST(d_old AS BIGINT) AS d_old, CAST(d_new AS BIGINT) AS d_new,
+       (1000000 * (CAST(d_new AS BIGINT) - d_old)) // greatest(d_old, 1)
+         AS distinct_drift_ppm
+FROM (
+  {" UNION ALL ".join(
+      f'''SELECT '{c}' AS col, n_old, n_new,
+      (1000000 * (n_old - nn_old_{c})) // n_old AS null_ppm_old,
+      (1000000 * (n_new - nn_new_{c})) // n_new AS null_ppm_new,
+      d_old_{c} AS d_old, d_new_{c} AS d_new FROM m'''
+      for c in _DRIFT_COLS
+  )}
+)
+ORDER BY col
+""",
+    tags=("quality",),
+)
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/profile drift audit between two snapshots of the same
+    table (here: orders before vs from {split}): per audited column,
+    row counts, null rates, and exact distinct cardinalities on each
+    side plus a signed distinct-drift ppm — the pre-ingest gate that
+    catches a upstream schema change (a column going sparse, an enum
+    gaining values, an id column collapsing) before it poisons
+    training data.
+
+    Cross-engine determinism: every metric is exact integer arithmetic
+    (counts, filtered counts, exact distincts); the signed drift ppm
+    uses truncating integer division on BOTH engines (Spark `div` and
+    DuckDB integer `//` both truncate toward zero — the round-13
+    doctrine correction: int `//` is NOT floor division).
+
+    Scale notes: ONE scan of the fact computes all per-side metrics as
+    conditional aggregates (the split predicate is a cheap row-local
+    boolean); the exact distincts ride the same Expand the key-audit
+    family documents as the declared cost of exactness (swap for HLL
+    at extreme cardinality, same shape). The per-column unpivot is an
+    explode of a struct array built from the ONE-ROW aggregate frame —
+    a single plan reference (a per-column UNION would re-execute the
+    scan subtree once per column, the documented re-reference-rescan
+    trap), driver-free, join-free.
+    """
+    old = F.col("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("timestamp")
+    aggs: list = [
+        F.count(F.when(old, F.lit(1))).alias("n_old"),
+        F.count(F.when(~old, F.lit(1))).alias("n_new"),
+    ]
+    for c in _DRIFT_COLS:
+        aggs += [
+            F.count(F.when(old, F.col(c))).alias(f"nn_old_{c}"),
+            F.count(F.when(~old, F.col(c))).alias(f"nn_new_{c}"),
+            F.countDistinct(F.when(old, F.col(c))).alias(f"d_old_{c}"),
+            F.countDistinct(F.when(~old, F.col(c))).alias(f"d_new_{c}"),
+        ]
+    m = table(spark, sf_dir, "orders").agg(*aggs)
+    out = m.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col("n_old"),
+                        F.col("n_new"),
+                        F.expr(
+                            f"(1000000 * (n_old - nn_old_{c})) div n_old"
+                        ).alias("null_ppm_old"),
+                        F.expr(
+                            f"(1000000 * (n_new - nn_new_{c})) div n_new"
+                        ).alias("null_ppm_new"),
+                        F.col(f"d_old_{c}").alias("d_old"),
+                        F.col(f"d_new_{c}").alias("d_new"),
+                    )
+                    for c in _DRIFT_COLS
+                ]
+            )
+        )
+    )
+    return out.select(
+        "col",
+        "n_old",
+        "n_new",
+        "null_ppm_old",
+        "null_ppm_new",
+        "d_old",
+        "d_new",
+        F.expr(
+            "(1000000 * (d_new - d_old)) div greatest(d_old, 1L)"
+        ).alias("distinct_drift_ppm"),
+    ).orderBy("col")

@@ -1710,3 +1710,231 @@ def q_agg_delta_ratio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi"
         ),
     ).orderBy("event_type")
+
+
+# ---- q_agg_effect_size ------------------------------------------------------- #
+# Cohen's d / Hedges' g for each event type's value distribution vs the
+# REST of the corpus — the standardized effect size read next to the
+# t-test's p-value (significance without magnitude is how experiment
+# review goes wrong).  Float tail = ONE SQL expression string shared
+# verbatim by both engines over exact integer moments (the
+# delta_ratio_var doctrine).
+
+_ES_V1 = (
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))"
+)
+_ES_V0 = (
+    "((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)"
+    " / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))"
+)
+_ES_D = (
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    " / sqrt(GREATEST(((CAST(n1 AS DOUBLE) - 1.0) * " + _ES_V1 +
+    " + (CAST(n0 AS DOUBLE) - 1.0) * " + _ES_V0 +
+    ") / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0), 0.0))"
+)
+_ES_G = (
+    "(" + _ES_D + ") * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)"
+    " + CAST(n0 AS DOUBLE)) - 9.0))"
+)
+_ES_MEANDIFF = (
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0"
+)
+
+
+@register(
+    "q_agg_effect_size",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q1
+  FROM c GROUP BY 1
+), g AS (
+  SELECT event_type, n1, s1, q1,
+         CAST(SUM(n1) OVER () - n1 AS BIGINT) AS n0,
+         CAST(SUM(s1) OVER () - s1 AS BIGINT) AS s0,
+         SUM(q1) OVER () - q1 AS q0
+  FROM t
+)
+SELECT event_type, n1 AS n_type, n0 AS n_rest,
+       round({_ES_MEANDIFF}, 6) + 0.0 AS mean_diff,
+       round({_ES_D}, 6) + 0.0 AS cohens_d,
+       round({_ES_G}, 6) + 0.0 AS hedges_g
+FROM g ORDER BY event_type
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size (Cohen's d, Hedges' g small-sample
+    correction) of each event type's value distribution against the
+    pooled REST of the corpus — magnitude to pair with q_agg_ttest's
+    significance. d is unit-free, so the exact-cents moments cancel
+    the currency scale; the pooled-variance denominator uses the
+    classic (n1-1)v1 + (n0-1)v0 over n1+n0-2.
+
+    Cross-engine determinism: per-type moments n, Σcents, Σcents² are
+    exact integers (cents² through DECIMAL(38,0)/HUGEINT); the rest-
+    of-corpus complement derives from the SAME rollup via an empty-
+    frame window (types-sized, bounded); the whole float tail is ONE
+    expression string parsed by both engines.
+
+    Scale notes: one (event_type) partial-aggregated exchange over the
+    fact; everything after runs on the types-sized frame (the empty-
+    partition window is bounded by the enum cardinality, the
+    q_tpch_q15 post-aggregate-window doctrine — never a second fact
+    scan for the complement).
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    t = ev.groupBy("event_type").agg(
+        F.count("*").alias("n1"),
+        F.sum(cents).alias("s1"),
+        F.sum(
+            cents.cast("decimal(38,0)") * cents
+        ).alias("q1"),
+    )
+    w = Window.partitionBy()
+    g = t.select(
+        "event_type",
+        "n1",
+        "s1",
+        "q1",
+        (F.sum("n1").over(w) - F.col("n1")).alias("n0"),
+        (F.sum("s1").over(w) - F.col("s1")).alias("s0"),
+        (F.sum("q1").over(w) - F.col("q1")).alias("q0"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n1").alias("n_type"),
+        F.col("n0").alias("n_rest"),
+        # + 0.0: signed-zero epilogue (IEEE -0.0 + 0.0 = +0.0) — the
+        # q_fn_geo/wilson doctrine; a ~-1e-9 mean_diff rounds to -0.0
+        # in DuckDB but +0.0 in Spark without it
+        F.expr(f"round({_ES_MEANDIFF}, 6) + 0.0").alias("mean_diff"),
+        F.expr(f"round({_ES_D}, 6) + 0.0").alias("cohens_d"),
+        F.expr(f"round({_ES_G}, 6) + 0.0").alias("hedges_g"),
+    ).orderBy("event_type")
+
+
+# ---- q_agg_fdr_bh ------------------------------------------------------------ #
+
+_BH_Z2 = (
+    "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+    " / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))"
+)
+# GREATEST(.., 1.0): a == b zeroes z^2, where Spark non-ANSI float
+# division returns NULL while DuckDB gives +Inf — the guard caps the
+# Chebyshev bound at its a == b value p = 1 identically on both.
+_BH_P = (
+    "LEAST(1.0, (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))"
+    " / GREATEST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)), 1.0))"
+)
+
+
+@register(
+    "q_agg_fdr_bh",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS a,
+         CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS b
+  FROM events GROUP BY 1
+), r AS (
+  SELECT event_type, a, b,
+         CAST(row_number() OVER (
+           ORDER BY {_BH_P}, event_type) AS BIGINT) AS k,
+         CAST((SELECT count(*) FROM t) AS BIGINT) AS m
+  FROM t
+), s AS (
+  SELECT *, 20 * m * (a + b) <= k * (a - b) * (a - b) AS ok FROM r
+), mx AS (
+  SELECT *, max(CASE WHEN ok THEN k END) OVER () AS kmax FROM s
+)
+SELECT event_type, a AS n_even, b AS n_odd, k AS p_rank, m AS n_tests,
+       round({_BH_Z2}, 6) + 0.0 AS z2,
+       round({_BH_P}, 6) + 0.0 AS p_chebyshev,
+       COALESCE(k <= kmax, FALSE) AS rejected
+FROM mx ORDER BY event_type
+""",
+    tags=("agg", "statistics"),
+)
+def q_agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR gate over per-type sample-ratio tests:
+    each event type tests user-parity balance (even vs odd user_id)
+    with the distribution-free Chebyshev bound p <= (a+b)/(a-b)^2 =
+    1/z^2, then the BH step-up procedure at alpha = 0.05 decides which
+    types' imbalances survive multiple-comparison correction — the
+    guardrail an experimentation platform runs over MANY simultaneous
+    srm checks (q_agg_srm is the single-test form).
+
+    Cross-engine determinism: the ENTIRE rejection decision is exact
+    integer arithmetic — p_(k) <= alpha*k/m at alpha = 1/20 rewrites
+    to 20*m*(a+b) <= k*(a-b)^2 (BIGINT products; (a-b)^2 < 2^53 past
+    the 100x rung), so no float ever decides the rejection boolean.
+    The p-ascending RANK orders by the double p itself — safe because
+    p derives from exact integers through ONE shared expression string
+    (identical bit patterns on both engines; cross-type exact-ratio
+    comparison has no single-column integer rewrite), with the type
+    name as the unique tie-break; z2/p are reported through the same
+    shared strings with the signed-zero epilogue, and the a == b
+    degenerate (z2 = 0) caps p at 1 via an in-expression GREATEST
+    guard instead of tripping Spark's NULL-on-/0 vs DuckDB's +Inf.
+
+    Scale notes: one (event_type) partial-aggregated exchange with
+    row-local parity CASEs; ranking, the step-up cummax, and the
+    scalar m all ride the TYPES-SIZED frame (empty-frame windows
+    bounded by the enum cardinality — never a second fact scan).
+    """
+    t = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("user_id") % 2 == 0, F.lit(1))).alias("a"),
+            F.count(F.when(F.col("user_id") % 2 == 1, F.lit(1))).alias("b"),
+        )
+    )
+    w_all = Window.partitionBy()
+    r = t.select(
+        "event_type",
+        "a",
+        "b",
+        F.count("*").over(w_all).alias("m"),
+    )
+    # rank by p ascending: the double p derives from exact integers
+    # through ONE shared expression string, so both engines order the
+    # IDENTICAL bit patterns; event_type is the unique tie-break
+    r = r.withColumn(
+        "k",
+        F.row_number().over(
+            Window.orderBy(F.expr(_BH_P), F.col("event_type"))
+        ).cast("long"),
+    )
+    s = r.withColumn(
+        "ok",
+        F.expr("20 * m * (a + b) <= k * (a - b) * (a - b)"),
+    )
+    mx = s.withColumn(
+        "kmax", F.max(F.when(F.col("ok"), F.col("k"))).over(w_all)
+    )
+    return mx.select(
+        "event_type",
+        F.col("a").alias("n_even"),
+        F.col("b").alias("n_odd"),
+        F.col("k").alias("p_rank"),
+        F.col("m").alias("n_tests"),
+        F.expr(f"round({_BH_Z2}, 6) + 0.0").alias("z2"),
+        F.expr(f"round({_BH_P}, 6) + 0.0").alias("p_chebyshev"),
+        F.coalesce(F.col("k") <= F.col("kmax"), F.lit(False)).alias(
+            "rejected"
+        ),
+    ).orderBy("event_type")

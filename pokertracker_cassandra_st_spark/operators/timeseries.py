@@ -2912,3 +2912,98 @@ def q_ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(size(filter(xs, x -> abs(x - med) > 3 * mad)) AS BIGINT)"
         ).alias("n_anomalies"),
     ).orderBy("event_type")
+
+
+# ---- q_ts_seasonal_naive_error ---------------------------------------------- #
+
+
+@register(
+    "q_ts_seasonal_naive_error",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, h, x,
+         max(x) OVER (PARTITION BY event_type ORDER BY h
+                      RANGE BETWEEN 168 PRECEDING AND 168 PRECEDING) AS sn
+  FROM h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(SUM(abs(x - sn)) AS BIGINT) AS sum_abs_err,
+       (1000000 * CAST(SUM(abs(x - sn)) AS BIGINT)) // count(*) AS mae_ppm,
+       CAST(SUM((2000000 * abs(x - sn)) // (x + sn)) AS BIGINT)
+         // count(*) AS smape_ppm,
+       round(CAST(SUM(x - sn) AS DOUBLE) / count(*), 6) AS mean_bias
+FROM l WHERE sn IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("ts",),
+)
+def q_ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest on hourly event counts: forecast each
+    hour with the SAME hour one week earlier (lag 168), and report per
+    type the exact-integer MAE/sMAPE ppm plus mean bias — the baseline
+    every forecasting system must beat (and the q_ts_forecast sanity
+    anchor: if Holt beats seasonal-naive nowhere, the seasonality
+    dominates the trend).
+
+    The lag is NOT a self-join: a RANGE BETWEEN 168 PRECEDING AND 168
+    PRECEDING window frame picks the exact hour-h-168 row when it was
+    observed (sparse series never fabricate zero hours), so the whole
+    query is one scan -> one (type, hour) rollup -> one window — a
+    self-join lag would re-execute the rollup subtree per branch (the
+    documented re-reference-rescan trap).
+
+    Cross-engine determinism: counts are exact ints; MAE ppm is one
+    integer division of nonnegative ints; per-term sMAPE ppm uses
+    truncating integer division on both engines (Spark `div` == DuckDB
+    integer `//`, both truncate toward zero); mean bias derives from
+    the same exact signed integer sum through DOUBLE in the identical
+    expression position.
+
+    Scale notes: the (type, hour) rollup partial-aggregates map-side
+    to a calendar-bounded frame; the seasonal window rides ONE
+    event_type exchange of that bounded frame; the error rollup is
+    types-sized. The hour bucket follows the FLOOR doctrine
+    (pre-1970-safe, engine-identical — see the round-13 fixture).
+    """
+    h = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 3600.0D) AS BIGINT)").alias("h"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-168, -168)
+    )
+    l = h.withColumn("sn", F.max("x").over(w)).filter(F.col("sn").isNotNull())
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(F.abs(F.col("x") - F.col("sn"))).alias("sum_abs_err"),
+            F.sum(
+                F.expr("(2000000 * abs(x - sn)) div (x + sn)")
+            ).alias("_ssm"),
+            F.sum(F.col("x") - F.col("sn")).alias("_sbias"),
+        )
+        .select(
+            "event_type",
+            "n_eval",
+            "sum_abs_err",
+            F.expr("(1000000 * sum_abs_err) div n_eval").alias("mae_ppm"),
+            F.expr("_ssm div n_eval").alias("smape_ppm"),
+            F.round(
+                F.expr("CAST(_sbias AS DOUBLE) / n_eval"), 6
+            ).alias("mean_bias"),
+        )
+        .orderBy("event_type")
+    )
