@@ -736,3 +736,148 @@ def q_pipeline_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---- q_pipeline_contamination_gate ------------------------------------------ #
+
+
+from pokertracker_cassandra_st_spark.llm.dedup import _AUG_ORACLE as _GATE_AUG
+
+
+@register(
+    "q_pipeline_contamination_gate",
+    oracle=f"""
+WITH corpus AS ({_GATE_AUG}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks)
+),
+ev AS (SELECT doc_id, sh FROM shingles WHERE doc_id % 20 = 0 AND doc_id < 1000000),
+tr AS (SELECT doc_id, sh FROM shingles WHERE doc_id >= 1000000),
+hits AS (
+  SELECT tr.doc_id AS train_id,
+         CAST(count(DISTINCT tr.sh) AS BIGINT) AS c
+  FROM tr JOIN ev ON tr.sh = ev.sh GROUP BY 1
+),
+train AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM corpus WHERE doc_id >= 1000000
+),
+g AS (
+  SELECT CASE WHEN h.c IS NULL THEN 'clean'
+              WHEN h.c = 1 THEN 'light'
+              WHEN h.c <= 4 THEN 'medium'
+              ELSE 'heavy' END AS severity,
+         t.n_tokens
+  FROM train t LEFT JOIN hits h ON h.train_id = t.doc_id
+),
+s AS (
+  SELECT severity, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM g GROUP BY 1
+), tt AS (
+  SELECT *, SUM(n_docs) OVER () AS td, SUM(n_tokens) OVER () AS tk FROM s
+)
+SELECT severity, n_docs, n_tokens,
+       CAST((1000000 * n_docs) // td AS BIGINT) AS doc_share_ppm,
+       CAST((1000000 * n_tokens) // tk AS BIGINT) AS token_share_ppm,
+       severity = 'clean' AS kept
+FROM tt ORDER BY severity
+""",
+    tags=("llm", "pipeline"),
+)
+def q_pipeline_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination GATE report: the q_text_contamination check
+    turned into the accept/reject decision a training pipeline
+    actually executes — every train document lands in a severity class
+    by its count of eval-shared word-8-grams (clean / light = 1 /
+    medium <= 4 / heavy), and the report shows what the gate costs in
+    docs and tokens (share ppm) with the kept flag on the clean class.
+    Cites the reference's test-then-act shape (PlayerResourceIT
+    verifies state before mutating it); the eval set and mutated train
+    shards are the dedup family's augmented corpus, so contamination
+    is present by construction.
+
+    Cross-engine determinism: counts and token sums are exact ints;
+    shares are ppm integer divisions; the severity CASE is integer
+    thresholds on an exact distinct count.
+
+    Scale notes: only (shingle, doc_id) pairs shuffle; the eval side
+    is benchmark-sized, so Spark broadcasts it and the train side
+    never re-shuffles for the hit count; the hit frame (contaminated
+    ids only — tiny vs corpus) broadcasts into the gate's LEFT join,
+    so the train corpus streams through ONE pass; the severity rollup
+    is 4 rows and its totals ride an empty-frame window. The corpus
+    contributes two plan branches (shingles + token counts) — the
+    augmented-corpus scan doctrine, bounded and documented.
+    """
+    from pokertracker_cassandra_st_spark.llm.dedup import (
+        AUG_OFFSET,
+        augmented_corpus,
+    )
+
+    corpus = augmented_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    sh = (
+        corpus.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("t") - 7, F.lit(1))),
+                    lambda i: F.array_join(F.slice("t", i, 8), " "),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    ev = sh.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < AUG_OFFSET)
+    ).select(F.col("doc_id").alias("eval_id"), "sh")
+    tr = sh.filter(F.col("doc_id") >= AUG_OFFSET).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_id")
+        .agg(F.countDistinct("sh").alias("c"))
+    )
+    train = corpus.filter(F.col("doc_id") >= AUG_OFFSET).select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    g = train.join(
+        F.broadcast(hits), train["doc_id"] == hits["train_id"], "left"
+    ).select(
+        F.when(F.col("c").isNull(), F.lit("clean"))
+        .when(F.col("c") == 1, F.lit("light"))
+        .when(F.col("c") <= 4, F.lit("medium"))
+        .otherwise(F.lit("heavy"))
+        .alias("severity"),
+        "n_tokens",
+    )
+    s = g.groupBy("severity").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    tt = s.select(
+        "severity",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).alias("td"),
+        F.sum("n_tokens").over(w).alias("tk"),
+    )
+    return tt.select(
+        "severity",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST((1000000 * n_docs) div td AS BIGINT)").alias(
+            "doc_share_ppm"
+        ),
+        F.expr("CAST((1000000 * n_tokens) div tk AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+        (F.col("severity") == "clean").alias("kept"),
+    ).orderBy("severity")

@@ -1915,3 +1915,95 @@ def q_sim_neighbor_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---- q_sim_dim_profile ------------------------------------------------------- #
+
+
+@register(
+    "q_sim_dim_profile",
+    oracle="""
+WITH base AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ex AS (
+  SELECT emb, CAST(generate_subscripts(emb, 1) AS INT) AS pos FROM base
+), comp AS (
+  SELECT pos - 1 AS dim,
+         CAST(floor(emb[pos] * 1000000 + 0.5) AS BIGINT) AS q
+  FROM ex
+), d AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sum_q,
+         CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sum_q2
+  FROM comp GROUP BY dim
+), t AS (
+  SELECT *, SUM(sum_q2) OVER () AS tot_q2 FROM d
+)
+SELECT dim, n, sum_q,
+       CAST(sum_q2 AS BIGINT) AS sum_q2,
+       sum_q // n AS mean_q,
+       CAST((1000000 * sum_q2) // tot_q2 AS BIGINT) AS energy_share_ppm,
+       round((CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE)
+              * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) / 1e12, 9) + 0.0 AS var_unit
+FROM t ORDER BY dim
+""",
+    tags=("llm", "similarity"),
+)
+def q_sim_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding profile over the whole corpus: exact
+    component sums/energies in e6-quantized longs, each dimension's
+    share of total L2 energy (ppm), and unit-scale variance — the
+    index-health audit that finds DEAD dimensions (no energy: wasted
+    index width), BIASED dimensions (|mean| >> 0: a centering bug
+    upstream), and energy concentration (a few dominant dims =>
+    anisotropic space where cosine quantizers and PQ codebooks degrade;
+    the standard pre-check before training an IVF/PQ index).
+
+    Cross-engine determinism: components quantize by the family's
+    floor(x*1e6 + 0.5) form; all sums are exact BIGINT/HUGEINT; the
+    mean and energy share are integer divisions (nonnegative
+    denominators; mean_q uses the engines' shared truncating integer
+    division on the signed numerator — Spark `div` == DuckDB integer
+    `//`, both truncate toward zero); var_unit derives from the same
+    exact integers through one shared expression with the signed-zero
+    epilogue.
+
+    Scale notes: ONE scan; posexplode emits narrow (dim, q) pairs that
+    partial-aggregate map-side down to a dim-bounded frame (64 rows
+    here; any real index width stays in the thousands), so the
+    exchange carries dims x partials, never vectors; the energy total
+    rides an empty-frame window on the bounded frame (no rescan).
+    """
+    comp = (
+        table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "dim",
+            F.expr(
+                "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    d = comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("_q2"),
+    )
+    t = d.withColumn("tot_q2", F.sum("_q2").over(Window.partitionBy()))
+    return t.select(
+        "dim",
+        "n",
+        "sum_q",
+        F.col("_q2").cast("long").alias("sum_q2"),
+        F.expr("sum_q div n").alias("mean_q"),
+        F.expr("CAST((1000000 * _q2) div tot_q2 AS BIGINT)").alias(
+            "energy_share_ppm"
+        ),
+        F.expr(
+            "round((CAST(_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE)"
+            " * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0) / 1e12, 9) + 0.0"
+        ).alias("var_unit"),
+    ).orderBy("dim")

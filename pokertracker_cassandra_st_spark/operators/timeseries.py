@@ -3007,3 +3007,108 @@ def q_ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- q_ts_percentile_band --------------------------------------------------- #
+# Rolling exact quartiles via identical interpolation arithmetic on the
+# SORTED window array in both engines (quantile_cont/percentile built-ins
+# are NOT used — their interpolation/type promotion differs between
+# engines; writing the lerp once per dialect with the same association
+# makes the doubles bit-identical).  q in {1/4, 1/2, 3/4} are exact
+# binary fractions, so idx = (n-1)*q and its floor/frac are exact.
+
+
+def _pb_lerp(q: str, el) -> str:
+    idx = f"((CAST(n AS DOUBLE) - 1.0) * {q})"
+    lo = f"CAST(floor({idx}) AS INT)"
+    e1 = el(f"{lo} + 1")
+    e2 = el(f"LEAST({lo} + 2, CAST(n AS INT))")
+    return (
+        f"round(CAST({e1} AS DOUBLE) + ({idx} - floor({idx}))"
+        f" * (CAST({e2} AS DOUBLE) - CAST({e1} AS DOUBLE)), 6) + 0.0"
+    )
+
+
+_PB_SPARK = {
+    name: _pb_lerp(q, lambda i: f"element_at(sa, {i})")
+    for name, q in (("p25", "0.25"), ("p50", "0.5"), ("p75", "0.75"))
+}
+_PB_DUCK = {
+    name: _pb_lerp(q, lambda i: f"sa[{i}]")
+    for name, q in (("p25", "0.25"), ("p50", "0.5"), ("p75", "0.75"))
+}
+
+
+@register(
+    "q_ts_percentile_band",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, x,
+         list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS sa,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+  FROM d
+)
+SELECT event_type, day, x, n AS n_window,
+       {_PB_DUCK["p25"]} AS p25,
+       {_PB_DUCK["p50"]} AS p50,
+       {_PB_DUCK["p75"]} AS p75
+FROM w ORDER BY event_type, day
+""",
+    tags=("ts",),
+)
+def q_ts_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact quartile band (p25/p50/p75, linear
+    interpolation) over daily event counts per type — the envelope an
+    ops dashboard draws around today's count, robust where the
+    mean±sigma band (q_ts_bollinger) is dragged by bursts.
+
+    Cross-engine determinism: the built-in quantile aggregates are
+    deliberately avoided (interpolation and type-promotion rules
+    differ between engines); both sides SORT the 7-element window
+    array and evaluate the same lerp a[lo+1] + frac*(a[lo+2]-a[lo+1])
+    with exact binary q (0.25/0.5/0.75 => exact idx, exact frac),
+    generated from ONE template per dialect with identical
+    association, plus the signed-zero epilogue.
+
+    Scale notes: the (type, day) rollup partial-aggregates map-side to
+    a calendar-bounded frame; the collect window holds at most 7
+    BIGINTs per row and rides one event_type exchange of that bounded
+    frame — the array is bounded by the frame width, never by corpus
+    size. The day bucket follows the FLOOR doctrine (pre-1970-safe).
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 86400.0D) AS BIGINT)").alias(
+                "day"
+            ),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    wnd = (
+        Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "x",
+        F.sort_array(F.collect_list("x").over(wnd)).alias("sa"),
+        F.count("*").over(wnd).cast("long").alias("n"),
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "x",
+        F.col("n").alias("n_window"),
+        F.expr(_PB_SPARK["p25"]).alias("p25"),
+        F.expr(_PB_SPARK["p50"]).alias("p50"),
+        F.expr(_PB_SPARK["p75"]).alias("p75"),
+    ).orderBy("event_type", "day")
