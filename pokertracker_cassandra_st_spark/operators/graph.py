@@ -1001,3 +1001,75 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# ---- q_graph_projection_size ------------------------------------------------ #
+
+
+@register(
+    "q_graph_projection_size",
+    oracle="""
+WITH k AS (
+  SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+), h AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_orders FROM k GROUP BY k
+), p AS (
+  SELECT k, n_orders,
+         n_orders * k * (k - 1) // 2 AS pair_instances
+  FROM h
+), t AS (
+  SELECT *, SUM(pair_instances) OVER () AS tot FROM p
+)
+SELECT k AS items_per_order, n_orders,
+       CAST(pair_instances AS BIGINT) AS pair_instances,
+       CAST(CASE WHEN tot = 0 THEN 0
+            ELSE (1000000 * pair_instances) // tot END AS BIGINT)
+         AS pair_share_ppm
+FROM t ORDER BY k
+""",
+    tags=("graph",),
+)
+def q_graph_projection_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-projection pre-flight: from the order-part incidence
+    alone, the exact number of co-purchase pair INSTANCES each
+    order-size class k contributes to the projected part-part graph
+    (n_orders * k*(k-1)/2) and its share — the planning query run
+    BEFORE any pair-emitting join in the graph family, because
+    projected edge volume is quadratic in k and ONE mega-order can
+    dominate the whole join output (the skew the simhash bucket-cap
+    ladder exists for). At 100 TB this histogram is how you decide
+    whether the projection is joinable at all, and where to cap.
+
+    Cross-engine determinism: exact distinct counts, exact integer
+    pair arithmetic (k*(k-1)/2 of BIGINTs), ppm integer division with
+    a zero-total guard on both sides.
+
+    Scale notes: one (orderkey) exact-distinct rollup of the fact,
+    one k-histogram exchange of the orders-sized frame, and the total
+    rides an empty-frame window on the k-bounded histogram (tens of
+    rows). No pair is ever materialized — that is the point.
+    """
+    k = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("k"))
+    )
+    h = k.groupBy("k").agg(F.count("*").alias("n_orders"))
+    p = h.select(
+        "k",
+        "n_orders",
+        F.expr("n_orders * k * (k - 1) div 2").alias("pair_instances"),
+    )
+    t = p.withColumn(
+        "tot", F.sum("pair_instances").over(Window.partitionBy())
+    )
+    return t.select(
+        F.col("k").alias("items_per_order"),
+        "n_orders",
+        "pair_instances",
+        F.expr(
+            "CAST(CASE WHEN tot = 0 THEN 0"
+            " ELSE (1000000 * pair_instances) div tot END AS BIGINT)"
+        ).alias("pair_share_ppm"),
+    ).orderBy("items_per_order")

@@ -150,7 +150,7 @@ def q_stream_outoforder(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_tumbling",
     oracle=f"""
-SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600),
+SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n,
@@ -179,7 +179,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sliding",
     oracle="""
 SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
-                ((CAST(floor(epoch(ts)) AS BIGINT) // 900 - k.k) * 900),
+                ((CAST(floor(floor(epoch(ts)) / 900) AS BIGINT) - k.k) * 900),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n
 FROM events CROSS JOIN range(0, 4) AS k(k)
@@ -265,7 +265,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH agg AS (
   SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
-           ((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900) AS wstart,
+           (CAST(floor(floor(epoch(ts)) / 900) AS BIGINT) * 900) AS wstart,
          event_type,
          count(*) AS n
   FROM events
@@ -455,7 +455,7 @@ def q_stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH agg AS (
   SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
-           ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) AS wstart,
+           (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600) AS wstart,
          event_type,
          count(*) AS n
   FROM events
@@ -709,7 +709,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
-                  ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600),
+                  (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600),
                   '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n
   FROM events GROUP BY 1, 2
@@ -767,7 +767,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
-                  ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600),
+                  (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600),
                   '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n
   FROM events GROUP BY 1, 2
@@ -982,7 +982,7 @@ WITH r AS (
   SELECT user_id,
          row_number() OVER (
            PARTITION BY user_id,
-                        (CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                        CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)
            ORDER BY event_id) AS rn
   FROM events
 )
@@ -1013,8 +1013,9 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir, n_files=4).select(
         "user_id",
         "event_id",
-        # FLOOR, not div: matches DuckDB // for pre-1970 ts too
-        # (doctrine at q_ts_stickiness)
+        # FLOOR, not div — paired with floor(floor(epoch)/3600) in the
+        # oracle (DuckDB integer // TRUNCATES; floor doctrine at
+        # q_ts_stickiness, pre-1970 fixture-pinned)
         F.expr("CAST(FLOOR(unix_timestamp(ts) / 3600.0D) AS BIGINT)").alias("hb"),
     )
     folded = ev.groupBy("user_id").applyInPandasWithState(
@@ -1149,6 +1150,110 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conv_id"
             ),
             (F.col("s.conv_id") >= 0).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---- q_stream_gap_detect ---------------------------------------------------- #
+
+_GAP_OUT_SCHEMA = "user_id long, n_events long, n_gaps long, max_gap_s long"
+_GAP_STATE_SCHEMA = "last_ts long, n long, gaps long, mx long"
+_GAP_THRESHOLD_S = 3600
+
+
+def _gap_fold(
+    key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user inter-event gap fold: ONE long of carried timestamp
+    state turns gap detection into a streaming one-pass — no timeline
+    is ever stored. Chunks concatenate before the single event_id
+    sort (the q_stream_funnel chunk-order lesson)."""
+    (user_id,) = key
+    last_ts, n, gaps, mx = state.get if state.exists else (-1, 0, 0, 0)
+    chunks = [pdf for pdf in pdf_iter if len(pdf) > 0]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        n += len(pdf)
+        for t in pdf["tss"]:
+            t = int(t)
+            if last_ts >= 0:
+                gap = t - last_ts
+                if gap > _GAP_THRESHOLD_S:
+                    gaps += 1
+                if gap > mx:
+                    mx = gap
+            last_ts = t
+    state.update((last_ts, n, gaps, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "n_gaps": [gaps],
+            "max_gap_s": [mx],
+        }
+    )
+
+
+@register(
+    "q_stream_gap_detect",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (gap > {_GAP_THRESHOLD_S}) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_s
+FROM d GROUP BY user_id ORDER BY user_id
+""",
+    tags=("stream",),
+)
+def q_stream_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inter-event gap monitor: per user, how many gaps
+    between consecutive events (event-time order = event_id order in
+    this log) exceeded an hour, and the largest gap seen — the
+    heartbeat/liveness detector behind device-offline and
+    session-abandonment alerts, folded across 4 micro-batches with
+    FOUR longs of state (last timestamp, count, gaps, max). The batch
+    oracle is the lag-window recomputation — exact because the fold is
+    pure integer arithmetic over floor-second timestamps.
+
+    Scale notes: state is O(1) per key; emissions are keys-sized per
+    batch; at 100 TB/day this is transformWithState keyed on device id
+    with RocksDB state, same fold. The final sink dedup is max_by on
+    the monotone event count (update-mode sinks keep one row per
+    (key, batch)).
+    """
+    ev = stream_events(spark, sf_dir, n_files=4).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("tss"),
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _gap_fold,
+        outputStructType=_GAP_OUT_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(folded, "update")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "n_gaps", "max_gap_s"), "n_events"
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.n_gaps").alias("n_gaps"),
+            F.col("s.max_gap_s").alias("max_gap_s"),
         )
         .orderBy("user_id")
     )

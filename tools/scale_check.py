@@ -222,7 +222,14 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "16g")
+        # 48g: the local[32] driver JVM IS the executor pool — 32
+        # concurrent shuffle-hash build tasks share execution memory,
+        # and the round-13 100x rung showed a single build partition
+        # needing ~256 MB (q_dedup_incremental's candidate frame);
+        # 16g left ~180 MB/task and threw
+        # cannotAcquireMemoryToBuildLongHashedRelation. A cluster
+        # executor has this per-core headroom as a matter of course.
+        .config("spark.driver.memory", "48g")
         # the differ collects full results driver-side; near-dup pair
         # sets at 10x replication exceed the 1g default
         .config("spark.driver.maxResultSize", "6g")
@@ -253,6 +260,15 @@ def main() -> None:
 
         def fresh_con() -> "duckdb.DuckDBPyConnection":
             c = duckdb.connect()
+            # large-rung oracle tuning: insertion-order preservation
+            # forces DuckDB to keep ordered intermediates for the big
+            # DISTINCT/JOIN pipelines, ballooning temp spill (the
+            # round-13 q_dedup_simhash oracle ENOSPC'd the host's disk
+            # at 100x); order is irrelevant — the differ sorts. An
+            # explicit memory_limit keeps the hash tables in the 128G
+            # RAM instead of .tmp.
+            c.execute("SET preserve_insertion_order = false")
+            c.execute("SET memory_limit = '100GB'")
             for t in (
                 "region nation customer supplier part orders lineitem events "
                 "documents embeddings"
