@@ -2291,3 +2291,117 @@ def test_delta_ratio_shared_expression_text(spark, sf_dir):
     oracle = REGISTRY["q_agg_delta_ratio_var"].oracle
     assert _DELTA_RATIO_EXPR in oracle
     assert _DELTA_SE_EXPR in oracle
+
+
+# ---- round-13 additions ------------------------------------------- #
+
+
+def test_schema_drift_single_scan_inline_unpivot(spark, sf_dir):
+    # ONE conditional-aggregate scan of orders; the per-column unpivot
+    # is an inline() of the 1-row aggregate — a per-column UNION would
+    # show 4 scans (the re-reference-rescan trap)
+    simple = plan_of(spark, "q_dq_schema_drift", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+
+
+def test_seasonal_naive_one_scan_range_window(spark, sf_dir):
+    # the lag-168 forecast is a RANGE window on the rollup, not a
+    # self-join — one scan, no join
+    simple = plan_of(spark, "q_ts_seasonal_naive_error", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "partial_count" in simple or "partial_sum" in simple
+
+
+def test_dup_ngram_coverage_window_not_joinback(spark, sf_dir):
+    # shingle frequency via count window on the exploded frame — the
+    # groupBy+join-back form would scan documents twice
+    simple = plan_of(spark, "q_text_dup_ngram_coverage", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "Window" in simple
+
+
+def test_effect_size_single_exchange_bounded_window(spark, sf_dir):
+    # one (event_type) exchange; the rest-of-corpus complement rides
+    # an empty-frame window on the types-sized rollup, never a second
+    # fact scan
+    simple = plan_of(spark, "q_agg_effect_size", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "partial_sum" in simple
+
+
+def test_fdr_bh_single_scan_types_frame(spark, sf_dir):
+    simple = plan_of(spark, "q_agg_fdr_bh", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+
+
+def test_dim_profile_partial_agg_on_exploded_pairs(spark, sf_dir):
+    # narrow (dim, q) pairs partial-aggregate map-side; energy total
+    # rides the dim-bounded frame
+    simple = plan_of(spark, "q_sim_dim_profile", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "partial_sum" in simple
+    assert "Generate explode" in simple or "Generate posexplode" in simple
+
+
+def test_percentile_band_bounded_collect_window(spark, sf_dir):
+    # the collect_list window frame is RANGE-bounded (7 days) on the
+    # calendar rollup — one scan, no join, no corpus-sized array
+    simple = plan_of(spark, "q_ts_percentile_band", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+    assert "collect_list" in simple
+
+
+def test_gap_projection_size_no_pairs(spark, sf_dir):
+    # the projection pre-flight must never materialize a pair join —
+    # one fact scan, two rollup exchanges, a bounded-frame window
+    simple = plan_of(spark, "q_graph_projection_size", sf_dir, mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert "Join" not in simple
+
+
+def test_contamination_gate_broadcasts_eval_and_hits(spark, sf_dir):
+    # eval side (benchmark-sized) and the hit frame broadcast; the
+    # train corpus streams — no corpus-sized sort anywhere
+    simple = plan_of(spark, "q_pipeline_contamination_gate", sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_effect_size_and_bh_shared_expression_text(spark, sf_dir):
+    # the float tails must be the SAME expression strings in both
+    # engines (the delta_ratio_var canary pattern)
+    from pokertracker_cassandra_st_spark.operators.statistics import (
+        _BH_P,
+        _BH_Z2,
+        _ES_D,
+        _ES_G,
+        _ES_MEANDIFF,
+    )
+    from pokertracker_cassandra_st_spark.registry import REGISTRY
+
+    es = REGISTRY["q_agg_effect_size"].oracle
+    for e in (_ES_D, _ES_G, _ES_MEANDIFF):
+        assert e in es
+    bh = REGISTRY["q_agg_fdr_bh"].oracle
+    for e in (_BH_Z2, _BH_P):
+        assert e in bh
+
+
+def test_near_minhash_verify_never_moves_arrays(spark, sf_dir):
+    # round-13 rework lock: the verify tier counts shared shingles in
+    # exploded form — no shingle ARRAY may cross an exchange, and the
+    # banded self-join must not regress to cartesian/broadcast shapes
+    simple = plan_of(spark, "q_dedup_near_minhash", sf_dir, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "SortMergeJoin" not in simple
+    # every exchange's schema: arrays of strings (shingle payloads)
+    # must not appear under a hashpartitioning exchange input
+    assert "ShuffledHashJoin" in simple
