@@ -269,10 +269,15 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the array form at every scale.
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     counts = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # the shingle self-join is deliberately UNHINTED — mirroring
+    # q_dedup_ngram_jaccard's 100x-proven plan: the exploded frame is
+    # corpus x shingles rows, far past any per-partition hash build
+    # (a shuffle_hash hint here OOM'd the 48g harness at 100x); the
+    # planner's sort-merge on the narrow string key spills gracefully
     common = (
         ex.alias("ea")
         .join(
-            ex.alias("eb").hint("shuffle_hash"),
+            ex.alias("eb"),
             (F.col("ea.sh") == F.col("eb.sh"))
             & (F.col("ea.doc_id") < F.col("eb.doc_id")),
         )
