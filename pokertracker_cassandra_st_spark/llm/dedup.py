@@ -269,15 +269,17 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the array form at every scale.
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     counts = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # the shingle self-join is deliberately UNHINTED — mirroring
-    # q_dedup_ngram_jaccard's 100x-proven plan: the exploded frame is
-    # corpus x shingles rows, far past any per-partition hash build
-    # (a shuffle_hash hint here OOM'd the 48g harness at 100x); the
-    # planner's sort-merge on the narrow string key spills gracefully
+    # the shingle self-join is explicitly SORT-MERGE: the exploded
+    # frame is corpus x shingles rows, far past any per-partition hash
+    # build (a shuffle_hash hint here OOM'd the 48g harness at the
+    # 100x rung, and even unhinted the planner still picked a hash
+    # build from its post-ML size guesses); merge-join on the narrow
+    # string key sorts spill-friendly at any scale — the one join
+    # family whose memory footprint is O(1) per task
     common = (
         ex.alias("ea")
         .join(
-            ex.alias("eb"),
+            ex.alias("eb").hint("merge"),
             (F.col("ea.sh") == F.col("eb.sh"))
             & (F.col("ea.doc_id") < F.col("eb.doc_id")),
         )

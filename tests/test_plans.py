@@ -2397,11 +2397,13 @@ def test_effect_size_and_bh_shared_expression_text(spark, sf_dir):
 
 def test_near_minhash_verify_never_moves_arrays(spark, sf_dir):
     # round-13 rework lock: the verify tier counts shared shingles in
-    # exploded form — no shingle ARRAY may cross an exchange, and the
-    # banded self-join must not regress to cartesian/broadcast shapes
+    # exploded form — no shingle ARRAY may cross an exchange, the
+    # banded self-join must not regress to cartesian shapes, and the
+    # exploded shingle self-join is pinned SORT-MERGE (hash builds on
+    # the corpus-x-shingles frame OOM at the 100x rung; merge keeps
+    # per-task memory O(1))
     simple = plan_of(spark, "q_dedup_near_minhash", sf_dir, mode="simple")
     assert "CartesianProduct" not in simple
-    assert "SortMergeJoin" not in simple
-    # every exchange's schema: arrays of strings (shingle payloads)
-    # must not appear under a hashpartitioning exchange input
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "SortMergeJoin" in simple
     assert "ShuffledHashJoin" in simple
