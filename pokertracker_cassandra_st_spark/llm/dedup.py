@@ -405,7 +405,12 @@ keys AS (
 bands AS (
   {bands_union}
 ),
-capped AS (
+capped AS MATERIALIZED (
+  -- MATERIALIZED: referenced twice (a/b); DuckDB inlines plain CTEs
+  -- per reference, so the whole upstream pipeline (25M-row md5 digit
+  -- explosion at the 100x rung) recomputed per side and its window
+  -- sort spilled ~68 GB past the host disk (the q_graph_kcore /
+  -- triangle_count lesson, hit here round 13). Values unchanged.
   SELECT doc_id, band, key,
          row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
   FROM bands, params
