@@ -135,6 +135,15 @@ EVENT_QUERIES = [
     # of both periods on one user (one extreme (x, y) point — the
     # moments must stay exact)
     "q_agg_cuped",
+    # round 13: effect size / BH-FDR where NULL values drop rows from
+    # the cents moments (and one type could tie a==b in parity);
+    # seasonal-naive where gap-heavy skewed hourly series leave most
+    # lag-168 frames empty; percentile band over the same sparse days
+    "q_agg_effect_size",
+    "q_agg_fdr_bh",
+    "q_ts_seasonal_naive_error",
+    "q_ts_percentile_band",
+    "q_stream_gap_detect",
 ]
 
 
@@ -310,7 +319,9 @@ DOC_QUERIES = [
     # round 10 batch 6: per-doc keywords over empty/whitespace/
     # duplicated texts (exact-dup docs share identical keyword sets;
     # single-doc terms get the max idf)
-    "q_text_keywords",
+    "q_text_keywords",    # round 13: dup-ngram coverage over exact-dup + empty docs (dup
+    # docs -> coverage 1e6; docs under 5 tokens drop out)
+    "q_text_dup_ngram_coverage",
 ]
 
 # nested JSONL round-trip over the ugly events (NULL values drop the
