@@ -241,10 +241,15 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alone it broadcasts whole signature/shingle tables (the
     # approxSimilarityJoin failure shape). Shuffled hash joins on the
     # bucket key / doc id are the scale-correct plans.
+    # merge, not shuffle_hash (round 13): the (t, h) composite key
+    # builds an UnsafeHashedRelation whose per-partition footprint is
+    # corpus-linear AND skew-prone (hot minhash values concentrate one
+    # key's rows in one build) — it OOM'd the 48g harness at the 100x
+    # rung; sort-merge on the narrow triple keeps per-task memory O(1)
     cand = (
         buckets.alias("a")
         .join(
-            buckets.alias("b").hint("shuffle_hash"),
+            buckets.alias("b").hint("merge"),
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -287,7 +292,9 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ea.doc_id").alias("id_a"), F.col("eb.doc_id").alias("id_b")
         )
         .agg(F.count("*").alias("n_common"))
-        .join(cand.hint("shuffle_hash"), ["id_a", "id_b"], "left_semi")
+        # merge for the same reason: (id_a, id_b) is a composite key
+        # and the candidate set is corpus-pair-scaled at the top rungs
+        .join(cand.hint("merge"), ["id_a", "id_b"], "left_semi")
     )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
