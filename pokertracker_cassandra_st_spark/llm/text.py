@@ -760,7 +760,19 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     tk = F.filter(F.split("text", " "), lambda x: x != "")
-    t = d.select("doc_id", tk.alias("tk"))
+    # Filter EARLY on the cheap equivalent predicate (optimization r13,
+    # guide §1.2/§7.2): the original ``where(size(fps) > 0)`` is pushed
+    # by Catalyst below the projections with the ENTIRE fps expression
+    # inlined into the Filter condition — and inside the per-window
+    # lambda the full kg array (one md5 per gram) sits as a
+    # sub-expression re-evaluated PER WINDOW, turning the filter into
+    # O(tokens²) md5 calls per document (measured 169 s at sf0.1 vs
+    # ~1 s per projection stage). ``size(fps) > 0`` holds iff
+    # size(kg) >= w iff size(tk) >= k + w - 1, so filtering on the
+    # token count is value-identical and costs one extra tokenize.
+    t = d.select("doc_id", tk.alias("tk")).where(
+        F.size(tk) >= _WIN_K + _WIN_W - 1
+    )
     kg = F.when(
         F.size("tk") >= _WIN_K,
         F.transform(
@@ -782,8 +794,10 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # rows reaching here satisfy size(tk) >= k+w-1, so fps is never
+    # empty — the WHERE moved above as the equivalent token-count gate
     w = g.select("doc_id", fps.alias("fps"))
-    return w.where(F.size("fps") > 0).select(
+    return w.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fps"),
         F.element_at("fps", 1).alias("first_fp"),

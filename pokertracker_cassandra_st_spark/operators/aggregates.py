@@ -172,12 +172,24 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the approx path is the default (fixed-size sketch state,
     mergeable map-side; exact distinct must shuffle every distinct
-    value)."""
+    value).
+
+    Physical shape (optimization r13, guide §2.3/§5): mixing
+    countDistinct with approx_count_distinct in ONE agg makes the
+    one-distinct rewrite key the partial aggregate on
+    (l_returnflag, l_orderkey) and carry the rsd=0.01 HLL buffer
+    (~16 KB of registers) PER KEY PAIR — gigabytes of agg state at
+    sf0.1 (measured 115 s first run / 29 s steady). Deduplicating the
+    pairs first and sketching the deduped keys is value-identical
+    (HLL register updates are max() — duplicate- and order-insensitive
+    — and count(*) over the deduped pairs IS count(DISTINCT)), but the
+    sketch buffer now exists only per GROUP: 0.5 s steady, same hash."""
     li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_orderkey").distinct()
     return (
-        li.groupBy("l_returnflag")
+        pairs.groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.count("*").alias("exact_orders"),
             F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
         )
         .select(
