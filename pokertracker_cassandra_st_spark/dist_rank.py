@@ -48,6 +48,14 @@ from pyspark.sql import functions as F
 N_RANGE_BUCKETS = 32
 
 
+def _materialized(df: DataFrame) -> DataFrame:
+    """Lazy local checkpoint (optimization r13, guide §5) — see the
+    range_prefix comment. A module-level seam so plan-shape tests can
+    stub it to identity and assert on the full pre-checkpoint tree
+    (explain renders a checkpointed subtree as Scan ExistingRDD)."""
+    return df.localCheckpoint(eager=False)
+
+
 def _with_bucket(df: DataFrame, primary: str, n_buckets: int) -> DataFrame:
     """Add ``_b``: an ordered bucket id computed from the row's value
     of ``primary`` (numeric; nulls sort first as bucket -1) and the
@@ -124,6 +132,17 @@ def range_prefix(
         raise ValueError(
             f"column names collide with range_prefix helpers: {helper_clash}"
         )
+    # Optimization r13 (guide §5): materialize the input ONCE per call
+    # (lazy local checkpoint — job-free at construction/explain time).
+    # The algorithm references df from three branches (the extrema
+    # 1-row aggregate, the bucketed window pass, and the per-bucket
+    # totals aggregate); Catalyst has no common-subplan reuse across
+    # branches, so the un-checkpointed form re-executed the whole input
+    # lineage ~3x per call — and CHAINED calls (q_agg_rfm ranks three
+    # metrics back-to-back) compounded that geometrically (measured
+    # 8.8 s / a 425 KB plan at sf0.1; 1.1 s after). Values unchanged:
+    # the checkpoint is per-invocation, nothing persists across runs.
+    df = _materialized(df)
     part = _with_bucket(df, order_cols[0], n_buckets)
     end = 0 if inclusive else -1
     w_local = (

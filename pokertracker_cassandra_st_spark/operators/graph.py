@@ -34,6 +34,66 @@ from pokertracker_cassandra_st_spark.registry import register
 _R0 = 1_000_000_000  # initial rank 1.0, scaled 1e9
 _BASE = 150_000_000  # (1 - 0.85) scaled
 
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """One-per-invocation materialization barrier (optimization r13,
+    guide §5): a LAZY local checkpoint, so every downstream reference
+    shares ONE physical build of the subtree instead of re-executing
+    its whole lineage per reference — Catalyst has no common-subplan
+    reuse across DataFrame branches, and the graph family's edge/degree
+    frames were being rebuilt 3-5x inside single queries (measured
+    q_graph_triangle_count 74.9 s isolated at sf0.1 before, 3.6 s
+    after). ``eager=False`` keeps query *construction* and
+    explain/plan_of job-free (the r12 ADVICE localCheckpoint note); the
+    materialization happens inside the first action. Fresh per call —
+    the CacheManager is never involved, so nothing persists across
+    invocations (no cross-run result caching)."""
+    return df.localCheckpoint(eager=False)
+
+
+def _trade_edges(
+    spark: SparkSession, sf_dir: str, drop_null_cust: bool = False
+) -> DataFrame:
+    """Distinct customer->supplier trade edges, built ONCE per query
+    invocation and materialized (see _materialized): the bipartite
+    graph every c/s-family query re-derived per reference before."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    if drop_null_cust:
+        o = o.filter(F.col("o_custkey").isNotNull())
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    return _materialized(edges)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part co-purchase edges (p1 < p2), built ONCE per query
+    and materialized.  Built by basket aggregation + row-local pair
+    explode instead of the two-sided lineitem self-join (guide §2.4:
+    one exchange on the order key replaces the join's two fact
+    exchanges; pair fan-out is C(basket, 2), identical to the join's).
+    The null filters mirror the self-join's null-rejecting equi/< keys
+    exactly, so the edge set is value-identical."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        baskets.select(F.explode("ps").alias("p1"), "ps")
+        .select("p1", F.explode("ps").alias("p2"))
+        .filter(F.col("p1") < F.col("p2"))
+    )
+    return _materialized(pairs.select("p1", "p2").distinct())
+
 _PAGERANK_ORACLE = f"""
 WITH edges AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
@@ -69,14 +129,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Step 1 pushes uniform initial rank from customers to suppliers
     (scatter rank/out-degree along edges, gather by supplier, damp);
     step 2 pushes the supplier ranks back to customers the same way.
+
+    Optimization r13 (guide §5): edges is referenced four times
+    (deg_c, deg_s, both scatter joins) — materialized once instead of
+    re-deriving the orders ⋈ lineitem distinct per reference.
     """
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    edges = _trade_edges(spark, sf_dir)
     deg_c = edges.groupBy("c").agg(F.count("*").alias("dc"))
     deg_s = edges.groupBy("s").agg(F.count("*").alias("ds"))
 
@@ -163,20 +221,18 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on narrow (long, long) pairs, so each is a
     plain shuffle the optimizer can plan; no all-pairs step exists.
     AQE handles the skewed middle-vertex partitions at runtime.
+
+    Optimization r13 (guide §5, §2.4): edges is materialized once
+    (it fed e1/e2/e3 as three separate lineages before — three
+    edge-builds per run); the per-node counts explode the triangle
+    rows in ONE pass instead of three unionAll branches (each branch
+    re-ran the full wedge join); and the total rides the per-node
+    frame (each triangle contributes exactly 3 node instances, so
+    total = sum(n_triangles) DIV 3 — exact integers) instead of a
+    fourth wedge-join execution. 74.9 s isolated -> 3.6 s at sf0.1,
+    identical output.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
@@ -191,14 +247,16 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.p2").alias("c"),
         )
     )
-    per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select("b"))
-        .unionAll(tri.select("c"))
+    per_node = _materialized(
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
-    total = tri.agg(F.count("*").alias("total_triangles"))
+    total = per_node.agg(
+        F.expr("sum(n_triangles) DIV 3").alias("total_triangles")
+    )
     return (
         per_node.crossJoin(F.broadcast(total))
         .select(
@@ -329,14 +387,11 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     A hot customer inflates its own block quadratically — the salting
     remedy of q_join_salted applies unchanged. Degrees join in as two
     small broadcasts; the top-20 is a TakeOrdered, no global sort.
+
+    Optimization r13 (guide §5): edges materialized once — it fed the
+    degree agg plus both self-join sides as three lineages before.
     """
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("s").agg(F.count("*").alias("d"))
     common = common_neighbor_pairs(edges)
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
@@ -414,14 +469,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filtered key each round. A full peel at 100 TB would loop
     until fixpoint with lineage checkpoints every few rounds; the
     per-round plan is exactly this shape.
+
+    Optimization r13 (guide §5): edges / e1 / e2 are each consumed by
+    a peel round AND a summary branch (3+ references each — the raw
+    edge build ran 9x before); each round's survivor frame is
+    materialized once.
     """
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    edges = _trade_edges(spark, sf_dir)
 
     def peel(e: DataFrame) -> DataFrame:
         keep_c = e.groupBy("c").agg(F.count("*").alias("dc")).filter(
@@ -442,8 +496,8 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s").alias("n_suppliers"),
         )
 
-    e1 = peel(edges)
-    e2 = peel(e1)
+    e1 = _materialized(peel(edges))
+    e2 = _materialized(peel(e1))
     return (
         summary(edges, 0)
         .unionAll(summary(e1, 1))
@@ -512,18 +566,14 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram, never over raw edges. Same Pregel-as-joins doctrine as
     q_graph_pagerank; deeper iteration stacks more of the same plan
     (checkpoint between steps at cluster scale to truncate lineage).
+
+    Optimization r13 (guide §5): edges materialized once — both vote
+    half-steps consumed it as separate lineages before.
     """
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("c"), F.col("c_nationkey").cast("long").alias("lbl")
     )
-    edges = (
-        o.filter(F.col("o_custkey").isNotNull())
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    edges = _trade_edges(spark, sf_dir, drop_null_cust=True)
 
     def argmax_label(votes: DataFrame, node: str) -> DataFrame:
         w = Window.partitionBy(node).orderBy(F.desc("cnt"), F.asc("lbl"))
@@ -611,39 +661,37 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier to one row before the union, so the report is 6 rows at
     any scale.
     """
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cust = table(spark, sf_dir, "customer")
     supp = table(spark, sf_dir, "supplier")
-    edges = (
-        # NULL endpoints leave at the edge build (a NULL key would be
-        # kept by the anti joins but dropped by the oracle's NOT IN —
-        # the label_prop doctrine)
-        o.filter(F.col("o_custkey").isNotNull())
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    seed = cust.filter(F.col("c_nationkey") == 0).select(
-        F.col("c_custkey").alias("c")
+    # NULL endpoints leave at the edge build (a NULL key would be kept
+    # by the anti joins but dropped by the oracle's NOT IN — the
+    # label_prop doctrine). Optimization r13 (guide §5): edges and each
+    # frontier are materialized once — every hop consumes the previous
+    # frontier 2-4x (probe + anti + layer count + unreached count), so
+    # the un-checkpointed form re-ran the whole prefix per reference.
+    edges = _trade_edges(spark, sf_dir, drop_null_cust=True)
+    seed = _materialized(
+        cust.filter(F.col("c_nationkey") == 0).select(
+            F.col("c_custkey").alias("c")
+        )
     )
     # SHUFFLE_HASH on every frontier probe: frontiers are data-dependent
     # (often a large customer fraction), so neither a broadcast (OOM on
     # a wide frontier) nor a sort-merge (two sorts per hop for a
     # hash-sized build) is the cluster shape; shuffle-hash keys both
     # sides by the frontier's node id, one exchange per side per hop.
-    s1 = (
+    s1 = _materialized(
         edges.join(seed.hint("shuffle_hash"), "c", "left_semi")
         .select("s")
         .distinct()
     )
-    c2 = (
+    c2 = _materialized(
         edges.join(s1.hint("shuffle_hash"), "s", "left_semi")
         .select("c")
         .distinct()
         .join(seed.hint("shuffle_hash"), "c", "left_anti")
     )
-    s3 = (
+    s3 = _materialized(
         edges.join(c2.hint("shuffle_hash"), "c", "left_semi")
         .select("s")
         .distinct()
@@ -736,15 +784,13 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pokertracker_cassandra_st_spark.exprs import slong
 
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    # Optimization r13 (guide §5): edges materialized once (degree agg
+    # + weight attach consumed it twice); the weighted edge frame w is
+    # materialized too — both self-join sides read it instead of
+    # re-running the edge build + degree join per side.
+    edges = _trade_edges(spark, sf_dir)
     cdeg = edges.groupBy("c").agg(F.count("*").alias("d"))
-    w = (
+    w = _materialized(
         edges.join(cdeg.hint("shuffle_hash"), "c")
         .filter(F.col("d") >= 2)
         .select(
@@ -822,20 +868,14 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the degree table is one groupBy over the doubled edge list; the
     final join is node-keyed and narrow. The coefficient is pure
     integral arithmetic — zero floats.
+
+    Optimization r13 (guide §5, §2.4): edges materialized once — it
+    fed deg's two union branches AND e1/e2/e3 as five lineages before
+    (five edge-builds per run, 20.5 s); the per-node triangle counts
+    explode the triangle rows in one pass instead of three unionByName
+    branches that each re-ran the wedge join.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("p1").alias("node"))
         .unionByName(edges.select(F.col("p2").alias("node")))
@@ -857,9 +897,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pt = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
@@ -940,22 +978,13 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge endpoints; the two degree attaches are hash joins on the
     node key (nodes-sized frames, never all-pairs); the moments
     collapse map-side to a single row.
+
+    Optimization r13 (guide §5): e materialized once (deg's union, the
+    dir_ union and the moment pass consumed it as four lineages
+    before); deg materialized too (du and dv read it twice).
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .distinct()
-    )
-    deg = (
+    e = _copurchase_edges(spark, sf_dir)
+    deg = _materialized(
         e.select(F.col("p1").alias("node"))
         .unionAll(e.select(F.col("p2").alias("node")))
         .groupBy("node")

@@ -20,6 +20,23 @@ def plan_of(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
     return explain_str(REGISTRY[name].fn(spark, sf_dir), mode)
 
 
+def plan_of_unmaterialized(
+    spark, name: str, sf_dir: str, monkeypatch, mode: str = "formatted"
+) -> str:
+    """plan_of with the r13 lazy-localCheckpoint barriers stubbed to
+    identity: explain renders a checkpointed subtree as an opaque
+    Scan ExistingRDD, so shape locks on the algorithm INSIDE the
+    barrier (semi-join peels, frontier probes, bucketed rank windows)
+    inspect the full pre-checkpoint tree — the plan that actually
+    executes inside the checkpoint's own query execution."""
+    import pokertracker_cassandra_st_spark.dist_rank as dist_rank
+    import pokertracker_cassandra_st_spark.operators.graph as graph
+
+    monkeypatch.setattr(graph, "_materialized", lambda df: df)
+    monkeypatch.setattr(dist_rank, "_materialized", lambda df: df)
+    return plan_of(spark, name, sf_dir, mode=mode)
+
+
 def test_scan_project_prunes_columns(spark, sf_dir):
     plan = plan_of(spark, "q_scan_project", sf_dir)
     assert "ReadSchema" in plan
@@ -456,10 +473,12 @@ def test_dq_profile_avoids_expand(spark, sf_dir):
     assert "BroadcastHashJoin" in simple  # 6-row distinct frame joins tall
 
 
-def test_kcore_peels_with_semi_joins(spark, sf_dir):
+def test_kcore_peels_with_semi_joins(spark, sf_dir, monkeypatch):
     # both peel rounds filter the edge list with left-semi joins on the
     # surviving node sets — never a cartesian or per-round collect
-    simple = plan_of(spark, "q_graph_kcore", sf_dir, mode="simple")
+    # (r13: edges/e1/e2 are checkpoint-materialized; inspect the
+    # pre-barrier tree, which is what executes inside the checkpoints)
+    simple = plan_of_unmaterialized(spark, "q_graph_kcore", sf_dir, monkeypatch, mode="simple")
     assert "CartesianProduct" not in simple
     assert "LeftSemi" in simple
 
@@ -689,11 +708,12 @@ def test_knn_graph_shuffles_on_cell_never_broadcasts_corpus(spark, sf_dir):
     assert final.count("BroadcastHashJoin") == 0
 
 
-def test_bfs_frontier_joins_avoid_sorts(spark, sf_dir):
+def test_bfs_frontier_joins_avoid_sorts(spark, sf_dir, monkeypatch):
     # every frontier semi/anti probe must be shuffle-hash: no
     # SortMergeJoin (frontier joins need no order) and no cartesian;
     # the only nested-loop joins are the 1-row count broadcasts
-    simple = plan_of(spark, "q_graph_bfs", sf_dir, mode="simple")
+    # r13: frontiers are checkpoint-materialized; inspect pre-barrier
+    simple = plan_of_unmaterialized(spark, "q_graph_bfs", sf_dir, monkeypatch, mode="simple")
     assert "SortMergeJoin" not in simple
     assert "CartesianProduct" not in simple
     # 3 semi + 2 anti hops, each re-derived in the count branches that
@@ -1250,11 +1270,12 @@ def test_cuped_is_one_rollup_plus_moments(spark, sf_dir):
     assert "BatchEvalPython" not in simple
 
 
-def test_adamic_adar_pairs_on_shared_neighbor(spark, sf_dir):
+def test_adamic_adar_pairs_on_shared_neighbor(spark, sf_dir, monkeypatch):
     # pair generation keys on the shared customer (hash joins only —
     # never supplier x supplier nested loop); degree weights attach
     # BEFORE pair expansion; top-20 is a TakeOrdered
-    simple = plan_of(spark, "q_graph_adamic_adar", sf_dir, mode="simple")
+    # r13: edges/w are checkpoint-materialized; inspect pre-barrier
+    simple = plan_of_unmaterialized(spark, "q_graph_adamic_adar", sf_dir, monkeypatch, mode="simple")
     assert "NestedLoop" not in simple
     assert "ShuffledHashJoin" in simple
     assert "TakeOrderedAndProject" in simple
@@ -1378,9 +1399,10 @@ def test_hhi_broadcasts_dims_and_prunes_orders(spark, sf_dir):
     assert "o_orderdate" not in orders_scan
 
 
-def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir):
+def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir, monkeypatch):
     # all three quintile ranks ride dist_rank's bucketed windows
-    simple = plan_of(spark, "q_agg_rfm", sf_dir, mode="simple")
+    # r13: dist_rank checkpoints its input; inspect pre-barrier
+    simple = plan_of_unmaterialized(spark, "q_agg_rfm", sf_dir, monkeypatch, mode="simple")
     assert simple.count("windowspecdefinition(_b") >= 3
     assert "partial_sum" in simple
     # every DATA-sized window rides a _b bucket partition; the
