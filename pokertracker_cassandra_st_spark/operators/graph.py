@@ -94,6 +94,72 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _materialized(pairs.select("p1", "p2").distinct())
 
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle of the undirected edge set, exactly once, via
+    DEGREE-ordered orientation (optimization r13 — the 'degree-ordered
+    variant' the triangle docstring documented; Suri & Vassilvitskii's
+    MR orientation): each edge is directed from its (degree, id)-lower
+    endpoint to the higher, so every wedge is centered at its
+    (degree, id)-minimal vertex and wedge fan-out is sum(out_deg²)
+    = O(m^1.5) instead of sum(deg²) — the ID-oriented form fanned out
+    quadratically on hub parts (measured 8.7 s vs 3.3 s at sf0.1 for
+    q_graph_triangle_count end to end).
+
+    Output columns (a, b, c) are the triangle's three distinct nodes
+    (a = the minimal-degree corner); consumers use only the vertex
+    multiset / row count, both invariant under the corner relabeling
+    vs the old a<b<c orientation.
+    """
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("dg").alias("dg1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("dg").alias("dg2"))
+    ed = edges.join(d1.hint("shuffle_hash"), "p1").join(
+        d2.hint("shuffle_hash"), "p2"
+    )
+    fwd = (F.col("dg1") < F.col("dg2")) | (
+        (F.col("dg1") == F.col("dg2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = _materialized(
+        ed.select(
+            F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+            F.when(fwd, F.col("dg2")).otherwise(F.col("dg1")).alias("dv"),
+        )
+    )
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    # wedge (v1, v2) at center u, canonicalized so (deg, id) of v1 is
+    # below v2's — which is exactly the stored orientation of the
+    # closing edge, so one equi semi-probe on (u=v1, v=v2) suffices
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | (
+                (F.col("o1.dv") == F.col("o2.dv"))
+                & (F.col("o1.v") < F.col("o2.v"))
+            )
+        ),
+    ).select(
+        F.col("o1.u").alias("a"),
+        F.col("o1.v").alias("b"),
+        F.col("o2.v").alias("c"),
+    )
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # default strategy (sort-merge) deliberately: a shuffle_hash hint
+    # here builds a hash table over the CORPUS-LINEAR edge set per
+    # partition — the exact shape that OOM'd the near-minhash composite
+    # key joins at the 100x rung (llm/dedup.py doctrine); measured at
+    # parity locally, so the spill-graceful strategy wins
+    return wedges.join(closing, ["b", "c"], "left_semi")
+
 _PAGERANK_ORACLE = f"""
 WITH edges AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
@@ -233,20 +299,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical output.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
-        .join(
-            e3,
-            (F.col("e3.p1") == F.col("e1.p1"))
-            & (F.col("e3.p2") == F.col("e2.p2")),
-        )
-        .select(
-            F.col("e1.p1").alias("a"),
-            F.col("e1.p2").alias("b"),
-            F.col("e2.p2").alias("c"),
-        )
-    )
+    tri = _oriented_triangles(edges)
     per_node = _materialized(
         tri.select(
             F.explode(F.array("a", "b", "c")).alias("node")
@@ -882,20 +935,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
-        .join(
-            e3,
-            (F.col("e3.p1") == F.col("e1.p1"))
-            & (F.col("e3.p2") == F.col("e2.p2")),
-        )
-        .select(
-            F.col("e1.p1").alias("a"),
-            F.col("e1.p2").alias("b"),
-            F.col("e2.p2").alias("c"),
-        )
-    )
+    tri = _oriented_triangles(edges)
     pt = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
