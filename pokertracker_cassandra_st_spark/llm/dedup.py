@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pokertracker_cassandra_st_spark.catalog import table
+from pokertracker_cassandra_st_spark.ckpt import materialized as _materialized
 from pokertracker_cassandra_st_spark.registry import register
 
 AUG_OFFSET = 1_000_000
@@ -146,7 +147,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # optimization r13 (guide §5): sh feeds the set-size counts AND
+    # both self-join sides (3 lineages = 3 corpus tokenize+shingle
+    # passes before); counts feeds both per-pair attaches (2 more)
+    sh = _materialized(sh)
+    counts = _materialized(sh.groupBy("doc_id").agg(F.count("*").alias("n")))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -224,6 +229,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
     )
+    # optimization r13 (guide §5): sh feeds the LSH vectorizer AND the
+    # exact-verify explode; buckets feeds both candidate self-join
+    # sides (each re-ran corpus -> shingle -> HashingTF -> 16-table
+    # MinHash before — the transform is the dominant stage, ~8 s of
+    # the 73.8 s isolated wall); ex feeds the verify self-join sides
+    # plus counts. Materialized once each: 73.8 s -> ~17 s at sf0.1,
+    # byte-identical output.
+    sh = _materialized(sh)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     vecs = tf.transform(sh).select("doc_id", "features")
     lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
@@ -231,7 +244,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, table, hash) — MinHash values are integers below the
     # 2^31 prime modulus, exact in long; the slim triple is ALL that
     # shuffles through the candidate self-join
-    buckets = (
+    buckets = _materialized(
         model.transform(vecs)
         .select("doc_id", F.posexplode("sig").alias("t", "hv"))
         .select("doc_id", "t", vector_to_array("hv")[0].cast("long").alias("h"))
@@ -272,8 +285,8 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join on the pair key. Set sizes |A|, |B| attach by doc id;
     # jaccard arithmetic is unchanged, so the output is byte-identical
     # to the array form at every scale.
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    counts = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ex = _materialized(sh.select("doc_id", F.explode("shingles").alias("sh")))
+    counts = _materialized(ex.groupBy("doc_id").agg(F.count("*").alias("n")))
     # the shingle self-join is explicitly SORT-MERGE: the exploded
     # frame is corpus x shingles rows, far past any per-partition hash
     # build (a shuffle_hash hint here OOM'd the 48g harness at the
@@ -457,10 +470,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).filter(F.col("w") != "")
-    digits = tok.select(
+    # md5 computed ONCE per token (optimization r13): named in its own
+    # projection, the 16 nibble extracts reference the alias —
+    # CollapseProject declines to inline a non-cheap expression with
+    # >1 reference, so the plan carries a single md5 per row (verified
+    # md5-count 16 -> 1 in the executed plan)
+    digits = tok.withColumn("m", F.md5("w")).select(
         "doc_id",
         *[
-            F.expr(f"instr('{_HEX}', substring(md5(w), {p + 1}, 1)) - 1").alias(f"d{p}")
+            F.expr(f"instr('{_HEX}', substring(m, {p + 1}, 1)) - 1").alias(f"d{p}")
             for p in range(16)
         ],
     )
@@ -499,9 +517,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = keys.join(F.broadcast(params), F.col("bk.w") == F.col("wbits")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    ranked = bands.withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("band", "key").orderBy("doc_id")),
+    # optimization r13 (guide §5): ranked feeds both candidate-join
+    # sides — un-checkpointed, each side re-ran the tokenize + 64-vote
+    # aggregation + band explode (the dominant stages) from scratch
+    ranked = _materialized(
+        bands.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("band", "key").orderBy("doc_id")
+            ),
+        )
     )
     # anchor-side cap only: the b side stays uncapped so every bucket
     # member keeps candidate edges to the <=CAP anchors (see
@@ -588,7 +613,14 @@ def _with_subcell(aug: DataFrame, keep_bits: bool = False) -> DataFrame:
 
     keep_bits=True keeps the broadcast ladder choice as a `cbits`
     column — q_sim_knn_graph needs it to enumerate its hamming-1
-    multi-probe keys in-plan."""
+    multi-probe keys in-plan.
+
+    Optimization r13 (guide §5): the input is materialized once (the
+    ladder-params aggregate and the projection pass both consume it),
+    and so is the output — every caller feeds it to BOTH sides of a
+    cell-blocked pair join, and the 16 plane projections per row are
+    the dominant map cost."""
+    aug = _materialized(aug)
     signs = _cell_plane_signs()
     eq = F.transform(
         "emb", lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long")
@@ -621,7 +653,7 @@ def _with_subcell(aug: DataFrame, keep_bits: bool = False) -> DataFrame:
         .withColumn("subcell", sel.cast("long"))
         .drop("ceq")
     )
-    return out if keep_bits else out.drop("cbits")
+    return _materialized(out if keep_bits else out.drop("cbits"))
 
 
 def _cell_subcell_ctes() -> str:
@@ -1294,12 +1326,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(x * 1_000_000 + F.lit(0.5)))
         .cast("long"),
     )
-    qt = aug.select("vec_id", "label", "subcell", qcol.alias("q"), "emb")
+    # optimization r13 (guide §5): qt feeds the centroid explode AND
+    # both pair-join sides; cent feeds the cosine agg and the norm agg;
+    # cosc feeds three attaches — each was a full lineage re-run before
+    qt = _materialized(
+        aug.select("vec_id", "label", "subcell", qcol.alias("q"), "emb")
+    )
     exq = qt.select(
         "vec_id", "label", "subcell", F.posexplode("q").alias("pos0", "qi")
     ).withColumn("pos", F.col("pos0") + 1)
-    cent = exq.groupBy("label", "subcell", "pos").agg(
-        F.sum(F.col("qi").cast("decimal(38,0)")).alias("cpos")
+    cent = _materialized(
+        exq.groupBy("label", "subcell", "pos").agg(
+            F.sum(F.col("qi").cast("decimal(38,0)")).alias("cpos")
+        )
     )
     cnorm = cent.groupBy("label", "subcell").agg(
         F.sum(F.col("cpos") * F.col("cpos")).alias("cc")
@@ -1334,6 +1373,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_c"),
         )
     )
+    cosc = _materialized(cosc)
 
     def dot(x, y):
         return F.aggregate(
@@ -1573,8 +1613,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    sh_c = shingled(corpus)
-    sh_s = shingled(shard)
+    # optimization r13 (guide §5): each side's shingle frame feeds the
+    # LSH buckets, the leading-fingerprint tier AND the verify join
+    # (3 lineages each = 3 tokenize+shingle passes per side before)
+    sh_c = _materialized(shingled(corpus))
+    sh_s = _materialized(shingled(shard))
 
     # tier 3: asymmetric LSH — ONE seeded hash family (coefficients
     # depend only on the seed) signs both sides; the corpus side is
@@ -1727,7 +1770,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # optimization r13 (guide §5): sh feeds the set-size counts AND
+    # both self-join sides (3 lineages = 3 corpus tokenize+shingle
+    # passes before); counts feeds both per-pair attaches (2 more)
+    sh = _materialized(sh)
+    counts = _materialized(sh.groupBy("doc_id").agg(F.count("*").alias("n")))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -2043,7 +2090,11 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # optimization r13 (guide §5): sh feeds the set-size counts AND
+    # both self-join sides (3 lineages = 3 corpus tokenize+shingle
+    # passes before); counts feeds both per-pair attaches (2 more)
+    sh = _materialized(sh)
+    counts = _materialized(sh.groupBy("doc_id").agg(F.count("*").alias("n")))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
