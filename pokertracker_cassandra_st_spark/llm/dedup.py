@@ -626,20 +626,37 @@ def _with_subcell(aug: DataFrame, keep_bits: bool = False) -> DataFrame:
         "emb", lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long")
     )
     withq = aug.withColumn("ceq", eq)
-    bucket = F.lit(0).cast("long")
-    rungs: dict[int, F.Column] = {0: F.lit(0).cast("long")}
-    for p in range(MAX_CELL_BITS):
-        coef = F.array(*[F.lit(c) for c in signs[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("ceq"), coef, lambda a, b: a * b.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+
+    # Optimization r13 (measured — the q_sim_lsh_hyperplane finding):
+    # the 16 plane projections are computed ONCE as named columns and
+    # every ladder rung is integer arithmetic over those column
+    # references.  The previous form inlined the full
+    # aggregate(zip_with(...)) tree into every rung of every CASE
+    # branch (~72 HOF aggregates in one expression) — DataFrame
+    # CONSTRUCTION (eager plan compile of the checkpoint) took
+    # seconds per invocation.  Projections are built as parsed SQL
+    # strings (no 16 x 64 F.lit py4j calls); CollapseProject keeps the
+    # non-cheap multi-referenced projections in their own Project, so
+    # each evaluates once per row.  Operation-identical arithmetic —
+    # bit-identical buckets.
+    def _proj_sql(p: int) -> str:
+        arr = ",".join(f"{c}L" for c in signs[p])
+        return (
+            f"aggregate(zip_with(ceq, array({arr}), (a, b) -> a * b), "
+            "0L, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+
+    withq = withq.select(
+        "*", *[F.expr(_proj_sql(p)).alias(f"_pj{p}") for p in range(MAX_CELL_BITS)]
+    )
+    rungs: dict[int, F.Column] = {0: F.lit(0).cast("long")}
+    bucket_sql = "0L"
+    for p in range(MAX_CELL_BITS):
+        bucket_sql = (
+            f"{bucket_sql} + (CASE WHEN _pj{p} > 0 THEN {1 << p}L ELSE 0L END)"
         )
         if p + 1 in CELL_BITS_LADDER:
-            rungs[p + 1] = bucket
+            rungs[p + 1] = F.expr(bucket_sql)
     params = aug.agg(
         F.count("*").alias("n"), F.countDistinct("label").alias("nl")
     ).select(F.expr(_cell_bits_sql("n", "nl")).alias("cbits"))
@@ -651,7 +668,7 @@ def _with_subcell(aug: DataFrame, keep_bits: bool = False) -> DataFrame:
     out = (
         withq.crossJoin(F.broadcast(params))
         .withColumn("subcell", sel.cast("long"))
-        .drop("ceq")
+        .drop("ceq", *[f"_pj{p}" for p in range(MAX_CELL_BITS)])
     )
     return _materialized(out if keep_bits else out.drop("cbits"))
 
@@ -1380,17 +1397,24 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
         )
 
+    # optimization r13 (guide §1.2): each side's norm is computed ONCE
+    # per vector before the pair join instead of per PAIR inside the
+    # cosine filter (the un-hoisted form evaluated both self-dots for
+    # every candidate pair — 3x the pair-stage dot products). Bitwise
+    # identical: sqrt(dot(e,e)) is the same expression on the same
+    # vector, and the product order sqrt(da)*sqrt(db) is unchanged.
     a = qt.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("l_a"),
         F.col("subcell").alias("s_a"), F.col("emb").alias("e_a"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm_a"),
     )
     b = qt.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("l_b"),
         F.col("subcell").alias("s_b"), F.col("emb").alias("e_b"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm_b"),
     )
     cos_ab = dot(F.col("e_a"), F.col("e_b")) / (
-        F.sqrt(dot(F.col("e_a"), F.col("e_a")))
-        * F.sqrt(dot(F.col("e_b"), F.col("e_b")))
+        F.col("nrm_a") * F.col("nrm_b")
     )
     pairs = (
         a.join(

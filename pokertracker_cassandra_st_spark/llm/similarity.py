@@ -234,21 +234,35 @@ def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * _Q_SCALE + 0.5).cast("long"),
     )
     quant = emb.select("vec_id", "label", eq.alias("eq"))
-    # prefix-sum buckets for every ladder rung, one narrow pass
-    bucket = F.lit(0).cast("long")
+    # prefix-sum buckets for every ladder rung, one narrow pass.
+    # Optimization r13 (measured, guide §1.2): DataFrame CONSTRUCTION
+    # dominated this query (4.5 s of the 7.5 s isolated wall) — 32 x 64
+    # F.lit() py4j calls plus per-plane HOF lambdas, and the rung CASE
+    # inlined every projection tree into every branch (~116 HOF
+    # aggregates in one expression, slow to optimize/compile). Now the
+    # 32 projections are parsed-SQL NAMED COLUMNS computed once per row
+    # (CollapseProject keeps non-cheap multi-referenced projections in
+    # their own Project) and each rung is integer arithmetic over the
+    # column references. Operation-identical — bit-identical buckets.
+    # 7.5 s -> 2.5 s isolated.
+    def _proj_sql(p: int) -> str:
+        arr = ",".join(f"{c}L" for c in signs[p])
+        return (
+            f"aggregate(zip_with(eq, array({arr}), (a, b) -> a * b), "
+            "0L, (acc, x) -> acc + x)"
+        )
+
+    quant = quant.select(
+        "*", *[F.expr(_proj_sql(p)).alias(f"_pj{p}") for p in range(MAX_PLANES)]
+    )
+    bucket_sql = "0L"
     rung_buckets: dict[int, "F.Column"] = {}
     for p in range(MAX_PLANES):
-        coef = F.array(*[F.lit(c) for c in signs[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("eq"), coef, lambda a, b: a * b.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        bucket_sql = (
+            f"{bucket_sql} + (CASE WHEN _pj{p} > 0 THEN {1 << p}L ELSE 0L END)"
         )
         if p + 1 in PLANES_LADDER:
-            rung_buckets[p + 1] = bucket
+            rung_buckets[p + 1] = F.expr(bucket_sql)
     params = (
         emb.agg(F.count("*").alias("n_vecs"))
         .select(F.expr(_planes_used_sql("n_vecs")).alias("planes_used"))
@@ -1762,7 +1776,12 @@ def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    nrm = (
+    # optimization r13 (guide §5): nrm feeds both pair-join sides —
+    # each re-ran the quantize + norm pass (and, pre-checkpoint, the
+    # whole subcell assignment) before
+    from pokertracker_cassandra_st_spark.ckpt import materialized
+
+    nrm = materialized(
         cells.select("vec_id", "label", "subcell", qcol.alias("q"))
         .withColumn("nsq", nsq)
         .filter(F.col("nsq") > 0)

@@ -369,9 +369,16 @@ def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count broadcasts; the final top-20 rides TakeOrderedAndProject.
     """
     li = table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
+    # optimization r13 (guide §5): items feeds both self-join sides,
+    # the frequency agg and the order count — four lineages, each
+    # re-running the fact scan + distinct before; materialized once
+    from pokertracker_cassandra_st_spark.ckpt import materialized
+
+    items = materialized(
+        li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+        ).distinct()
+    )
     a = items.select("okey", F.col("pkey").alias("p1"))
     b = items.select("okey", F.col("pkey").alias("p2"))
     pairs = (
