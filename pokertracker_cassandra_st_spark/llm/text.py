@@ -1926,30 +1926,35 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integral ppm, no floats anywhere.
     """
     toks = F.split("text", " ")
-    d = (
+    # optimization r13 (the q_text_winnow lesson, guide §1.2): tokenize
+    # ONCE into a named column — the inline form re-evaluated
+    # split(text) for every reference AND inside the bigram transform's
+    # per-element lambda (higher-order lambdas evaluate their whole
+    # body per element, outside codegen subexpression elimination) —
+    # O(tokens²) splits per doc. Value-identical, 5.0 s -> 1.2 s.
+    t0 = (
         table(spark, sf_dir, "documents")
         .filter(F.size(toks) >= 1)
-        .select(
-            "doc_id",
-            "source",
-            F.size(toks).cast("long").alias("n_tokens"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
-            F.when(
-                F.size(toks) >= 2,
-                F.size(
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(toks) - 1),
-                            lambda i: F.array_join(
-                                F.slice(toks, i, 2), " "
-                            ),
-                        )
+        .select("doc_id", "source", toks.alias("tk"))
+    )
+    d = t0.select(
+        "doc_id",
+        "source",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_types"),
+        F.when(
+            F.size("tk") >= 2,
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - 1),
+                        lambda i: F.array_join(F.slice("tk", i, 2), " "),
                     )
-                ).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("n_bigram_types"),
+                )
+            ).cast("long"),
         )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_bigram_types"),
     )
     return d.select(
         "doc_id",
@@ -2019,15 +2024,19 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-symmetric either way.
     """
     toks = F.split("text", " ")
+    # tokenize ONCE into a named column (optimization r13 — the
+    # q_text_winnow/lexical_diversity lesson): the inline form
+    # re-evaluated split(text) inside the trigram lambda per element
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            F.sequence(F.lit(1), F.size("tk") - 2),
+            lambda i: F.array_join(F.slice("tk", i, 3), " "),
         )
     )
     g = (
         table(spark, sf_dir, "documents")
         .filter(F.size(toks) >= 3)
+        .select("doc_id", toks.alias("tk"))
         .select("doc_id", F.explode(grams).alias("gram"))
         .select(
             "doc_id", F.substring(F.md5("gram"), 1, 16).alias("d")
