@@ -29,11 +29,15 @@ def plan_of_unmaterialized(
     barrier (semi-join peels, frontier probes, bucketed rank windows)
     inspect the full pre-checkpoint tree — the plan that actually
     executes inside the checkpoint's own query execution."""
+    import pokertracker_cassandra_st_spark.ckpt as ckpt
     import pokertracker_cassandra_st_spark.dist_rank as dist_rank
+    import pokertracker_cassandra_st_spark.llm.dedup as dedup
     import pokertracker_cassandra_st_spark.operators.graph as graph
 
     monkeypatch.setattr(graph, "_materialized", lambda df: df)
     monkeypatch.setattr(dist_rank, "_materialized", lambda df: df)
+    monkeypatch.setattr(dedup, "_materialized", lambda df: df)
+    monkeypatch.setattr(ckpt, "materialized", lambda df: df)
     return plan_of(spark, name, sf_dir, mode=mode)
 
 
@@ -517,7 +521,9 @@ def test_pattern_match_reuses_window_partitioning(spark, sf_dir):
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
 
 
-def test_semantic_dedup_cell_blocked_broadcast_centroids(spark, sf_dir):
+def test_semantic_dedup_cell_blocked_broadcast_centroids(
+    spark, sf_dir, monkeypatch
+):
     # pair generation must stay cell-blocked (equi-join on
     # (label, subcell), never a cartesian) and both centroid-side
     # frames (cells x dim, cells) must broadcast — the corpus shuffles
@@ -525,7 +531,11 @@ def test_semantic_dedup_cell_blocked_broadcast_centroids(spark, sf_dir):
     # The ONLY nested-loop joins allowed are the broadcast 1-row
     # ladder-choice injections (_with_subcell's params frame) — the
     # lazy alternative to a driver-side count, same as PLANES_LADDER.
-    simple = plan_of(spark, "q_dedup_semantic", sf_dir, mode="simple")
+    # r13: qt/cent/cosc are checkpoint-materialized; inspect the
+    # pre-barrier tree, which is what executes inside the checkpoints
+    simple = plan_of_unmaterialized(
+        spark, "q_dedup_semantic", sf_dir, monkeypatch, mode="simple"
+    )
     assert "CartesianProduct" not in simple
     assert simple.count("BroadcastNestedLoopJoin") == simple.count(
         "BroadcastNestedLoopJoin BuildRight, Cross"
@@ -684,7 +694,7 @@ def test_tpch_q3_keeps_both_broadcasts_under_aqe(spark, sf_dir):
     assert "SortMergeJoin" not in final
 
 
-def test_knn_graph_shuffles_on_cell_never_broadcasts_corpus(spark, sf_dir):
+def test_knn_graph_shuffles_on_cell_never_broadcasts_corpus(spark, sf_dir, monkeypatch):
     # corpus x corpus self-join: the toy-scale estimate would broadcast
     # one whole copy; the pinned shape shuffles both sides once on the
     # adaptive (label, subcell) cell key — the probe side on its
@@ -692,7 +702,9 @@ def test_knn_graph_shuffles_on_cell_never_broadcasts_corpus(spark, sf_dir):
     # sort-merge. The only broadcast joins are the two 1-row ladder
     # params cross-joins (BroadcastNestedLoopJoin), one of which the
     # executed plan collapses to a ReusedExchange.
-    simple = plan_of(spark, "q_sim_knn_graph", sf_dir, mode="simple")
+    # r13: the subcell frame is checkpoint-materialized; inspect the
+    # pre-barrier tree (what executes inside the checkpoint)
+    simple = plan_of_unmaterialized(spark, "q_sim_knn_graph", sf_dir, monkeypatch, mode="simple")
     assert simple.count("ShuffledHashJoin") == 1
     assert "BroadcastHashJoin" not in simple
     assert "SortMergeJoin" not in simple
@@ -1313,11 +1325,12 @@ def test_text_keywords_topk_pushes_rank_limit(spark, sf_dir):
     assert "BatchEvalPython" not in simple
 
 
-def test_cell_stats_is_two_tiny_aggregates(spark, sf_dir):
+def test_cell_stats_is_two_tiny_aggregates(spark, sf_dir, monkeypatch):
     # cell assignment is a narrow map (ladder choice = 1-row broadcast);
     # then one (label, subcell) count and one label rollup — no joins
     # beyond the 1-row nested-loop broadcast
-    simple = plan_of(spark, "q_sim_cell_stats", sf_dir, mode="simple")
+    # (r13: pre-barrier tree — the subcell frame is checkpointed)
+    simple = plan_of_unmaterialized(spark, "q_sim_cell_stats", sf_dir, monkeypatch, mode="simple")
     assert simple.count("BroadcastNestedLoopJoin") == 1  # the ladder row
     assert "ShuffledHashJoin" not in simple
     assert "SortMergeJoin" not in simple
