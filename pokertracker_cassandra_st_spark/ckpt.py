@@ -1,13 +1,13 @@
-"""Shared one-per-invocation materialization barrier (optimization r13).
+"""Shared one-per-invocation materialization barrier (optimization r13,
+fault-tolerance posture parameterised r14).
 
-``materialized(df)`` is a LAZY local checkpoint: the subtree is
-compiled once and its partitions persist (memory+disk) on first action,
-so every downstream reference shares ONE physical build instead of
-re-executing the whole lineage per reference — Catalyst has no
-cross-branch common-subplan reuse, and exchange reuse only dedups
-byte-identical exchange subtrees, which multi-branch pipelines
-(self-joins over derived frames, count+join fan-outs) rarely produce
-(guide §5: "localCheckpoint() is a cheaper way to cut lineage").
+``materialized(df)`` truncates lineage so that every downstream
+reference shares ONE physical build instead of re-executing the whole
+lineage per reference — Catalyst has no cross-branch common-subplan
+reuse, and exchange reuse only dedups byte-identical exchange subtrees,
+which multi-branch pipelines (self-joins over derived frames,
+count+join fan-outs) rarely produce (guide §5: "localCheckpoint() is a
+cheaper way to cut lineage").
 
 Properties relied on throughout:
   * eager=False — query CONSTRUCTION and explain/plan_of stay job-free
@@ -19,12 +19,66 @@ Properties relied on throughout:
     plan-shape tests stub the per-module ``_materialized`` seams to
     assert on the pre-checkpoint tree (tests/test_plans.py
     ``plan_of_unmaterialized``).
+
+Fault tolerance and storage lifetime (r13 VERDICT/ADVICE items):
+
+  * The default ``local`` mode stores the barrier's partitions in
+    executor memory+disk with lineage TRUNCATED: on an executor loss
+    the downstream job cannot recompute the lost partitions and the
+    whole query invocation must be re-run from the source. That is the
+    guide-§5 trade ("when fault tolerance of that intermediate is not
+    critical"): the barrier removes 2-5 redundant corpus passes from
+    every run, while an executor loss costs one re-run of one query —
+    at 100 TB the expected cost of re-running the rare failed query is
+    far below the guaranteed cost of the redundant passes on every
+    query. It is NOT safe with dynamic allocation / spot executors;
+    for those deployments set the barrier mode to ``reliable``.
+  * ``reliable`` mode (``SPARK_GRAFT_BARRIER=reliable`` or spark conf
+    ``spark.graft.barrier``) uses a reliable ``checkpoint(eager=False)``
+    into the session's checkpoint directory (HDFS/object store on a
+    cluster): partitions survive executor loss; the extra cost is one
+    write+read of the barrier frame. A default local checkpoint dir is
+    installed if the session has none; set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    checkpoint files are removed when the RDD is GC'd.
+  * ``none`` disables the barrier (debugging / plan inspection).
+  * Block lifetime: barrier blocks are freed by the driver's
+    ContextCleaner when the invocation's DataFrame is garbage
+    collected — a long-lived session running many queries releases
+    them incrementally; nothing accumulates across invocations beyond
+    normal GC lag.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+_VALID_MODES = ("local", "reliable", "none")
+
+
+def _barrier_mode(df: DataFrame) -> str:
+    try:
+        mode = df.sparkSession.conf.get(
+            "spark.graft.barrier", os.environ.get("SPARK_GRAFT_BARRIER", "local")
+        )
+    except Exception:  # pragma: no cover — conf access race in shutdown
+        mode = "local"
+    return mode if mode in _VALID_MODES else "local"
 
 
 def materialized(df: DataFrame) -> DataFrame:
+    mode = _barrier_mode(df)
+    if mode == "none":
+        return df
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CKPT_DIR", "/tmp/spark-graft-checkpoints"
+                )
+            )
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)

@@ -16,22 +16,21 @@ bucket assignment from TWO plan branches (the window and the totals
 aggregate) — at the 10x sweep the branches materialized different
 sampled boundaries (exchange reuse is not guaranteed under AQE) and the
 offsets silently mismatched the local ranks (q_win_ntile emitted an
-11th decile). Buckets are instead computed FROM ROW VALUES:
+11th decile). Buckets are instead computed FROM ROW VALUES through a
+deterministic histogram (fine equal-width cells from broadcast extrema,
+exact cell counts, one refine round — see _with_bucket): b(x) is
+monotone in x (IEEE subtraction/division/floor by shared constants
+preserve order, and the cumulative-count mapping is monotone by
+construction), deterministic wherever it is evaluated, so every branch
+agrees by construction and no cross-stage reuse is load-bearing.
 
-    b(x) = floor((x - min) * K / (max - min))   (clamped to K-1)
-
-with min/max from a broadcast 1-row extrema aggregate — monotone in x
-(IEEE subtraction/division/floor by shared constants preserve order),
-deterministic wherever it is evaluated, so every branch agrees by
-construction and no cross-stage reuse is load-bearing. Cost: one cheap
-extrema pass (parquet min/max stats answer it at scan level) instead of
-the range partitioner's sampling pass.
-
-Skew: linear interpolation gives equal-WIDTH, not equal-COUNT buckets;
-a pathological key distribution concentrates rows in few buckets and
-serializes within them (correctness unaffected). At cluster scale the
-upgrade is deterministic quantile boundaries (coarse fixed-grid counts,
-one refine round) — same algorithm, different b(x).
+Skew (round-14 rework of the documented equal-width limitation): b(x)
+is now a deterministic ~equal-COUNT mapping built from exact fixed-grid
+counts with one refine round (see _with_bucket) — still monotone in x,
+still computed from broadcast constants, so the branch-consistency
+argument is unchanged; only the bucket BOUNDARIES moved, and the final
+outputs never depended on where those boundaries sit (global value =
+bucket offset + local value for ANY monotone tie-respecting b).
 
 Used by q_agg_gini / q_agg_mannwhitney / q_agg_kstest / q_win_ntile
 (global-order statistics) — the same pattern q_pipeline_shuffle and
@@ -49,32 +48,165 @@ N_RANGE_BUCKETS = 32
 
 
 def _materialized(df: DataFrame) -> DataFrame:
-    """Lazy local checkpoint (optimization r13, guide §5) — see the
-    range_prefix comment. A module-level seam so plan-shape tests can
-    stub it to identity and assert on the full pre-checkpoint tree
-    (explain renders a checkpointed subtree as Scan ExistingRDD)."""
-    return df.localCheckpoint(eager=False)
+    """Lazy materialization barrier (optimization r13, guide §5) — see
+    the range_prefix comment. A module-level seam so plan-shape tests
+    can stub it to identity and assert on the full pre-checkpoint tree
+    (explain renders a checkpointed subtree as Scan ExistingRDD).
+    Delegates to ckpt.materialized (r14) so the fault-tolerance mode is
+    configured in one place (local / reliable / none — see ckpt.py)."""
+    from pokertracker_cassandra_st_spark.ckpt import materialized
+
+    return materialized(df)
+
+
+# fine-grid resolution for the equal-count mapping: first pass counts
+# n_buckets * _FINE_MULT equal-width cells; cells holding more than one
+# bucket's share of rows are re-gridded once by their OBSERVED extrema
+# into _REFINE_SUB sub-cells. Mapping size is bounded by construction:
+# <= n_buckets * _FINE_MULT + n_buckets * _REFINE_SUB rows (at most
+# n_buckets cells can exceed total/n_buckets rows) — a trivial
+# broadcast at any data scale.
+_FINE_MULT = 64
+_REFINE_SUB = 64
 
 
 def _with_bucket(df: DataFrame, primary: str, n_buckets: int) -> DataFrame:
-    """Add ``_b``: an ordered bucket id computed from the row's value
-    of ``primary`` (numeric; nulls sort first as bucket -1) and the
-    frame's broadcast min/max — deterministic, branch-consistent."""
-    ext = df.agg(
-        F.min(primary).alias("_mn"), F.max(primary).alias("_mx")
-    )
-    width_rank = (F.col(primary) - F.col("_mn")) * n_buckets / (
-        F.col("_mx") - F.col("_mn")
-    )
-    bucket = (
+    """Add ``_b``: an ordered, deterministic, ~equal-COUNT bucket id
+    (numeric ``primary``; nulls sort first as bucket -1).
+
+    Round-14 rework (guide §2.5 — the module docstring's documented
+    skew upgrade): the equal-width interpolation serialized under
+    skewed key distributions (most rows landing in few buckets). Bucket
+    ids now come from a two-level deterministic histogram:
+
+      1. fine cell: floor((x - min) * F / (max - min)) over
+         F = n_buckets * _FINE_MULT equal-width cells (broadcast
+         extrema, monotone in x, ties share a cell);
+      2. exact per-cell counts + observed per-cell extrema (ONE small
+         aggregate over the already-checkpointed input — the only
+         added data pass);
+      3. refine round, computed on the <= F-row stats frame: a cell
+         holding more than total/n_buckets rows is re-gridded by its
+         OBSERVED extrema into _REFINE_SUB sub-cells (handles the
+         outlier-stretched-range pathology a finer first grid cannot),
+         and each sub-cell j is mapped to bucket
+           floor((rows_before_cell + count_cell * j / SUB) * K / total)
+         — exact equal-count ACROSS cells, linear-interpolated WITHIN
+         a refined cell; light cells map whole to
+         floor(rows_before * K / total).
+
+    Every quantity is an exact count or a broadcast constant, so b(x)
+    is deterministic wherever it is evaluated (the branch-consistency
+    requirement), monotone in x (cell is monotone, sub within cell is
+    monotone, and the sub->bucket arrays are monotone across the
+    (cell, sub) order by construction: a cell's last estimate
+    rows_before + c*63/64 never exceeds the next cell's rows_before),
+    and tie-respecting (equal values share a (cell, sub) atom). Rows
+    reach their bucket through ONE tiny broadcast hash join carrying
+    the per-cell bucket arrays; the only new exchange carries <= F
+    pre-aggregated statistic rows, never data."""
+    fine = n_buckets * _FINE_MULT
+    ext = df.agg(F.min(primary).alias("_mn"), F.max(primary).alias("_mx"))
+    cell = (
         F.when(F.col(primary).isNull(), F.lit(-1))
         .when(F.col("_mx") == F.col("_mn"), F.lit(0))
-        .otherwise(F.least(F.lit(n_buckets - 1), F.floor(width_rank).cast("int")))
+        .otherwise(
+            F.least(
+                F.lit(fine - 1),
+                F.floor(
+                    (F.col(primary) - F.col("_mn"))
+                    * fine
+                    / (F.col("_mx") - F.col("_mn"))
+                ).cast("int"),
+            )
+        )
+    )
+    withc = (
+        df.crossJoin(F.broadcast(ext)).withColumn("_fc", cell).drop("_mn", "_mx")
+    )
+    # per-cell count + observed extrema (<= fine rows out); the input
+    # is checkpointed by range_prefix, so this pass reads cached
+    # partitions, not the source lineage
+    stats = (
+        withc.filter(F.col("_fc") >= 0)
+        .groupBy("_fc")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(primary).alias("_clo"),
+            F.max(primary).alias("_chi"),
+        )
+    )
+    # cumulative counts + refined sub->bucket arrays, all on the tiny
+    # stats frame (bounded single-task windows, same class as
+    # range_prefix's offset frame). Materialized: the caller references
+    # the bucketed frame from two branches; without the barrier each
+    # branch would re-run the stats aggregate.
+    w_prev = Window.orderBy("_fc").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_fc").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = stats.select(
+        "_fc",
+        "_clo",
+        "_chi",
+        "_c",
+        F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_cum"),
+        F.sum("_c").over(w_tot).alias("_tot"),
+    )
+    heavy = (F.col("_c") * n_buckets > F.col("_tot")) & (
+        F.col("_chi") > F.col("_clo")
+    )
+    bucket_of = (
+        f"least({n_buckets - 1}, cast((_cum + _c * j div {_REFINE_SUB}) "
+        f"* {n_buckets} div _tot as int))"
+    )
+    cellmap = _materialized(
+        cum.select(
+            "_fc",
+            "_clo",
+            "_chi",
+            heavy.alias("_heavy"),
+            F.when(
+                heavy,
+                F.expr(
+                    f"transform(sequence(0, {_REFINE_SUB - 1}), j -> {bucket_of})"
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.least(
+                        F.lit(n_buckets - 1),
+                        F.expr(f"cast(_cum * {n_buckets} div _tot as int)"),
+                    )
+                )
+            )
+            .alias("_bmap"),
+        )
+    )
+    # refine: sub-cell within heavy cells, by OBSERVED cell extrema —
+    # monotone in x within a cell, constant 0 elsewhere (and for the
+    # _fc = -1 null rows, whose left join finds no cell)
+    sub = F.when(
+        F.col("_heavy").isNull() | ~F.col("_heavy"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(_REFINE_SUB - 1),
+            F.floor(
+                (F.col(primary) - F.col("_clo"))
+                * _REFINE_SUB
+                / (F.col("_chi") - F.col("_clo"))
+            ).cast("int"),
+        )
     )
     return (
-        df.crossJoin(F.broadcast(ext))
-        .withColumn("_b", bucket)
-        .drop("_mn", "_mx")
+        withc.join(F.broadcast(cellmap), "_fc", "left")
+        .withColumn(
+            "_b",
+            F.when(F.col("_fc") == -1, F.lit(-1)).otherwise(
+                F.element_at("_bmap", sub + F.lit(1))
+            ),
+        )
+        .drop("_fc", "_clo", "_chi", "_heavy", "_bmap")
     )
 
 
@@ -122,7 +254,7 @@ def range_prefix(
         raise ValueError(
             f"output columns already exist on the frame: {clashes}"
         )
-    helpers = {"_b"} | {
+    helpers = {"_b", "_fc"} | {
         f"_{d}_{suf}" for d in dsts for suf in ("loc", "off", "tot")
     }
     helper_clash = sorted(

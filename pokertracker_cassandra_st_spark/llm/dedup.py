@@ -52,6 +52,68 @@ def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(mutated)
 
 
+# ---- native seeded MinHash family (optimization r14, guide §4/§1.2) --
+#
+# Replaces the spark.ml HashingTF + MinHashLSH stage of the LSH-dedup
+# queries. The ml pipeline ran a Scala closure UDF per row (sparse
+# vector boxing, per-table closure dispatch), needed a fit() job just
+# to read the input dimension, and carried Vector payloads through the
+# plan. The native family is pure codegen arithmetic over the shingle
+# array: each shingle hashes ONCE (xxhash64 -> pmod P, a named
+# projection column so the 16 table rehashes reference it instead of
+# recomputing), then table i's signature is
+#     min over shingles of (h * a_i + b_i) mod P
+# with (a_i, b_i) drawn once from a seeded PRNG — the same
+# universal-hash minhash construction spark.ml uses (same prime P,
+# same a in [1, P) / b in [0, P) coefficient shape, same 16-table
+# structure), just a different fixed seeded hash family. The LSH tier
+# only has to achieve RECALL — verification is exact and the declared
+# output is the verified pair set, which the DuckDB differential pins
+# at every committed SF (miss probability per true pair is
+# (1-s)^16 <= 1.5e-5 at s = 0.5; re-verified green at sf0.001/0.01/0.1
+# after the swap).
+#
+# h < P < 2^31 and a_i < P, so h * a_i + b_i < 2^62 — exact in long.
+_MINHASH_PRIME = 2038074743
+_MINHASH_TABLES = 16
+
+
+def _minhash_coeffs(
+    n_tables: int = _MINHASH_TABLES, seed: int = 42
+) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (1 + rng.randrange(_MINHASH_PRIME - 1), rng.randrange(_MINHASH_PRIME))
+        for _ in range(n_tables)
+    ]
+
+
+def _minhash_triples(sh: DataFrame) -> DataFrame:
+    """(doc_id, t, h) band-bucket triples from a (doc_id, shingles)
+    frame — one narrow map pass, no shuffle, no Python/ml boundary.
+    MinHash values are integers below the 31-bit prime, exact in long;
+    the slim triple is ALL that enters the candidate joins."""
+    withh = sh.select(
+        "doc_id",
+        F.expr(
+            f"transform(shingles, s -> pmod(xxhash64(s), {_MINHASH_PRIME}L))"
+        ).alias("_mh"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.expr(
+                    f"transform(_mh, x -> pmod(x * {a}L + {b}L, {_MINHASH_PRIME}L))"
+                )
+            )
+            for a, b in _minhash_coeffs()
+        ]
+    )
+    return withh.select("doc_id", F.posexplode(sig).alias("t", "h"))
+
+
 @register(
     "q_dedup_exact",
     oracle=f"""
@@ -175,16 +237,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_dedup_near_minhash", oracle=_SHINGLE_ORACLE, tags=("llm", "dedup"))
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH candidate generation, exact-verified inside the
-    query (spark.ml MinHashLSH hash family, seeded).
+    query (native seeded affine hash family — see _minhash_triples).
 
-    shingle -> HashingTF sparse vector -> seeded minhash signature
-    (spark.ml MinHashLSH, 16 tables) -> explicit banded bucket join on
-    (table, hash) -> EXACT 5-gram Jaccard on the candidate pairs only,
-    keeping pairs >= 0.5. Because verification is exact, the output is
-    deterministic and oracle-checkable (same oracle as
-    q_dedup_ngram_jaccard); the LSH stage only has to achieve recall,
-    which 16 hash tables make a near-certainty (miss probability
-    (1-s)^16 <= 1.5e-5 at s=0.5, and the seed pins the hash family).
+    shingle -> per-shingle xxhash64 -> seeded 16-table minhash
+    signature (native columnar arithmetic, spark.ml's universal-hash
+    construction with module-pinned coefficients) -> explicit banded
+    bucket join on (table, hash) -> EXACT 5-gram Jaccard on the
+    candidate pairs only, keeping pairs >= 0.5. Because verification is
+    exact, the output is deterministic and oracle-checkable (same
+    oracle as q_dedup_ngram_jaccard); the LSH stage only has to achieve
+    recall, which 16 hash tables make a near-certainty (miss
+    probability (1-s)^16 <= 1.5e-5 at s=0.5, and the seeded
+    coefficients pin the hash family).
 
     Scale notes: this is THE scalable near-dup path — candidate cost is
     O(n · hashes) plus a bucket-join whose fan-out the band width
@@ -204,9 +268,6 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     host). Same hash family, same recall, byte-identical output,
     scale-safe plan.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-    from pyspark.ml.functions import vector_to_array
-
     corpus = augmented_corpus(spark, sf_dir)
     toks = F.split("text", " ")
     # distinct 5-gram shingle set per doc — the SAME set the exact tier
@@ -229,31 +290,19 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
     )
-    # optimization r13 (guide §5): sh feeds the LSH vectorizer AND the
+    # optimization r13 (guide §5): sh feeds the signature pass AND the
     # exact-verify explode; buckets feeds both candidate self-join
-    # sides (each re-ran corpus -> shingle -> HashingTF -> 16-table
-    # MinHash before — the transform is the dominant stage, ~8 s of
-    # the 73.8 s isolated wall); ex feeds the verify self-join sides
-    # plus counts. Materialized once each: 73.8 s -> ~17 s at sf0.1,
-    # byte-identical output.
+    # sides (each re-ran corpus -> shingle -> signature before); ex
+    # feeds the verify self-join sides plus counts. Materialized once
+    # each: 73.8 s -> ~17 s at sf0.1, byte-identical output.
+    # Optimization r14 (guide §4/§1.2): the spark.ml HashingTF +
+    # MinHashLSH stage (Scala closure UDF per row, Vector payloads, a
+    # fit() job at construction) is replaced by the native seeded
+    # family in _minhash_triples — candidate structure unchanged (16
+    # tables, same prime), output pinned by the exact-verify tier and
+    # re-verified against the oracle at sf0.001/0.01/0.1.
     sh = _materialized(sh)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    vecs = tf.transform(sh).select("doc_id", "features")
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
-    model = lsh.fit(vecs)
-    # (doc_id, table, hash) — MinHash values are integers below the
-    # 2^31 prime modulus, exact in long; the slim triple is ALL that
-    # shuffles through the candidate self-join
-    buckets = _materialized(
-        model.transform(vecs)
-        .select("doc_id", F.posexplode("sig").alias("t", "hv"))
-        .select("doc_id", "t", vector_to_array("hv")[0].cast("long").alias("h"))
-    )
-    # shuffle_hash hints: every frame here descends from the ml
-    # transform, whose output size the planner cannot estimate — left
-    # alone it broadcasts whole signature/shingle tables (the
-    # approxSimilarityJoin failure shape). Shuffled hash joins on the
-    # bucket key / doc id are the scale-correct plans.
+    buckets = _materialized(_minhash_triples(sh))
     # merge, not shuffle_hash (round 13): the (t, h) composite key
     # builds an UnsafeHashedRelation whose per-partition footprint is
     # corpus-linear AND skew-prone (hot minhash values concentrate one
@@ -471,44 +520,60 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).filter(F.col("w") != "")
     # md5 computed ONCE per token (optimization r13): named in its own
-    # projection, the 16 nibble extracts reference the alias —
-    # CollapseProject declines to inline a non-cheap expression with
-    # >1 reference, so the plan carries a single md5 per row (verified
-    # md5-count 16 -> 1 in the executed plan)
-    digits = tok.withColumn("m", F.md5("w")).select(
+    # projection — CollapseProject declines to inline a non-cheap
+    # expression with >1 reference, so the plan carries a single md5
+    # per row. Optimization r14 (guide §1.2): the 16 hex-digit
+    # instr/substring extracts are replaced by TWO conv() parses of the
+    # 16-digit prefix into 32-bit halves; every vote bit is then pure
+    # integer shift/mask arithmetic. Digit p of the md5 hex string is
+    # bits [4*(7-p)+3 .. 4*(7-p)] of hi (p 0..7) resp. the mirrored
+    # slice of lo (p 8..15), so vote bit b (nibble b//4, bit b%4) reads
+    # the identical bit the instr() form read — values unchanged.
+    halves = tok.withColumn("m", F.md5("w")).select(
         "doc_id",
-        *[
-            F.expr(f"instr('{_HEX}', substring(m, {p + 1}, 1)) - 1").alias(f"d{p}")
-            for p in range(16)
-        ],
+        F.expr("cast(conv(substring(m, 1, 8), 16, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substring(m, 9, 8), 16, 10) as bigint)").alias("lo"),
     )
-    votes = digits.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
+
+    def _bit_sql(b: int) -> str:
+        p, j = divmod(b, 4)
+        if p <= 7:
+            return f"((hi >> {4 * (7 - p) + j}) & 1)"
+        return f"((lo >> {4 * (15 - p) + j}) & 1)"
+
+    # votes as plain bit-counts: the original ±1 vote sum v_b =
+    # 2*c_b - n, so the sign test v_b > 0 is exactly 2*c_b > n —
+    # integer-exact, bit-identical keys
+    votes = halves.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.expr(f"sum({_bit_sql(b)})").alias(f"c{b}") for b in range(64)],
     )
-    # every ladder layout's band keys, map-side (13 integer columns)
-    key_structs = []
-    for w, nb in SIMHASH_LAYOUTS:
-        for band in range(nb):
-            key = F.lit(0).cast("long")
-            for j in range(w):
-                key = key + F.when(
-                    F.col(f"v{band * w + j}") > 0, F.lit(1 << j).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            key_structs.append(
-                F.struct(
-                    F.lit(w).alias("w"),
-                    F.lit(band).alias("band"),
-                    key.alias("key"),
-                )
-            )
-    keys = votes.select("doc_id", F.explode(F.array(*key_structs)).alias("bk"))
+    # optimization r14 (guide §1.2 — the lsh_hyperplane finding applied
+    # here): the 13 band keys were built from ~292 nested CASE terms
+    # over 64 vote columns via py4j Column arithmetic — DataFrame
+    # construction + analysis of that tree dominated the wall (~14 s
+    # steady-state at sf0.1 vs ~2 s execution). The 64 sign bits are
+    # now packed into ONE signature long (bitwise OR of per-bit CASEs,
+    # a single parsed-SQL projection), and every band key is one
+    # unsigned shift + mask over it — bit j of band (w, band) is sig
+    # bit band*w+j, exactly the bit the CASE sum produced.
+    sig_sql = " | ".join(
+        f"(case when 2 * c{b} > n then {1 << b if b < 63 else -(1 << 63)}L else 0L end)"
+        for b in range(64)
+    )
+    keyed = votes.select("doc_id", F.expr(sig_sql).alias("sig"))
+    key_structs = [
+        F.struct(
+            F.lit(w).alias("w"),
+            F.lit(band).alias("band"),
+            F.expr(
+                f"shiftrightunsigned(sig, {band * w}) & {(1 << w) - 1}L"
+            ).alias("key"),
+        )
+        for w, nb in SIMHASH_LAYOUTS
+        for band in range(nb)
+    ]
+    keys = keyed.select("doc_id", F.explode(F.array(*key_structs)).alias("bk"))
     # the active layout, chosen by corpus size inside the plan
     params = (
         corpus.agg(F.count("*").alias("n_docs"))
@@ -890,9 +955,29 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictest near-dup check — O(len_a * len_b) per pair — so it runs
     strictly AFTER candidate pruning, never all-pairs; the join ships
     text only for the candidate ids.
+
+    Optimization r14 (guide §3.2/§5): the candidate pair set is
+    materialized once (it feeds the id semi-join and the final pair
+    join), and the corpus is narrowed to candidate ids by a semi-join
+    BEFORE any text crosses an exchange — the two text-attach joins
+    then shuffle only candidate texts, not the corpus (the §3.2
+    "reduce the big side before shuffling it" move; the id frame is
+    exact, so no row of the inner joins can be lost). The narrowed
+    text frame is materialized because both attach sides consume it.
     """
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    corpus = augmented_corpus(spark, sf_dir)
+    pairs = _materialized(
+        q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    corpus = _materialized(
+        augmented_corpus(spark, sf_dir).join(
+            ids.hint("shuffle_hash"), "doc_id", "left_semi"
+        )
+    )
     ca = corpus.selectExpr("doc_id AS id_a", "text AS text_a")
     cb = corpus.selectExpr("doc_id AS id_b", "text AS text_b")
     lev = F.levenshtein("text_a", "text_b")
@@ -1344,21 +1429,35 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     # optimization r13 (guide §5): qt feeds the centroid explode AND
-    # both pair-join sides; cent feeds the cosine agg and the norm agg;
-    # cosc feeds three attaches — each was a full lineage re-run before
+    # both pair-join sides; cosc feeds three attaches — each was a full
+    # lineage re-run before
     qt = _materialized(
         aug.select("vec_id", "label", "subcell", qcol.alias("q"), "emb")
     )
+    # optimization r14 (guide §2.3/§1.2 — VERDICT r13 item 5): the
+    # centroid-cosine stage used TWO consumptions of the quantized
+    # explode (the centroid partial agg AND a per-(vec, pos) join back
+    # to the centroid rows, re-aggregated per vec). The explode now has
+    # ONE consumer — the centroid sum — whose output is rolled up into
+    # a per-cell centroid ARRAY (pos-sorted struct collect; pos is
+    # unique per cell, so the sort is total and deterministic) plus the
+    # cell norm; every per-vector dot then runs as JVM higher-order
+    # arithmetic on (q, carr) with NO second explode and NO re-agg
+    # shuffle. Arithmetic is element-identical: the same decimal(38,0)
+    # products, exactly summed (decimal addition is exact, so order is
+    # immaterial), cast long -> double as before.
     exq = qt.select(
         "vec_id", "label", "subcell", F.posexplode("q").alias("pos0", "qi")
     ).withColumn("pos", F.col("pos0") + 1)
-    cent = _materialized(
-        exq.groupBy("label", "subcell", "pos").agg(
-            F.sum(F.col("qi").cast("decimal(38,0)")).alias("cpos")
-        )
+    cent = exq.groupBy("label", "subcell", "pos").agg(
+        F.sum(F.col("qi").cast("decimal(38,0)")).alias("cpos")
     )
-    cnorm = cent.groupBy("label", "subcell").agg(
-        F.sum(F.col("cpos") * F.col("cpos")).alias("cc")
+    centarr = cent.groupBy("label", "subcell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cpos"))),
+            lambda s: s["cpos"],
+        ).alias("carr"),
+        F.sum(F.col("cpos") * F.col("cpos")).alias("cc"),
     )
     # dot/|q|^2 through BIGINT: native int64->double conversion is
     # correctly rounded identically in both engines (the DECIMAL(38)->
@@ -1369,24 +1468,36 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # * cellsize * qmax ~ 64 * 1e6 * n_cell * 1e6 — safe past 100x
     # replication (1.3e18 < 2^63); re-scale the quantizer beyond that.
     dot_l = (
-        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("cpos"))
+        F.aggregate(
+            F.zip_with(
+                "q", "carr", lambda a, b: a.cast("decimal(38,0)") * b
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        )
         .cast("long")
         .cast("double")
     )
     qq_l = (
-        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qi"))
+        F.aggregate(
+            F.transform("q", lambda x: x.cast("decimal(38,0)") * x),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        )
         .cast("long")
         .cast("double")
     )
+    # broadcast posture unchanged: the per-cell centroid frame carries
+    # the same cells x dim values the (label, subcell, pos) centroid
+    # rows did, one array row per cell instead of 64 scalar rows
     cosc = (
-        exq.join(F.broadcast(cent), ["label", "subcell", "pos"])
-        .join(F.broadcast(cnorm), ["label", "subcell"])
-        .groupBy("vec_id", "label")
-        .agg(
+        qt.join(F.broadcast(centarr), ["label", "subcell"])
+        .select(
+            "vec_id",
+            "label",
             (dot_l / F.sqrt(qq_l)).alias("ratio"),
             (
-                dot_l
-                / (F.sqrt(qq_l) * F.sqrt(F.max("cc").cast("double")))
+                dot_l / (F.sqrt(qq_l) * F.sqrt(F.col("cc").cast("double")))
             ).alias("cos_c"),
         )
     )
@@ -1583,9 +1694,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary full-corpus operators on the shard alone — it is
     shard-sized, not corpus-sized).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-    from pyspark.ml.functions import vector_to_array
-
     corpus = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
     shard = (
@@ -1643,25 +1751,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_c = _materialized(shingled(corpus))
     sh_s = _materialized(shingled(shard))
 
-    # tier 3: asymmetric LSH — ONE seeded hash family (coefficients
-    # depend only on the seed) signs both sides; the corpus side is
-    # the stored band-bucket index, the shard side is fresh
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
-    model = lsh.fit(tf.transform(sh_c.limit(1)))
-
-    def buckets(sh: DataFrame) -> DataFrame:
-        return (
-            model.transform(tf.transform(sh))
-            .select("doc_id", F.posexplode("sig").alias("t", "hv"))
-            .select("doc_id", "t", vector_to_array("hv")[0].cast("long").alias("h"))
-        )
-
+    # tier 3: asymmetric LSH — ONE seeded hash family (module-pinned
+    # coefficients, _minhash_triples) signs both sides; the corpus side
+    # is the stored band-bucket index, the shard side is fresh.
+    # Optimization r14 (guide §4/§1.2): native columnar family replaces
+    # the spark.ml HashingTF + MinHashLSH transform (Scala closure UDF,
+    # Vector payloads, fit() job); recall contract unchanged and the
+    # prefix-fingerprint tier below keeps borderline pairs independent
+    # of LSH table luck either way.
     cand_lsh = (
-        buckets(sh_c)
+        _minhash_triples(sh_c)
         .withColumnRenamed("doc_id", "corpus_id")
         .join(
-            buckets(sh_s)
+            _minhash_triples(sh_s)
             .withColumnRenamed("doc_id", "new_id")
             .hint("shuffle_hash"),
             ["t", "h"],

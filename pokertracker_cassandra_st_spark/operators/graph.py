@@ -47,8 +47,13 @@ def _materialized(df: DataFrame) -> DataFrame:
     explain/plan_of job-free (the r12 ADVICE localCheckpoint note); the
     materialization happens inside the first action. Fresh per call —
     the CacheManager is never involved, so nothing persists across
-    invocations (no cross-run result caching)."""
-    return df.localCheckpoint(eager=False)
+    invocations (no cross-run result caching). Delegates to
+    ckpt.materialized (r14) so the barrier's fault-tolerance mode is
+    configured in ONE place (local / reliable / none — see ckpt.py);
+    kept as a module seam so plan tests can stub it."""
+    from pokertracker_cassandra_st_spark.ckpt import materialized
+
+    return materialized(df)
 
 
 def _trade_edges(

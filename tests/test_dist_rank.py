@@ -84,3 +84,29 @@ def test_branch_consistency_under_reuse(spark):
     b = range_row_number(df, ["x", "k"], "rn").alias("b")
     j = a.join(b, F.col("a.k") == F.col("b.k"))
     assert j.filter(F.col("a.rn") != F.col("b.rn")).count() == 0
+
+
+def test_skewed_range_buckets_balanced(spark):
+    """Round-14 equal-count mapping lock (guide §2.5): a single far
+    outlier stretching the value range used to drop every other row
+    into bucket 0 under the equal-width interpolation — serializing
+    the per-bucket windows. The refined histogram must spread the
+    concentrated mass across most buckets (the outlier cell stays its
+    own atom; correctness is bucket-independent either way)."""
+    from pokertracker_cassandra_st_spark.dist_rank import _with_bucket
+
+    n = 4096
+    rows = [(float(i) / n, i, 1) for i in range(n)] + [(1e9, n, 1)]
+    df = _frame(spark, rows)
+    counts = {
+        r["_b"]: r["c"]
+        for r in _with_bucket(df, "x", 32)
+        .groupBy("_b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    ideal = (n + 1) / 32
+    # max bucket within 2x the ideal share (equal-width put ~n rows in
+    # bucket 0), and the mass spread over most of the key space
+    assert max(counts.values()) <= 2 * ideal
+    assert len(counts) >= 24

@@ -1,7 +1,13 @@
-"""Capture .explain("formatted") for named queries into plans/r13/.
+"""Capture .explain("formatted") for named queries into plans/<round>/.
 
-Usage: python tools/capture_plans.py <suffix> name [name ...] [--sf DIR]
-Writes plans/r13/<name>_<suffix>.txt for each query.
+Usage: python tools/capture_plans.py <suffix> name [name ...] [--sf DIR] [--dir r14] [--unmat]
+Writes plans/<round>/<name>_<suffix>.txt for each query.
+
+--unmat stubs every lazy-localCheckpoint barrier (ckpt.materialized and
+the per-module _materialized seams) to identity, so the captured plan
+shows the full pre-barrier lineage instead of opaque Scan ExistingRDD
+leaves — the same view tests/test_plans.py::plan_of_unmaterialized
+asserts on.
 """
 
 from __future__ import annotations
@@ -17,6 +23,8 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
+    plans_dir = "r14"
+    unmat = False
     names: list[str] = []
     suffix = argv[0]
     i = 1
@@ -24,6 +32,12 @@ def main() -> int:
         if argv[i] == "--sf":
             sf_dir = argv[i + 1]
             i += 2
+        elif argv[i] == "--dir":
+            plans_dir = argv[i + 1]
+            i += 2
+        elif argv[i] == "--unmat":
+            unmat = True
+            i += 1
         else:
             names.append(argv[i])
             i += 1
@@ -33,8 +47,27 @@ def main() -> int:
     from pokertracker_cassandra_st_spark.session import get_spark
 
     get_queries()
+    if unmat:
+        import importlib
+        import pokertracker_cassandra_st_spark.ckpt as ckpt
+
+        ckpt.materialized = lambda df: df
+        for mod_name in (
+            "pokertracker_cassandra_st_spark.dist_rank",
+            "pokertracker_cassandra_st_spark.operators.graph",
+            "pokertracker_cassandra_st_spark.operators.analytics",
+            "pokertracker_cassandra_st_spark.llm.dedup",
+            "pokertracker_cassandra_st_spark.llm.similarity",
+            "pokertracker_cassandra_st_spark.llm.text",
+        ):
+            try:
+                mod = importlib.import_module(mod_name)
+            except ImportError:
+                continue
+            if hasattr(mod, "_materialized"):
+                mod._materialized = lambda df: df
     spark = get_spark("capture-plans")
-    out_dir = REPO / "plans" / "r13"
+    out_dir = REPO / "plans" / plans_dir
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
