@@ -685,6 +685,13 @@ def _with_subcell(aug: DataFrame, keep_bits: bool = False) -> DataFrame:
     and so is the output — every caller feeds it to BOTH sides of a
     cell-blocked pair join, and the 16 plane projections per row are
     the dominant map cost."""
+    # helper-name collision guard (ADVICE r13): an input frame already
+    # carrying a _pjN/ceq column would make the references ambiguous
+    clash = [
+        c for c in aug.columns if c.startswith("_pj") or c in ("ceq", "cbits")
+    ]
+    if clash:
+        raise ValueError(f"input columns collide with subcell helpers: {clash}")
     aug = _materialized(aug)
     signs = _cell_plane_signs()
     eq = F.transform(

@@ -252,6 +252,11 @@ def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             "0L, (acc, x) -> acc + x)"
         )
 
+    # helper-name collision guard (ADVICE r13): an input frame already
+    # carrying a _pjN column would make the references below ambiguous
+    clash = [c for c in quant.columns if c.startswith("_pj")]
+    if clash:
+        raise ValueError(f"input columns collide with _pj helpers: {clash}")
     quant = quant.select(
         "*", *[F.expr(_proj_sql(p)).alias(f"_pj{p}") for p in range(MAX_PLANES)]
     )

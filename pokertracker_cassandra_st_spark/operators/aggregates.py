@@ -189,7 +189,11 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("exact_orders"),
+            # count the KEY, not *: count(DISTINCT) ignores NULL keys,
+            # so a null l_orderkey must not count as an order (ADVICE
+            # r13 — a no-op on TPC-H's non-null keys, divergence guard
+            # on any other input)
+            F.count("l_orderkey").alias("exact_orders"),
             F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
         )
         .select(

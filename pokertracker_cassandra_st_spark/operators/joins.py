@@ -1108,11 +1108,26 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sup.join(cust.hint("shuffle_hash"), "b").withColumn(
         "dist_cents", F.abs(F.col("sc") - F.col("cc"))
     )
-    w = Window.partitionBy("s_suppkey").orderBy("dist_cents", "c_custkey")
+    # optimization r14 (guide §2.3 "aggregate before you shuffle"): the
+    # per-supplier argmin was a row_number window — every candidate row
+    # crossed the suppkey exchange and sorted per partition. min() over
+    # a (dist, custkey) struct is the SAME deterministic winner (struct
+    # comparison is field-lexicographic, exactly the window's ordering)
+    # but partial-aggregates map-side, so the exchange carries one row
+    # per supplier per input partition instead of every candidate.
+    # s_name is functionally dependent on s_suppkey (one supplier row),
+    # so grouping by both keeps one output row per supplier.
+    best = (
+        cand.groupBy("s_suppkey", "s_name")
+        .agg(F.min(F.struct("dist_cents", "c_custkey")).alias("w"))
+    )
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("s_suppkey", "s_name", "c_custkey", "dist_cents")
+        best.select(
+            "s_suppkey",
+            "s_name",
+            F.col("w.c_custkey").alias("c_custkey"),
+            F.col("w.dist_cents").alias("dist_cents"),
+        )
         .orderBy("s_suppkey")
     )
 

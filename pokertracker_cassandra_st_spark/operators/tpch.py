@@ -661,11 +661,22 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+    # optimization r14 (guide §2.3): the twin countDistincts planned an
+    # Expand that doubled every joined fact row through the orderkey
+    # exchange, followed by the two-phase distinct machinery. The
+    # explicit (orderkey, suppkey) dedup computes the same quantities
+    # with NO Expand and half the exchanged rows: after the dedup each
+    # supplier appears once per order (late = "any of its items late",
+    # exactly what countDistinct(when(late, suppkey)) counted), so
+    # n_supp is a plain count, n_late a filtered count, and
+    # late_suppkey the same max. Values identical — the DuckDB
+    # differential pins the rewrite like the r12 one it extends.
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("late"), F.lit(1))).alias("n_late"),
         F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
             "late_suppkey"
         ),
@@ -679,7 +690,10 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("late_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        # blamed carries one row per orderkey (it is a groupBy output),
+        # so the distinct-orderkey count is a plain count — no second
+        # Expand/two-phase distinct (r14)
+        .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
